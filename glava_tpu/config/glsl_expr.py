@@ -1,0 +1,453 @@
+"""Evaluator for GLSL constant/knob expressions.
+
+Module behavior in the reference is parameterized by ``#define`` knobs
+whose values are GLSL expressions — numbers (``4.5``, ``(PI / 2)``),
+colors (``#3366b2``), vectors and per-pixel color formulas such as
+``mix(#3366b2, #a0a0b2, clamp(d / GRADIENT, 0, 1))`` (e.g.
+shaders/glava/bars.glsl:20-22). Since our rasterizers are jnp programs,
+those expressions are evaluated directly: identifiers resolve through
+the knob environment (last-wins, like GLSL macro expansion at use
+site), runtime variables (``d``, ``pos``) may be jnp arrays, and vector
+values are component tuples so swizzles (``COLOR.rgb``) and
+constructors (``vec4(...)``) work naturally.
+
+Also handles the ``@name:default`` pipe-bind syntax
+(glava/glsl_ext.c:516-591): if ``name`` was bound with ``--pipe``, the
+expression resolves to the live uniform value from the environment
+(``_IN_name``), otherwise to the parsed default expression.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+import numpy as np
+
+from glava_tpu.config.colors import parse_color
+
+
+class ExprError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# values: scalars are python floats / jnp arrays; vectors are tuples
+# ---------------------------------------------------------------------------
+
+def _is_vec(v) -> bool:
+    return isinstance(v, tuple)
+
+
+def _np_like(x) -> bool:
+    return hasattr(x, "shape") or isinstance(x, (np.ndarray, np.generic))
+
+
+def _map2(f, fj, a, b):
+    """Binary op over scalars/vectors with GLSL broadcasting."""
+    if _is_vec(a) and _is_vec(b):
+        if len(a) != len(b):
+            raise ExprError("vector size mismatch")
+        return tuple(_map2(f, fj, x, y) for x, y in zip(a, b))
+    if _is_vec(a):
+        return tuple(_map2(f, fj, x, b) for x in a)
+    if _is_vec(b):
+        return tuple(_map2(f, fj, a, y) for y in b)
+    if _np_like(a) or _np_like(b):
+        return fj(a, b)
+    return f(a, b)
+
+
+def _map1(f, fj, a):
+    if _is_vec(a):
+        return tuple(_map1(f, fj, x) for x in a)
+    return fj(a) if _np_like(a) else f(a)
+
+
+def _jnp():
+    import jax.numpy as jnp
+
+    return jnp
+
+
+def _builtin_funcs() -> dict[str, Callable]:
+    jnp = _jnp()
+
+    def lift1(pyf, jf):
+        return lambda x: _map1(pyf, jf, x)
+
+    def _add(a, b):
+        return _map2(lambda x, y: x + y, lambda x, y: x + y, a, b)
+
+    def _mul(a, b):
+        return _map2(lambda x, y: x * y, lambda x, y: x * y, a, b)
+
+    def _rsub1(t):
+        return _map1(lambda x: 1.0 - x, lambda x: 1.0 - x, t)
+
+    def mix(a, b, t):
+        return _add(_mul(a, _rsub1(t)), _mul(b, t))
+
+    def clamp(x, lo, hi):
+        def one(v):
+            if _np_like(v) or _np_like(lo) or _np_like(hi):
+                return jnp.clip(v, lo, hi)
+            return min(max(v, lo), hi)
+
+        if _is_vec(x):
+            return tuple(one(c) for c in x)
+        return one(x)
+
+    def _vecn(n):
+        def ctor(*args):
+            comps: list[Any] = []
+            for a in args:
+                if _is_vec(a):
+                    comps.extend(a)
+                else:
+                    comps.append(a)
+            if len(comps) == 1:
+                comps = comps * n
+            if len(comps) != n:
+                raise ExprError(f"vec{n} constructor got {len(comps)} components")
+            return tuple(comps)
+
+        return ctor
+
+    def gmod(a, b):
+        return _map2(lambda x, y: x - y * math.floor(x / y), lambda x, y: x - y * jnp.floor(x / y), a, b)
+
+    def gmin(a, b):
+        return _map2(min, jnp.minimum, a, b)
+
+    def gmax(a, b):
+        return _map2(max, jnp.maximum, a, b)
+
+    def gpow(a, b):
+        return _map2(lambda x, y: x ** y, jnp.power, a, b)
+
+    def gatan(y, x=None):
+        if x is None:
+            return _map1(math.atan, jnp.arctan, y)
+        return _map2(math.atan2, jnp.arctan2, y, x)
+
+    def gstep(edge, x):
+        return _map2(lambda e, v: 0.0 if v < e else 1.0,
+                     lambda e, v: (v >= e).astype(jnp.float32), edge, x)
+
+    def gsmoothstep(e0, e1, x):
+        def core(a, b, v):
+            tt = jnp.clip((v - a) / (b - a), 0.0, 1.0) if any(map(_np_like, (a, b, v))) \
+                else min(max((v - a) / (b - a), 0.0), 1.0)
+            return tt * tt * (3.0 - 2.0 * tt)
+        if _is_vec(x):
+            return tuple(core(e0, e1, c) for c in x)
+        return core(e0, e1, x)
+
+    return {
+        "mix": mix,
+        "clamp": clamp,
+        "vec2": _vecn(2),
+        "vec3": _vecn(3),
+        "vec4": _vecn(4),
+        "min": gmin,
+        "max": gmax,
+        "abs": lift1(abs, jnp.abs),
+        "sign": lift1(lambda x: (x > 0) - (x < 0), jnp.sign),
+        "floor": lift1(math.floor, jnp.floor),
+        "ceil": lift1(math.ceil, jnp.ceil),
+        "round": lift1(round, jnp.round),
+        "fract": lift1(lambda x: x - math.floor(x), lambda x: x - jnp.floor(x)),
+        "mod": gmod,
+        "pow": gpow,
+        "sqrt": lift1(math.sqrt, jnp.sqrt),
+        "exp": lift1(math.exp, jnp.exp),
+        "log": lift1(math.log, jnp.log),
+        "sin": lift1(math.sin, jnp.sin),
+        "cos": lift1(math.cos, jnp.cos),
+        "tan": lift1(math.tan, jnp.tan),
+        "atan": gatan,
+        "step": gstep,
+        "smoothstep": gsmoothstep,
+        "float": lift1(float, lambda x: x),
+        "int": lift1(lambda x: float(int(x)), jnp.trunc),
+    }
+
+
+_SWIZZLE = {"r": 0, "g": 1, "b": 2, "a": 3, "x": 0, "y": 1, "z": 2, "w": 3,
+            "s": 0, "t": 1, "p": 2, "q": 3}
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<color>\#[0-9a-fA-F]{1,8})
+  | (?P<num>(\d+\.\d*|\.\d+|\d+)([eE][+-]?\d+)?[fF]?)
+  | (?P<bind>@[A-Za-z_][A-Za-z0-9_]*:?)
+  | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<op>==|!=|<=|>=|&&|\|\||[-+*/%(),.<>?:!])
+    """,
+    re.X,
+)
+
+
+def tokenize(src: str) -> list[tuple[str, str]]:
+    toks: list[tuple[str, str]] = []
+    i = 0
+    while i < len(src):
+        m = _TOKEN_RE.match(src, i)
+        if not m:
+            raise ExprError(f"unexpected character {src[i]!r} in expression {src!r}")
+        i = m.end()
+        kind = m.lastgroup
+        if kind == "ws":
+            continue
+        toks.append((kind, m.group()))
+    toks.append(("end", ""))
+    return toks
+
+
+@dataclass
+class Env:
+    """Evaluation environment for knob expressions."""
+
+    defines: dict[str, str] = field(default_factory=dict)
+    variables: dict[str, Any] = field(default_factory=dict)  # runtime values
+    pipe_values: dict[str, Any] = field(default_factory=dict)  # live --pipe uniforms
+    _cache: dict[str, Any] = field(default_factory=dict)
+    _expanding: set = field(default_factory=set)
+
+    def lookup(self, name: str):
+        if name in self.variables:
+            return self.variables[name]
+        if name in self.defines:
+            if name in self._expanding:
+                raise ExprError(f"recursive macro '{name}'")
+            self._expanding.add(name)
+            try:
+                val = evaluate(self.defines[name], self)
+            finally:
+                self._expanding.discard(name)
+            return val
+        raise ExprError(f"undefined identifier '{name}'")
+
+
+class _Parser:
+    def __init__(self, toks: list[tuple[str, str]], env: Env):
+        self.toks = toks
+        self.pos = 0
+        self.env = env
+        self.funcs = _builtin_funcs()
+
+    def peek(self):
+        return self.toks[self.pos]
+
+    def next(self):
+        t = self.toks[self.pos]
+        self.pos += 1
+        return t
+
+    def expect(self, val):
+        k, v = self.next()
+        if v != val:
+            raise ExprError(f"expected {val!r}, got {v!r}")
+
+    # precedence climbing
+    def parse(self):
+        v = self.ternary()
+        if self.peek()[0] != "end":
+            raise ExprError(f"trailing tokens at {self.peek()[1]!r}")
+        return v
+
+    def ternary(self):
+        cond = self.logic_or()
+        if self.peek()[1] == "?":
+            self.next()
+            a = self.ternary()
+            self.expect(":")
+            b = self.ternary()
+            return a if _truthy(cond) else b
+        return cond
+
+    def logic_or(self):
+        v = self.logic_and()
+        while self.peek()[1] == "||":
+            self.next()
+            v = _truthy(v) or _truthy(self.logic_and())
+        return v
+
+    def logic_and(self):
+        v = self.compare()
+        while self.peek()[1] == "&&":
+            self.next()
+            v = _truthy(v) and _truthy(self.compare())
+        return v
+
+    def compare(self):
+        v = self.additive()
+        while self.peek()[1] in ("==", "!=", "<", ">", "<=", ">="):
+            op = self.next()[1]
+            rhs = self.additive()
+            table = {
+                "==": (lambda a, b: a == b, lambda a, b: a == b),
+                "!=": (lambda a, b: a != b, lambda a, b: a != b),
+                "<": (lambda a, b: a < b, lambda a, b: a < b),
+                ">": (lambda a, b: a > b, lambda a, b: a > b),
+                "<=": (lambda a, b: a <= b, lambda a, b: a <= b),
+                ">=": (lambda a, b: a >= b, lambda a, b: a >= b),
+            }
+            f, fj = table[op]
+            v = _map2(f, fj, v, rhs)
+        return v
+
+    def additive(self):
+        v = self.mult()
+        while self.peek()[1] in ("+", "-"):
+            op = self.next()[1]
+            rhs = self.mult()
+            if op == "+":
+                v = _map2(lambda a, b: a + b, lambda a, b: a + b, v, rhs)
+            else:
+                v = _map2(lambda a, b: a - b, lambda a, b: a - b, v, rhs)
+        return v
+
+    def mult(self):
+        v = self.unary()
+        while self.peek()[1] in ("*", "/", "%"):
+            op = self.next()[1]
+            rhs = self.unary()
+            if op == "*":
+                v = _map2(lambda a, b: a * b, lambda a, b: a * b, v, rhs)
+            elif op == "/":
+                v = _map2(lambda a, b: a / b, lambda a, b: a / b, v, rhs)
+            else:
+                jnp = _jnp()
+                v = _map2(lambda a, b: math.fmod(a, b), jnp.mod, v, rhs)
+        return v
+
+    def unary(self):
+        k, val = self.peek()
+        if val == "-":
+            self.next()
+            return _map1(lambda x: -x, lambda x: -x, self.unary())
+        if val == "+":
+            self.next()
+            return self.unary()
+        if val == "!":
+            self.next()
+            return not _truthy(self.unary())
+        return self.postfix()
+
+    def postfix(self):
+        v = self.primary()
+        while self.peek()[1] == ".":
+            self.next()
+            k, name = self.next()
+            if k != "ident":
+                raise ExprError("expected swizzle after '.'")
+            if not _is_vec(v):
+                raise ExprError(f"cannot swizzle non-vector with '.{name}'")
+            idxs = [_SWIZZLE[c] for c in name]
+            v = v[idxs[0]] if len(idxs) == 1 else tuple(v[i] for i in idxs)
+        return v
+
+    def primary(self):
+        k, val = self.next()
+        if k == "num":
+            return float(val.rstrip("fF"))
+        if k == "color":
+            c = parse_color(val[1:])
+            if c is None:
+                raise ExprError(f"invalid color literal {val!r}")
+            return c
+        if k == "bind":
+            return self._bind(val)
+        if val == "(":
+            v = self.ternary()
+            self.expect(")")
+            return v
+        if k == "ident":
+            if val == "true":
+                return True
+            if val == "false":
+                return False
+            if self.peek()[1] == "(":
+                self.next()
+                args = []
+                if self.peek()[1] != ")":
+                    args.append(self.ternary())
+                    while self.peek()[1] == ",":
+                        self.next()
+                        args.append(self.ternary())
+                self.expect(")")
+                fn = self.funcs.get(val)
+                if fn is None:
+                    raise ExprError(f"unknown function '{val}'")
+                return fn(*args)
+            return self.env.lookup(val)
+        raise ExprError(f"unexpected token {val!r}")
+
+    def _bind(self, tok: str):
+        """@name or @name:default (glsl_ext.c:516-591)."""
+        name = tok[1:].rstrip(":")
+        has_default = tok.endswith(":")
+        if name in self.env.pipe_values:
+            if has_default:
+                self._skip_default()
+            return self.env.pipe_values[name]
+        if not has_default:
+            raise ExprError(
+                f"Unexpected `--pipe` binding name '@{name}'. "
+                "Try assigning a default or binding the value."
+            )
+        return self.ternary()
+
+    def _skip_default(self):
+        """Consume the default expression without keeping its value."""
+        saved = self.pos
+        try:
+            self.ternary()  # defaults are pure; evaluate and discard
+        except ExprError:
+            self.pos = saved
+            depth = 0  # fall back: skip a balanced-paren token run
+            while True:
+                k, v = self.peek()
+                if k == "end":
+                    break
+                if v == "(":
+                    depth += 1
+                elif v == ")":
+                    if depth == 0:
+                        break
+                    depth -= 1
+                elif v == "," and depth == 0:
+                    break
+                self.next()
+
+
+def _truthy(v) -> bool:
+    if _is_vec(v):
+        raise ExprError("vector used in boolean context")
+    if _np_like(v):
+        return bool(v)
+    return bool(v)
+
+
+def evaluate(src: str, env: Env | None = None):
+    """Evaluate one knob expression to a scalar / bool / component tuple."""
+    env = env or Env()
+    toks = tokenize(src)
+    return _Parser(toks, env).parse()
+
+
+def to_rgba(value, jnp=None):
+    """Component tuple / scalar -> stacked (..., 4) jnp array."""
+    jnp = jnp or _jnp()
+    if not _is_vec(value):
+        value = (value, value, value, value)
+    if len(value) == 3:
+        value = (*value, 1.0)
+    comps = [jnp.asarray(c, dtype=jnp.float32) for c in value]
+    comps = jnp.broadcast_arrays(*comps)
+    return jnp.stack(comps, axis=-1)

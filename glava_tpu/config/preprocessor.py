@@ -1,0 +1,271 @@
+"""The GLava config-language preprocessor, evaluated host-side.
+
+Re-implements the directive semantics of glava/glsl_ext.c:346-725 for
+configuration purposes:
+
+* ``#request name args...`` — tokenized with double-quote support
+  (glsl_ext.c:657-706) and dispatched to the request table.
+* ``#include "path"`` — ``:`` prefix resolves against the user config
+  root, ``@`` against the system shader root, otherwise the including
+  file's directory (glsl_ext.c:160-227). Recursive.
+* ``#define NAME VALUE`` — recorded into an ordered, last-wins knob
+  environment. The reference rewrites redefinitions into
+  ``#undef``+``#define`` so user files override module defaults
+  (glsl_ext.c:143-159); last-wins gives the same result. Function-like
+  macros (``NAME(``) are skipped exactly as the reference skips them
+  (glsl_ext.c:687-689).
+* ``#expand MACRO SYMBOL`` — validated against the registered expand
+  symbols (render.c's efuncs); it generated unrolled GLSL in the
+  reference (glsl_ext.c:301-339) which has no equivalent here (frame
+  averaging is natively vectorized), so it is a checked no-op.
+* ``#ifdef/#ifndef NAME ... #endif`` — minimal conditional support used
+  by include-guarded utility files; other preprocessor conditionals
+  pass through untouched (module logic lives in Python rasterizers).
+
+Deviation from the reference: directives inside ``/* */`` block
+comments are NOT executed (the reference's line-start scanner would
+execute them — an evident parser quirk).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Callable
+
+DIRECTIVES = ("request", "include", "define", "expand")
+
+# The only #expand input symbols the reference registers (used by
+# shaders/glava/util/average_pass.frag).
+DEFAULT_EXPAND_SYMBOLS = ("_AVG_FRAMES",)
+
+
+class PreprocessError(ValueError):
+    def __init__(self, fname: str, line: int, msg: str):
+        super().__init__(f"[{fname}:{line}] {msg}")
+        self.fname = fname
+        self.line = line
+
+
+@dataclass
+class Context:
+    """Shared state across one preprocessing tree (one entry file)."""
+
+    system_dir: Path | None = None   # '@' root (dd)
+    user_dir: Path | None = None     # ':' root (cfd)
+    on_request: Callable[[str, list[str], str, int], None] | None = None
+    defines: dict[str, str] = field(default_factory=dict)
+    expand_symbols: tuple[str, ...] = DEFAULT_EXPAND_SYMBOLS
+    visited: list[str] = field(default_factory=list)  # processed file names
+
+
+_COMMENT_BLOCK = re.compile(r"/\*.*?\*/", re.S)
+_COMMENT_LINE = re.compile(r"//[^\n]*")
+
+
+def strip_comments(text: str) -> str:
+    """Remove comments while preserving line numbering and strings."""
+    out: list[str] = []
+    i, n = 0, len(text)
+    in_str = False
+    while i < n:
+        c = text[i]
+        if in_str:
+            out.append(c)
+            if c == "\\" and i + 1 < n:
+                out.append(text[i + 1])
+                i += 2
+                continue
+            if c == '"':
+                in_str = False
+            i += 1
+            continue
+        if c == '"':
+            in_str = True
+            out.append(c)
+            i += 1
+            continue
+        if c == "/" and i + 1 < n and text[i + 1] == "/":
+            j = text.find("\n", i)
+            i = n if j < 0 else j
+            continue
+        if c == "/" and i + 1 < n and text[i + 1] == "*":
+            j = text.find("*/", i + 2)
+            seg = text[i : (n if j < 0 else j + 2)]
+            out.append("\n" * seg.count("\n"))
+            i = n if j < 0 else j + 2
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def tokenize_args(rest: str) -> list[str]:
+    """Directive argument split with the reference's quote handling."""
+    args: list[str] = []
+    cur: list[str] = []
+    quoted = False
+    for ch in rest:
+        if ch == '"':
+            if quoted:
+                args.append("".join(cur))
+                cur = []
+                quoted = False
+            elif not cur:
+                quoted = True
+            # a quote mid-token behaves like the reference: ignored
+            continue
+        if ch in " \t" and not quoted:
+            if cur:
+                args.append("".join(cur))
+                cur = []
+            continue
+        cur.append(ch)
+    if cur:
+        args.append("".join(cur))
+    return args
+
+
+_DEFINE_RE = re.compile(r"^\s*(\w+)(\(?)\s*(.*?)\s*$", re.S)
+
+
+def process_text(
+    text: str,
+    ctx: Context,
+    fname: str = "<string>",
+    current_dir: Path | None = None,
+) -> None:
+    ctx.visited.append(fname)
+    lines = strip_comments(text).split("\n")
+    # join backslash continuations (keep numbering by padding)
+    joined: list[tuple[int, str]] = []
+    acc: list[str] = []
+    start = 0
+    for ln, line in enumerate(lines, start=1):
+        if line.endswith("\\"):
+            if not acc:
+                start = ln
+            acc.append(line[:-1])
+            continue
+        if acc:
+            acc.append(line)
+            joined.append((start, " ".join(acc)))
+            acc = []
+        else:
+            joined.append((ln, line))
+    if acc:
+        joined.append((start, " ".join(acc)))
+
+    cond_stack: list[bool] = []  # minimal #ifdef/#ifndef support
+
+    for ln, line in joined:
+        stripped = line.lstrip()
+        if not stripped.startswith("#"):
+            continue
+        body = stripped[1:].lstrip()
+        m = re.match(r"([A-Za-z_][A-Za-z0-9_]*)", body)
+        if not m:
+            continue
+        word = m.group(1)
+        rest = body[m.end():]
+
+        if word in ("ifdef", "ifndef"):
+            name = rest.strip().split()[0] if rest.strip() else ""
+            defined = name in ctx.defines
+            cond_stack.append(defined if word == "ifdef" else not defined)
+            continue
+        if word == "if":
+            cond_stack.append(True)  # pass-through conditionals
+            continue
+        if word in ("else", "elif"):
+            if cond_stack:
+                cond_stack[-1] = not cond_stack[-1] if word == "else" else False
+            continue
+        if word == "endif":
+            if cond_stack:
+                cond_stack.pop()
+            continue
+        if cond_stack and not all(cond_stack):
+            continue
+        if word == "undef":
+            name = rest.strip().split()[0] if rest.strip() else ""
+            ctx.defines.pop(name, None)
+            continue
+        if word not in DIRECTIVES:
+            continue
+
+        if word == "define":
+            dm = _DEFINE_RE.match(rest)
+            if not dm:
+                raise PreprocessError(fname, ln, "No arguments provided to #define directive!")
+            name, paren, value = dm.groups()
+            if paren == "(":
+                continue  # function-like macro: skipped (glsl_ext.c:687-689)
+            ctx.defines[name] = value
+            continue
+
+        args = tokenize_args(rest)
+
+        if word == "request":
+            if not args:
+                continue
+            if ctx.on_request is None:
+                raise PreprocessError(fname, ln, "no request dispatcher in this context")
+            ctx.on_request(args[0], args[1:], fname, ln)
+            continue
+
+        if word == "include":
+            if not args:
+                raise PreprocessError(fname, ln, "No arguments provided to #include directive!")
+            target = args[0]
+            base = current_dir
+            if target.startswith(":"):
+                target, base = target[1:], ctx.user_dir
+                if base is None:
+                    # No user config root: fall back to the system root so
+                    # `:file` includes still resolve (the reference passes
+                    # the install path as cfd when no user dir exists,
+                    # glava.c:294-301).
+                    base = ctx.system_dir
+            elif target.startswith("@"):
+                target, base = target[1:], ctx.system_dir
+                if base is None:
+                    raise PreprocessError(
+                        fname, ln,
+                        "encountered '@' path specifier while no default "
+                        "directory is available in the current context",
+                    )
+            if base is None:
+                raise PreprocessError(fname, ln, f"cannot resolve include '{args[0]}'")
+            path = Path(base) / target
+            if not path.is_file() and target.startswith("smooth_parameters"):
+                # user root may lack an override; mirror reference layering
+                # by falling back to the system copy
+                alt = Path(ctx.system_dir or base) / target
+                if alt.is_file():
+                    path = alt
+            if not path.is_file():
+                raise PreprocessError(
+                    fname, ln,
+                    f"failed to load source specified by #include directive '{path}'",
+                )
+            process_text(path.read_text(), ctx, fname=str(path), current_dir=path.parent)
+            continue
+
+        if word == "expand":
+            if len(args) < 2:
+                raise PreprocessError(
+                    fname, ln,
+                    f"#expand directive missing arguments, requires 2 identifiers (got {len(args)})",
+                )
+            if args[1] not in ctx.expand_symbols:
+                raise PreprocessError(
+                    fname, ln, f'#expand directive specified invalid input "{args[1]}"'
+                )
+            continue
+
+
+def process_file(path: str | Path, ctx: Context) -> None:
+    path = Path(path)
+    process_text(path.read_text(), ctx, fname=str(path), current_dir=path.parent)

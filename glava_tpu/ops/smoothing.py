@@ -1,0 +1,172 @@
+"""Log-frequency resampling (``smooth_audio``) as precomputed operators.
+
+The reference samples its spectrum textures through a GLSL function
+``smooth_audio`` (shaders/glava/util/smooth.glsl:23-64): each output
+position ``idx in [0, 1]`` maps through a log curve to a source span
+``[smin, smax]`` whose texels are combined with a distance-weighted
+kernel (``average`` / ``maximum`` / ``hybrid`` modes, weight curves
+from util/common.glsl). By default a dedicated 1-D "smooth pass"
+(util/smooth_pass.frag, dispatched at render.c:2276-2303) precomputes
+``smooth_audio`` for every texel so module shaders can fetch directly.
+
+TPU-first design: the span boundaries and kernel weights depend only on
+static configuration (texture size, SMOOTH factor, SAMPLE_* knobs), so
+we bake them host-side into dense operators:
+
+* ``average`` mode becomes a single (P, sz) matmul — MXU work.
+* ``maximum``/``hybrid`` use a padded (P, K) gather + weighted max —
+  VPU work with static shapes.
+
+Both are embarrassingly batched over streams/channels.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import lru_cache
+from typing import Literal, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from glava_tpu.ops.windows import ROUND_FORMULAS
+
+SampleMode = Literal["average", "maximum", "hybrid"]
+
+
+def scale_audio(idx, sample_range: float, sample_scale: float):
+    """smooth.glsl:13-15: ``-log(1 - SAMPLE_RANGE*idx) / SAMPLE_SCALE``."""
+    idx = np.asarray(idx, dtype=np.float64)
+    return -np.log(-(sample_range * idx) + 1.0) / sample_scale
+
+
+class SmoothParams(NamedTuple):
+    """Static knobs of the smoothing kernel.
+
+    Defaults match shaders/glava/smooth_parameters.glsl and the
+    renderer defaults (render.c:916, smooth_factor 0.025).
+    """
+
+    factor: float = 0.025          # _SMOOTH_FACTOR (setsmoothfactor)
+    sample_mode: SampleMode = "average"  # SAMPLE_MODE
+    hybrid_weight: float = 0.65    # SAMPLE_HYBRID_WEIGHT
+    sample_scale: float = 8.0      # SAMPLE_SCALE
+    sample_range: float = 0.9      # SAMPLE_RANGE
+    round_formula: str = "sinusoidal"  # ROUND_FORMULA
+
+
+class ResampleOp(NamedTuple):
+    """Baked smooth_audio evaluated at P static positions."""
+
+    mode: str
+    # average mode: dense (P, sz) weight matrix (rows already normalized)
+    matrix: np.ndarray | None
+    # maximum/hybrid: (P, K) texel indices and kernel weights (w=0 padding)
+    idx: np.ndarray | None
+    w: np.ndarray | None
+    hybrid_weight: float
+
+    def __call__(self, tex: jax.Array) -> jax.Array:
+        """Apply to (..., sz) spectrum planes -> (..., P)."""
+        if self.mode == "average":
+            m = jnp.asarray(self.matrix)
+            return jnp.einsum(
+                "ps,...s->...p", m, tex,
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+        idx = jnp.asarray(self.idx)
+        w = jnp.asarray(self.w)
+        vals = tex[..., idx] * w  # (..., P, K)
+        vmax = jnp.max(vals, axis=-1)
+        if self.mode == "maximum":
+            return vmax
+        avg = jnp.sum(vals, axis=-1) / jnp.maximum(
+            jnp.sum(w, axis=-1), jnp.finfo(jnp.float32).tiny
+        )
+        hw = self.hybrid_weight
+        return vmax * (1.0 - hw) + avg * hw
+
+
+def _span(tex_sz: int, idx: float, p: SmoothParams) -> tuple[float, float]:
+    smin = scale_audio(min(max(idx - p.factor, 0.0), 1.0), p.sample_range, p.sample_scale) * tex_sz
+    smax = scale_audio(min(max(idx + p.factor, 0.0), 1.0), p.sample_range, p.sample_scale) * tex_sz
+    return float(smin), float(smax)
+
+
+def build_resample(tex_sz: int, positions, params: SmoothParams) -> ResampleOp:
+    """Bake ``smooth_audio(tex, tex_sz, idx)`` for each static position.
+
+    Mirrors smooth.glsl:23-64: the sample loop steps ``s`` from ``smin``
+    by 1.0 (inclusive of ``smax`` in average mode, exclusive in
+    maximum/hybrid), fetches texel ``round(s)`` and weights it with
+    ``ROUND_FORMULA(clamp((m - |rm - s|) / m, 0, 1))``.
+    """
+    positions = np.asarray(positions, dtype=np.float64).ravel()
+    formula = ROUND_FORMULAS[params.round_formula]
+    P = positions.shape[0]
+
+    rows: list[tuple[np.ndarray, np.ndarray]] = []  # (texel indices, weights)
+    inclusive = params.sample_mode == "average"
+    for idx in positions:
+        smin, smax = _span(tex_sz, float(idx), params)
+        m = (smax - smin) / 2.0
+        rm = smin + m
+        if inclusive:
+            count = int(math.floor(smax - smin)) + 1 if smax >= smin else 0
+        else:
+            count = int(math.ceil(smax - smin)) if smax > smin else 0
+            # float loop `for (s = smin; s < smax; s += 1)` runs
+            # ceil(smax - smin) times (smax strictly greater).
+        s = smin + np.arange(max(count, 0), dtype=np.float64)
+        if m > 0:
+            wraw = np.clip((m - np.abs(rm - s)) / m, 0.0, 1.0)
+        else:
+            wraw = np.ones_like(s)
+        w = formula(wraw)
+        texel = np.clip(np.round(s).astype(np.int64), 0, tex_sz - 1)
+        rows.append((texel, np.asarray(w, dtype=np.float64)))
+
+    if params.sample_mode == "average":
+        mat = np.zeros((P, tex_sz), dtype=np.float32)
+        for r, (texel, w) in enumerate(rows):
+            total = w.sum()
+            if total <= 0:
+                continue
+            np.add.at(mat[r], texel, (w / total).astype(np.float32))
+        return ResampleOp("average", mat, None, None, params.hybrid_weight)
+
+    K = max((len(t) for t, _ in rows), default=1) or 1
+    idx_arr = np.zeros((P, K), dtype=np.int32)
+    w_arr = np.zeros((P, K), dtype=np.float32)
+    for r, (texel, w) in enumerate(rows):
+        idx_arr[r, : len(texel)] = texel
+        w_arr[r, : len(texel)] = w
+    return ResampleOp(
+        params.sample_mode, None, idx_arr, w_arr, params.hybrid_weight
+    )
+
+
+@lru_cache(maxsize=None)
+def presmooth_op(tex_sz: int, params: SmoothParams) -> ResampleOp:
+    """The default smooth *pass* operator (util/smooth_pass.frag).
+
+    Resamples a spectrum onto itself: output texel ``i`` is
+    ``smooth_audio(tex, tex_sz, i / tex_sz)`` (fragment x / target
+    width). Module rasterizers then fetch pre-smoothed texels directly
+    (_PRE_SMOOTHED_AUDIO branch, smooth.glsl:61-63).
+    """
+    pos = np.arange(tex_sz, dtype=np.float64) / tex_sz
+    return build_resample(tex_sz, pos, params)
+
+
+def presmoothed_fetch(presmoothed: jax.Array, idx: jax.Array) -> jax.Array:
+    """_PRE_SMOOTHED_AUDIO texel fetch: ``tex[round(idx * sz)]``.
+
+    smooth.glsl:62. ``idx`` may be any-shaped positions in [0, 1];
+    indexes are clamped like GL texelFetch on the final texel.
+    """
+    sz = presmoothed.shape[-1]
+    texel = jnp.clip(jnp.round(idx * sz).astype(jnp.int32), 0, sz - 1)
+    return presmoothed[..., texel]

@@ -1,0 +1,173 @@
+"""Unit tests: DSP operators vs NumPy oracles (SURVEY.md section 4)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from glava_tpu.ops import fft as gfft
+from glava_tpu.ops import smoothing, transforms, windows
+from tests import oracles
+
+
+@pytest.mark.parametrize("n", [64, 256, 512, 1024, 2048, 4096, 8192])
+def test_packed_fft_matches_reference_layout(n):
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal(n).astype(np.float32)
+    re, im = gfft.plan_packed_fft(n)(jnp.asarray(x))
+    got = np.asarray(gfft.interleave(re, im))
+    want = oracles.packed_fft_reference(x)
+    scale = max(np.abs(want).max(), 1.0)
+    np.testing.assert_allclose(got / scale, want / scale, atol=2e-5)
+
+
+def test_packed_fft_batched():
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((5, 1024)).astype(np.float32)
+    re, im = gfft.plan_packed_fft(1024)(jnp.asarray(x))
+    got = np.asarray(gfft.interleave(re, im))
+    for b in range(5):
+        want = oracles.packed_fft_reference(x[b])
+        scale = max(np.abs(want).max(), 1.0)
+        np.testing.assert_allclose(got[b] / scale, want / scale, atol=2e-5)
+
+
+@pytest.mark.parametrize("n", [1024, 4096])
+def test_fft_chain(n):
+    rng = np.random.default_rng(11)
+    x = (rng.standard_normal(n) * 0.2).astype(np.float32)
+    got = np.asarray(transforms.fft_chain(jnp.asarray(x), 10.2, 0.3))
+    want = oracles.fft_transform(x, 10.2, 0.3)
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_window_matches_reference():
+    n = 1024
+    got = windows.pcm_window(n)
+    want = oracles.pcm_window(n)
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_gravity_sequence():
+    rng = np.random.default_rng(5)
+    frames = rng.uniform(0, 1, size=(20, 64))
+    g = 4.2 / 86.0
+    state = transforms.gravity_init((64,))
+    outs = []
+    for f in frames:
+        state, out = transforms.gravity_apply(state, jnp.asarray(f, jnp.float32), g)
+        outs.append(np.asarray(out))
+    want = oracles.gravity_sequence(frames, g)
+    np.testing.assert_allclose(np.stack(outs), want, atol=1e-5)
+
+
+@pytest.mark.parametrize("nframes,use_window,accel", [
+    (6, True, False), (6, True, True), (5, False, True),
+    (2, True, True), (3, True, True), (1, True, True),
+])
+def test_average_sequence(nframes, use_window, accel):
+    rng = np.random.default_rng(9)
+    frames = rng.uniform(0, 1, size=(12, 32))
+    w = jnp.asarray(windows.avg_weights(nframes, use_window, accel))
+    hist = transforms.avg_init(nframes, (32,))
+    outs = []
+    for f in frames:
+        hist, out = transforms.avg_apply(hist, jnp.asarray(f, jnp.float32), w)
+        outs.append(np.asarray(out))
+    want = oracles.average_sequence(frames, nframes, use_window, accel)
+    np.testing.assert_allclose(np.stack(outs), want, atol=1e-5)
+
+
+def test_average_batched_matches_loop():
+    rng = np.random.default_rng(2)
+    frames = rng.uniform(0, 1, size=(4, 3, 32)).astype(np.float32)  # batch 3
+    w = jnp.asarray(windows.avg_weights(4, True, True))
+    hist = transforms.avg_init(4, (3, 32))
+    for f in frames:
+        hist, out = transforms.avg_apply(hist, jnp.asarray(f), w)
+    for b in range(3):
+        want = oracles.average_sequence(frames[:, b], 4, True, True)[-1]
+        np.testing.assert_allclose(np.asarray(out)[b], want, atol=1e-5)
+
+
+def test_smooth_transform():
+    rng = np.random.default_rng(13)
+    b = rng.uniform(0, 1, size=256)
+    b[rng.uniform(size=256) < 0.2] = 0.0  # exercise the nonzero-skip path
+    got = np.asarray(transforms.smooth_transform(jnp.asarray(b, jnp.float32), 4.0, 0.01))
+    want = oracles.smooth_transform(b, 4.0, 0.01)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_wrange():
+    x = np.linspace(-1, 1, 17).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(transforms.wrange(jnp.asarray(x))), (x + 1) / 2, rtol=1e-6
+    )
+
+
+def test_decimate():
+    x = np.arange(16, dtype=np.float32)
+    got = np.asarray(transforms.decimate(jnp.asarray(x), 4))
+    np.testing.assert_allclose(got, x.reshape(4, 4).mean(axis=1))
+    np.testing.assert_allclose(
+        np.asarray(transforms.decimate(jnp.asarray(x), 1)), x
+    )
+
+
+def test_interpolate_clamps():
+    s = jnp.zeros(4)
+    e = jnp.ones(4)
+    np.testing.assert_allclose(np.asarray(transforms.interpolate(s, e, 0.5, 1)), 0.5)
+    np.testing.assert_allclose(np.asarray(transforms.interpolate(s, e, 0.5, 10)), 1.0)
+
+
+@pytest.mark.parametrize("mode", ["average", "maximum", "hybrid"])
+@pytest.mark.parametrize("formula", ["linear", "sinusoidal", "circular"])
+def test_smooth_audio_resample(mode, formula):
+    rng = np.random.default_rng(21)
+    tex = rng.uniform(0, 1, size=2048).astype(np.float32)
+    positions = np.linspace(0.0, 1.0, 37)
+    params = smoothing.SmoothParams(
+        factor=0.025, sample_mode=mode, round_formula=formula
+    )
+    op = smoothing.build_resample(2048, positions, params)
+    got = np.asarray(op(jnp.asarray(tex)))
+    want = np.array([
+        oracles.smooth_audio(tex, p, factor=0.025, mode=mode, formula=formula)
+        for p in positions
+    ])
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_presmooth_then_fetch_matches_direct():
+    """Default path: smooth_pass pre-resample + texel fetch (smooth.glsl:62)."""
+    rng = np.random.default_rng(23)
+    sz = 512
+    tex = rng.uniform(0, 1, size=sz).astype(np.float32)
+    op = smoothing.presmooth_op(sz, smoothing.SmoothParams())
+    pre = op(jnp.asarray(tex))
+    idx = jnp.asarray([0.1, 0.33, 0.7])
+    got = np.asarray(smoothing.presmoothed_fetch(pre, idx))
+    want = np.array([
+        oracles.smooth_audio(tex, round(float(i) * sz) / sz)
+        for i in [0.1, 0.33, 0.7]
+    ])
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_fft_update_composes():
+    rng = np.random.default_rng(31)
+    sz, frames = 1024, 6
+    pcm = rng.standard_normal((10, sz)).astype(np.float32) * 0.1
+    w = jnp.asarray(windows.avg_weights(frames, True, True))
+    state = transforms.chain_init(sz, frames)
+    g = 4.2 / 86.0
+    for t in range(10):
+        state, out = transforms.fft_update(
+            state, jnp.asarray(pcm[t]),
+            fft_scale=10.2, fft_cutoff=0.3, gravity_g=g, avg_weights=w,
+        )
+    specs = np.stack([oracles.fft_transform(p, 10.2, 0.3) for p in pcm])
+    grav = oracles.gravity_sequence(specs, g)
+    want = oracles.average_sequence(grav, frames, True, True)[-1]
+    np.testing.assert_allclose(np.asarray(out), want, atol=2e-4)

@@ -203,14 +203,29 @@ def fft_update(
     fft_cutoff,
     gravity_g,
     avg_weights: jax.Array,
+    texture_clamp: bool = True,
 ) -> tuple[ChainState, jax.Array]:
     """One full audio update: fft -> implied gravity -> implied avg.
 
     Mirrors the transform dispatch at render.c:2128-2160 for the
     standard module chain (window/fft/gravity/avg). Works batched over
     any leading stream axes.
+
+    ``texture_clamp`` models the default (accel) path's GL_R16
+    unsigned-normalized stages (render.c:512-523, 1707-1719): every
+    stage's output — including the gravity peak-hold store — is
+    clamped to [0, 1] on write. The CPU path clamps only at the final
+    texture upload, letting the gravity carry go negative
+    (render.c:730-735).
     """
     spec = fft_chain(pcm, fft_scale, fft_cutoff)
-    grav, out = gravity_apply(state.gravity, spec, gravity_g)
+    if texture_clamp:
+        spec = jnp.clip(spec, 0.0, 1.0)
+        grav = jnp.clip(jnp.maximum(state.gravity, spec) - gravity_g, 0.0, 1.0)
+        out = grav
+    else:
+        grav, out = gravity_apply(state.gravity, spec, gravity_g)
     hist, out = avg_apply(state.history, out, avg_weights)
+    if texture_clamp:
+        out = jnp.clip(out, 0.0, 1.0)
     return ChainState(gravity=grav, history=hist), out

@@ -131,6 +131,7 @@ class AudioPipeline:
                         fft_cutoff=fft_cutoff,
                         gravity_g=gravity_g,
                         avg_weights=self.avg_weights,
+                        texture_clamp=cfg.accel_fft,
                     )
                     new_state[u.name] = st
                 elif t == "wrange":
@@ -140,8 +141,12 @@ class AudioPipeline:
                         buf, cfg.smooth_ratio, cfg.smooth_distance
                     )
                 # window / gravity / avg: no-op names (see module docstring)
+            # Texture upload: all 1-D audio textures are GL_R16 unsigned
+            # normalized (render.c:512-523), so sampled values are
+            # clamped to [0, 1] regardless of path.
+            buf = jnp.clip(buf, 0.0, 1.0)
             if self.presmooth is not None and _has_fft(u.transforms):
-                buf = self.presmooth(buf)
+                buf = jnp.clip(self.presmooth(buf), 0.0, 1.0)
             textures[u.name] = buf
         return new_state, textures
 

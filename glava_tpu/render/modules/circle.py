@@ -1,0 +1,145 @@
+"""`circle` module: radial amplitude ring.
+
+Re-expression of shaders/glava/circle/{1,2,3}.frag. Pass 1 draws a
+ring displaced by the smoothed spectrum with slope filling; pass 2 is a
+neighborhood smoothing post-effect (gated on C_SMOOTH and alpha); pass
+3 premultiplies.
+
+Knobs (shaders/glava/circle.glsl): C_RADIUS, C_LINE, OUTLINE, AMPLIFY,
+ROTATE, INVERT, C_FILL, C_SMOOTH.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from glava_tpu.config import glsl_expr
+from glava_tpu.ops import smoothing
+from glava_tpu.render import base
+from glava_tpu.render.modules import register
+
+TWOPI = 6.28318530718
+PI = 3.14159265359
+
+
+def _position(theta: np.ndarray, rotate: float, invert: int):
+    """apply_smooth position math (circle/1.frag:34-42)."""
+    idx = theta + rotate
+    dirv = np.abs(idx) - TWOPI * np.floor(np.abs(idx) / TWOPI)
+    idx = np.where(dirv > PI, -np.sign(idx) * (TWOPI - dirv), idx)
+    if invert > 0:
+        idx = -idx
+    pos = np.abs(idx) / (PI + 0.001)
+    return pos, idx > 0
+
+
+@register("circle")
+def build(ctx: base.ModuleContext) -> base.ModuleBuild:
+    w, h = ctx.screen
+    c_radius = ctx.knob_f("C_RADIUS", 128)
+    c_line = ctx.knob_f("C_LINE", 1.5)
+    amplify = ctx.knob_f("AMPLIFY", 150)
+    rotate = ctx.knob_f("ROTATE", PI / 2)
+    invert = ctx.knob_i("INVERT", 0)
+    c_fill = ctx.knob_i("C_FILL", 0)
+    c_smooth = ctx.knob_i("C_SMOOTH", 1)
+    use_alpha = ctx.knob_i("_USE_ALPHA", 1) > 0
+    outline = glsl_expr.to_rgba(ctx.color_fn("OUTLINE")())
+
+    # static polar geometry; pixel_center_integer (circle/1.frag:1)
+    x, y = base.frag_coords(w, h, pixel_center_integer=True)
+    dx = x[None, :] - (w // 2)
+    dy = y[:, None] - (h // 2)
+    theta = np.arctan2(dy, dx)
+    dist = np.sqrt(dx * dx + dy * dy)
+    # center pixel (dist 0) is masked out below (d0 < -C_LINE/2); give it
+    # a finite adv so the position math stays NaN-free
+    with np.errstate(divide="ignore"):
+        adv = np.where(dist > 0, (c_line * 0.5) / np.maximum(dist, 1e-6), 0.0)
+
+    pos0, left0 = _position(theta, rotate, invert)
+    posp, leftp = _position(theta + adv, rotate, invert)
+    posm, leftm = _position(theta - adv, rotate, invert)
+
+    d0 = dist - c_radius
+    active = d0 >= -(c_line / 2.0)
+
+    sampler = _per_pixel_sampler(ctx)
+    masks = [
+        (jnp.asarray(np.clip(p, 0.0, 1.0)), jnp.asarray(l))
+        for p, l in ((pos0, left0), (posp, leftp), (posm, leftm))
+    ]
+    d0_c = jnp.asarray(d0.astype(np.float32))
+    active_c = jnp.asarray(active)
+
+    def pass1(inputs: base.PassInputs) -> jnp.ndarray:
+        tl, tr = inputs.textures["audio_l"], inputs.textures["audio_r"]
+
+        def smoothv(pos_c, left_c):
+            return jnp.where(left_c, sampler(tl, pos_c), sampler(tr, pos_c)) * amplify
+
+        v = smoothv(*masks[0])
+        a0 = smoothv(*masks[1]) - v
+        a1 = smoothv(*masks[2]) - v
+        dmax = jnp.maximum(a0, a1)
+        dmin = jnp.minimum(a0, a1)
+        d = d0_c - v
+        if c_fill > 0:
+            bounds = d < (c_line / 2.0)
+        else:
+            bounds = ((d > -(c_line / 2.0)) & (d < (c_line / 2.0))) | (
+                (d <= dmax) & (d >= dmin)
+            )
+        mask = active_c & bounds
+        return jnp.where(mask[..., None], outline, 0.0).astype(jnp.float32)
+
+    passes = [pass1]
+    if c_smooth > 0 and use_alpha:
+        passes.append(_smooth_pass)  # circle/2.frag
+    if ctx.cfg.premultiply_alpha:
+        passes.append(base.premultiply_pass)  # circle/3.frag
+    return base.ModuleBuild("circle", passes)
+
+
+def _per_pixel_sampler(ctx: base.ModuleContext):
+    """smooth_audio at traced per-pixel positions.
+
+    With the default smooth pass the fetch is exact
+    (tex[round(pos*sz)], smooth.glsl:62). Without it, we approximate
+    the direct kernel by sampling the presmoothed texture — output
+    positions differ from texel centers by < 1/sz (documented
+    deviation; the reference default has smooth_pass enabled).
+    """
+    sz = ctx.sz
+    if ctx.cfg.smooth_pass:
+        def fetch(tex, pos):
+            i = jnp.clip(jnp.round(pos * sz).astype(jnp.int32), 0, sz - 1)
+            return tex[i]
+        return fetch
+    op = smoothing.presmooth_op(sz, ctx.smooth_params)
+
+    def fetch(tex, pos):
+        pre = op(tex)
+        i = jnp.clip(jnp.round(pos * sz).astype(jnp.int32), 0, sz - 1)
+        return pre[i]
+
+    return fetch
+
+
+def _smooth_pass(inputs: base.PassInputs) -> jnp.ndarray:
+    """circle/2.frag: fill fully-transparent pixels with the 8-neighbor
+    average (duplicated +-x fetches, like the other outline passes)."""
+    frame = inputs.prev
+    h, w = frame.shape[:2]
+    p = jnp.pad(frame, ((1, 1), (1, 1), (0, 0)))
+
+    def sh(dy, dx):
+        return p[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w]
+
+    avg = (
+        2.0 * sh(0, 1) + sh(1, 1) + sh(1, 0) + 2.0 * sh(0, -1)
+        + sh(-1, -1) + sh(-1, 0)
+    ) / 8.0
+    mask = frame[..., 3] == 0
+    return jnp.where(mask[..., None], avg, frame).astype(jnp.float32)

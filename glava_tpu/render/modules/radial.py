@@ -1,0 +1,158 @@
+"""`radial` module: bar spectrum around a circle.
+
+Re-expression of shaders/glava/radial/1.frag (in-shader alpha
+anti-aliasing via the APPLY_FRAG blend, radial/1.frag:34-39) plus the
+premultiply pass radial/2.frag. The per-pixel polar math is static, so
+bar ids, in-bar masks and alias factors bake to numpy constants; the
+traced work is one (NBARS,) spectrum sample per channel and mask
+blends.
+
+Knobs (shaders/glava/radial.glsl): C_RADIUS, C_LINE, OUTLINE, NBARS,
+BAR_WIDTH, AMPLIFY, GRADIENT, COLOR, ROTATE, INVERT, BAR_ALIAS_FACTOR,
+C_ALIAS_FACTOR, CENTER_OFFSET_X/Y, BAR_OUTLINE, BAR_OUTLINE_WIDTH.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from glava_tpu.config import glsl_expr
+from glava_tpu.render import base
+from glava_tpu.render.modules import register
+
+TWOPI = 6.28318530718
+PI = 3.14159265359
+
+
+def _apply_frag(f: jnp.ndarray, c: jnp.ndarray, use_alpha: bool) -> jnp.ndarray:
+    """APPLY_FRAG (radial/1.frag:35): alpha blend c over premultiplied f."""
+    if not use_alpha:
+        return jnp.broadcast_to(c, f.shape)
+    fa = jnp.clip(f[..., 3:4], 0.0, 1.0)
+    rgb = f[..., :3] * f[..., 3:4] + c[..., :3] * (1.0 - fa)
+    a = jnp.maximum(c[..., 3:4], f[..., 3:4])
+    return jnp.concatenate([rgb, a], axis=-1)
+
+
+@register("radial")
+def build(ctx: base.ModuleContext) -> base.ModuleBuild:
+    w, h = ctx.screen
+    c_radius = ctx.knob_f("C_RADIUS", 128)
+    c_line = ctx.knob_f("C_LINE", 2)
+    nbars = ctx.knob_i("NBARS", 160)
+    bar_width = ctx.knob_f("BAR_WIDTH", 4.5)
+    amplify = ctx.knob_f("AMPLIFY", 300)
+    rotate = ctx.knob_f("ROTATE", PI / 2)
+    invert = ctx.knob_i("INVERT", 0)
+    bar_alias = ctx.knob_f("BAR_ALIAS_FACTOR", 1.2)
+    c_alias = ctx.knob_f("C_ALIAS_FACTOR", 1.8)
+    off_x = ctx.knob_f("CENTER_OFFSET_X", 0)
+    off_y = ctx.knob_f("CENTER_OFFSET_Y", 0)
+    bow = ctx.knob_f("BAR_OUTLINE_WIDTH", 0)
+    use_alpha = ctx.knob_i("_USE_ALPHA", 1) > 0
+
+    # ---- static polar geometry (radial/1.frag:44-70) -------------------
+    x, y = base.frag_coords(w, h, pixel_center_integer=False)
+    dx = x[None, :] - (w // 2) + off_x
+    dy = y[:, None] - (h // 2) + off_y
+    theta = np.arctan2(dy, dx)                    # (H, W)
+    dist = np.sqrt(dx * dx + dy * dy)
+
+    ring = (dist > c_radius - c_line / 2.0) & (dist < c_radius + c_line / 2.0)
+    ring_alpha = np.clip((c_line / 2.0 - np.abs(c_radius - dist)) * c_alias, 0.0, 1.0)
+
+    section = TWOPI / nbars
+    center = section / 2.0
+    m = theta - section * np.floor(theta / section)   # GLSL mod
+    ym = dist * np.sin(center - m)
+    in_bar = (dist > c_radius) & (np.abs(ym) < bar_width / 2.0)
+
+    idx = theta + rotate
+    dirv = np.abs(idx) - TWOPI * np.floor(np.abs(idx) / TWOPI)
+    idx = np.where(dirv > PI, -np.sign(idx) * (TWOPI - dirv), idx)
+    if invert == 0:
+        idx = -idx
+    pos = (np.abs(idx) / section).astype(np.int64) / float(nbars // 2)
+    use_left = idx > 0
+
+    if use_alpha:
+        alias = (bar_width / 2.0 - np.abs(ym)) * bar_alias
+        bar_d = dist - c_radius
+    else:
+        alias = np.ones_like(ym)
+        bar_d = dist - (c_radius + c_line / 2.0)
+
+    # sample at NBARS/2 + 1 distinct bar positions per channel
+    bar_pos = np.arange(nbars // 2 + 1, dtype=np.float64) / float(nbars // 2)
+    sample = ctx.sampler(np.clip(bar_pos, 0.0, 1.0))
+    bar_id = np.clip(
+        (np.abs(idx) / section).astype(np.int64), 0, nbars // 2
+    )
+    bar_id_c = jnp.asarray(bar_id.astype(np.int32))
+    use_left_c = jnp.asarray(use_left)
+    in_bar_c = jnp.asarray(in_bar)
+    ring_c = jnp.asarray(ring)
+    ring_alpha_c = jnp.asarray(ring_alpha.astype(np.float32))
+    alias_c = jnp.asarray(alias.astype(np.float32))
+    bar_d_c = jnp.asarray(bar_d.astype(np.float32))
+
+    outline_col = glsl_expr.to_rgba(ctx.color_fn("OUTLINE")())
+    color_fn = ctx.color_fn("COLOR")
+    bar_outline_fn = ctx.color_fn("BAR_OUTLINE")
+
+    def pass1(inputs: base.PassInputs) -> jnp.ndarray:
+        vl = sample(inputs.textures["audio_l"])
+        vr = sample(inputs.textures["audio_r"])
+        v = jnp.where(use_left_c, vl[bar_id_c], vr[bar_id_c]) * amplify
+
+        frag = jnp.zeros((h, w, 4), jnp.float32)
+        # center ring (radial/1.frag:49-56)
+        ring_col = _apply_frag(frag, outline_col, use_alpha)
+        if use_alpha:
+            ring_col = ring_col.at[..., 3].multiply(ring_alpha_c)
+            frag = jnp.where(ring_c[..., None], ring_col, frag)
+        else:
+            frag = jnp.where(ring_c[..., None], ring_col, frag)
+
+        # bars: COLOR / BAR_OUTLINE with d = distance past the circle
+        body = in_bar_c & (bar_d_c <= v - bow)
+        edge = in_bar_c & (bar_d_c <= v) & ~body if bow > 0 else jnp.zeros_like(body)
+        # `return`ed pixels skip the final premultiply blend; ring pixels
+        # under a drawn bar were already blended over.
+        color = glsl_expr.to_rgba(color_fn(d=bar_d_c))
+        color = jnp.broadcast_to(color, (h, w, 4))
+        if bow > 0:
+            inner = in_bar_c & (jnp.asarray(np.abs(ym)) < (bar_width / 2.0 - bow))
+            bar_out = glsl_expr.to_rgba(bar_outline_fn(d=bar_d_c))
+            bar_out = jnp.broadcast_to(bar_out, (h, w, 4))
+            r = jnp.where(inner[..., None], color, bar_out)
+        else:
+            r = color
+        if use_alpha:
+            r = jnp.concatenate(
+                [r[..., :3], r[..., 3:4] * jnp.clip(alias_c, 0.0, 1.0)[..., None]],
+                axis=-1,
+            )
+        drawn_body = _apply_frag(frag, r, use_alpha)
+        frag2 = jnp.where(body[..., None], drawn_body, frag)
+        if bow > 0:
+            bar_out2 = glsl_expr.to_rgba(bar_outline_fn(d=bar_d_c))
+            bar_out2 = jnp.broadcast_to(bar_out2, (h, w, 4))
+            if use_alpha:
+                bar_out2 = jnp.concatenate(
+                    [bar_out2[..., :3],
+                     bar_out2[..., 3:4] * jnp.clip(alias_c, 0.0, 1.0)[..., None]],
+                    axis=-1,
+                )
+            frag2 = jnp.where(edge[..., None], _apply_frag(frag, bar_out2, use_alpha), frag2)
+        returned = body | edge
+        # final: APPLY_FRAG(fragment, transparent) premultiplies leftovers
+        final = _apply_frag(frag2, jnp.zeros(4, jnp.float32), use_alpha)
+        out = jnp.where(returned[..., None], frag2, final)
+        return out.astype(jnp.float32)
+
+    passes = [pass1]
+    if ctx.cfg.premultiply_alpha:
+        passes.append(base.premultiply_pass)  # radial/2.frag
+    return base.ModuleBuild("radial", passes)

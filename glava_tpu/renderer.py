@@ -1,0 +1,172 @@
+"""Renderer: config -> one jitted (state, audio) -> (state, frame) step.
+
+The device-side equivalent of ``rd_update`` (glava/render.c:1743-2417):
+per frame it runs the audio transform chains (when a new ring snapshot
+arrived), optionally interpolates between audio keyframes
+(render.c:1792-1809), rasterizes the module's pass chain, and emits an
+RGBA frame. Everything is one XLA program; per-frame scalars
+(time, interpolation phase, live pipe uniforms) are traced arguments so
+nothing recompiles at runtime.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from glava_tpu.config.loader import LoadedConfig, builtin_variables
+from glava_tpu.config.state import RenderConfig
+from glava_tpu.pipeline import AudioPipeline, UniformSpec
+from glava_tpu.render.base import ModuleContext, PassInputs
+from glava_tpu.render.modules import build_module, module_uniforms
+
+
+class RenderState(NamedTuple):
+    chains: dict[str, Any]       # per-uniform transform carries
+    key_start: jax.Array         # (2, bufsize) interpolation start keyframe
+    key_end: jax.Array           # (2, bufsize) interpolation end keyframe
+
+
+@dataclass
+class Renderer:
+    loaded: LoadedConfig
+    screen: tuple[int, int] | None = None
+
+    def __post_init__(self):
+        cfg = self.cfg = self.loaded.cfg
+        if self.screen is None:
+            self.screen = (cfg.geometry[2], cfg.geometry[3])
+        self.uniforms = [UniformSpec(*u) for u in module_uniforms(self.loaded.module)]
+        self.pipeline = AudioPipeline(cfg, self.uniforms)
+        env = self.loaded.env
+        env.variables.update(builtin_variables(cfg))
+        mctx = ModuleContext(
+            cfg=cfg,
+            env=env,
+            screen=self.screen,
+            sz=self.pipeline.sz,
+            channels=1 if cfg.mirror_input else 2,
+        )
+        self.module = build_module(self.loaded.module, mctx)
+
+    # -- state -------------------------------------------------------------
+
+    def init_state(self, batch: tuple[int, ...] = ()) -> RenderState:
+        cfg = self.cfg
+        return RenderState(
+            chains=self.pipeline.init_state(batch),
+            key_start=jnp.zeros(batch + (2, cfg.bufsize), jnp.float32),
+            key_end=jnp.zeros(batch + (2, cfg.bufsize), jnp.float32),
+        )
+
+    # -- the jittable step ---------------------------------------------------
+
+    def step(
+        self,
+        state: RenderState,
+        audio: jax.Array,       # (..., 2, bufsize) current ring snapshot
+        modified,               # bool scalar: new audio since last frame?
+        time,                   # float scalar, seconds (wraps at timecycle)
+        interp_mod,             # float scalar: min(uratio*kcounter, 1)
+    ) -> tuple[RenderState, jax.Array]:
+        cfg = self.cfg
+
+        # Keyframe push on update (render.c:2348-2353): start <- end,
+        # end <- new buffers.
+        key_start = jnp.where(modified, state.key_end, state.key_start)
+        key_end = jnp.where(modified, audio, state.key_end)
+
+        if cfg.interpolate and not cfg.accel_fft:
+            # CPU-path interpolation (render.c:1792-1809). The accel
+            # path force-disables it (render.c:2161-2173).
+            feed = key_start + (key_end - key_start) * jnp.minimum(interp_mod, 1.0)
+        else:
+            feed = key_end
+
+        def do_update(chains):
+            return self.pipeline.update(
+                chains, feed[..., 0, :], feed[..., 1, :]
+            )
+
+        def no_update(chains):
+            # No new audio: reuse the carried textures (the reference
+            # skips transforms and keeps the last average/smooth
+            # results, render.c:2122, 2268-2272).
+            return chains, self._carried_textures(chains, feed)
+
+        if cfg.interpolate and not cfg.accel_fft:
+            # interpolated feed changes every frame; transforms rerun
+            chains, textures = do_update(state.chains)
+        else:
+            chains, textures = jax.lax.cond(
+                jnp.asarray(modified, jnp.bool_), do_update, no_update, state.chains
+            )
+
+        frame = self.module.render(
+            PassInputs(prev=None, textures=textures, time=jnp.asarray(time))
+        )
+        return RenderState(chains, key_start, key_end), frame
+
+    def _carried_textures(self, chains, feed):
+        """This frame's textures without advancing the carry.
+
+        For fft uniforms the reference reuses the last average result
+        when no audio arrived (render.c:2268-2272) — reconstructed here
+        as the weighted mean of the existing history. Stateless chains
+        (e.g. wave's wrange) recompute from the unchanged ring.
+        """
+        from glava_tpu.ops import transforms as T
+
+        cfg = self.cfg
+        out = {}
+        sources = {
+            "audio_l": T.decimate(feed[..., 0, :], cfg.bufscale),
+            "audio_r": T.decimate(feed[..., 1, :], cfg.bufscale),
+        }
+        for u in self.uniforms:
+            if u.name in chains:
+                hist = chains[u.name].history
+                w = self.pipeline.avg_weights.reshape((-1, 1))
+                tex = jnp.clip(jnp.sum(hist * w, axis=-2), 0.0, 1.0)
+                if self.pipeline.presmooth is not None:
+                    tex = jnp.clip(self.pipeline.presmooth(tex), 0.0, 1.0)
+                out[u.name] = tex
+            else:
+                buf = sources[u.source]
+                for t in u.transforms:
+                    if t == "wrange":
+                        buf = T.wrange(buf)
+                    elif t == "smooth":
+                        buf = T.smooth_transform(
+                            buf, cfg.smooth_ratio, cfg.smooth_distance
+                        )
+                out[u.name] = jnp.clip(buf, 0.0, 1.0)
+        return out
+
+    def jit_step(self):
+        return jax.jit(self.step, donate_argnums=(0,))
+
+    # -- golden-frame evaluation (render.c:2419-2453) -----------------------
+
+    def test_evaluate(self, frame: jax.Array) -> bool:
+        """Assert every pixel equals `settesteval` within +-0.5/255."""
+        expect = self.cfg.test_eval_color
+        if expect is None:
+            raise ValueError("no `settesteval` color configured")
+        got = np.asarray(frame, dtype=np.float64)
+        want = np.asarray(expect, dtype=np.float64)
+        return bool(np.all(np.abs(got - want) <= 0.5 / 255.0 + 1e-9))
+
+
+def make_renderer(loaded: LoadedConfig, screen: tuple[int, int] | None = None) -> Renderer:
+    return Renderer(loaded, screen)
+
+
+def quantize_frame(frame: jax.Array) -> np.ndarray:
+    """f32 RGBA [0,1] -> uint8, GL-style round-to-nearest."""
+    arr = np.asarray(frame)
+    return np.clip(np.rint(arr * 255.0), 0, 255).astype(np.uint8)

@@ -166,8 +166,33 @@ def test_fft_update_composes():
         state, out = transforms.fft_update(
             state, jnp.asarray(pcm[t]),
             fft_scale=10.2, fft_cutoff=0.3, gravity_g=g, avg_weights=w,
+            texture_clamp=False,
         )
     specs = np.stack([oracles.fft_transform(p, 10.2, 0.3) for p in pcm])
     grav = oracles.gravity_sequence(specs, g)
     want = oracles.average_sequence(grav, frames, True, True)[-1]
     np.testing.assert_allclose(np.asarray(out), want, atol=2e-4)
+
+
+def test_fft_update_texture_clamp():
+    """Default (accel) path: GL_R16 stages clamp every write to [0,1]."""
+    rng = np.random.default_rng(33)
+    sz, frames = 1024, 4
+    pcm = rng.standard_normal((8, sz)).astype(np.float32)  # loud -> spec > 1
+    w = jnp.asarray(windows.avg_weights(frames, True, True))
+    state = transforms.chain_init(sz, frames)
+    g = 4.2 / 86.0
+    clamped = np.zeros(sz)
+    hist = np.zeros((frames, sz))
+    wts = np.asarray(windows.avg_weights(frames, True, True), dtype=np.float64)
+    for t in range(8):
+        state, out = transforms.fft_update(
+            state, jnp.asarray(pcm[t]),
+            fft_scale=10.2, fft_cutoff=0.3, gravity_g=g, avg_weights=w,
+        )
+        spec = np.clip(oracles.fft_transform(pcm[t], 10.2, 0.3), 0, 1)
+        clamped = np.clip(np.maximum(clamped, spec) - g, 0, 1)
+        hist = np.concatenate([hist[1:], clamped[None]], axis=0)
+    want = np.clip((hist * wts[:, None]).sum(axis=0), 0, 1)
+    np.testing.assert_allclose(np.asarray(out), want, atol=2e-4)
+    assert float(np.asarray(out).max()) <= 1.0

@@ -1,0 +1,146 @@
+"""Renderer/module tests: frames from synthetic audio."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from glava_tpu.config import loader
+from glava_tpu.renderer import Renderer, quantize_frame
+
+
+def _tone_audio(cfg, freqs=(440.0, 3000.0), amp=0.4, seconds=1.0):
+    t = np.arange(int(cfg.sample_rate * seconds)) / cfg.sample_rate
+    le = amp * np.sin(2 * np.pi * freqs[0] * t)
+    ri = amp * np.sin(2 * np.pi * freqs[1] * t)
+    return le.astype(np.float32), ri.astype(np.float32)
+
+
+def _drive(renderer, n_updates=24, freqs=(440.0, 3000.0)):
+    cfg = renderer.cfg
+    le, ri = _tone_audio(cfg, freqs)
+    state = renderer.init_state()
+    step = renderer.jit_step()
+    frame = None
+    for k in range(n_updates):
+        end = (k + 1) * cfg.hop
+        snap = np.zeros((2, cfg.bufsize), np.float32)
+        for ch, buf in enumerate((le, ri)):
+            seg = buf[max(end - cfg.bufsize, 0):end]
+            snap[ch, cfg.bufsize - len(seg):] = seg
+        state, frame = step(
+            state, jnp.asarray(snap), True, np.float32(k / 60.0), np.float32(1.0)
+        )
+    return np.asarray(frame)
+
+
+def _load(module, screen=(192, 128), extra=()):
+    lc = loader.load(
+        cli_requests=(f"setgeometry 0 0 {screen[0]} {screen[1]}",) + tuple(extra),
+        force_module=module,
+    )
+    return Renderer(lc)
+
+
+@pytest.mark.parametrize("module", ["bars", "radial", "graph", "wave", "circle"])
+def test_module_renders_valid_frame(module):
+    # radial/circle need room for their C_RADIUS=128 center circle
+    screen = (300, 300) if module in ("radial", "circle") else (192, 128)
+    r = _load(module, screen=screen)
+    frame = _drive(r)
+    h, w = r.screen[1], r.screen[0]
+    assert frame.shape == (h, w, 4)
+    assert frame.dtype == np.float32
+    assert not np.isnan(frame).any()
+    assert frame.min() >= 0.0 and frame.max() <= 1.0
+    assert frame[..., 3].max() > 0.0, f"{module}: nothing drawn"
+
+
+def test_bars_structure():
+    """Bars: colored columns separated by gaps, heights follow audio."""
+    r = _load("bars")
+    frame = _drive(r)
+    alpha = frame[..., 3]
+    # baseline row (y=0) inside drawn bars; gap columns empty
+    col_drawn = alpha[0] > 0
+    assert col_drawn.any()
+    # periodic structure: with BAR_WIDTH 5 / GAP 1, some columns stay empty
+    assert (~col_drawn).any()
+    # no pixels drawn above the tallest bar
+    heights = alpha.sum(axis=0)
+    assert heights.max() < frame.shape[0]  # not saturated to full screen
+
+
+def test_bars_silence_is_empty():
+    r = _load("bars")
+    state = r.init_state()
+    step = r.jit_step()
+    snap = jnp.zeros((2, r.cfg.bufsize), jnp.float32)
+    state, frame = step(state, snap, True, np.float32(0.0), np.float32(1.0))
+    f = np.asarray(frame)
+    assert f[..., 3].max() == 0.0
+
+
+def test_wave_line_on_silence():
+    """wrange maps silence to 0.5 -> horizontal center line."""
+    r = _load("wave")
+    state = r.init_state()
+    step = r.jit_step()
+    snap = jnp.zeros((2, r.cfg.bufsize), jnp.float32)
+    state, frame = step(state, snap, True, np.float32(0.0), np.float32(1.0))
+    f = np.asarray(frame)
+    h = f.shape[0]
+    mid = f[h // 2 - 2 : h // 2 + 2, :, 3]
+    assert (mid > 0).any(), "center line missing"
+    assert f[0, :, 3].max() == 0.0 and f[-1, :, 3].max() == 0.0
+
+
+def test_radial_ring_present():
+    r = _load("radial", screen=(300, 300))
+    state = r.init_state()
+    step = r.jit_step()
+    snap = jnp.zeros((2, r.cfg.bufsize), jnp.float32)
+    _, frame = step(state, snap, True, np.float32(0.0), np.float32(1.0))
+    f = np.asarray(frame)
+    # center circle outline at C_RADIUS=128 from center
+    assert f[..., 3].max() > 0
+    cy, cx = 150, 150
+    assert f[cy, cx, 3] == 0.0  # center empty
+    assert f[cy + 128, cx, 3] > 0.0  # on the ring
+
+
+def test_golden_test_module():
+    """The reference CI check: constant premultiplied color everywhere
+    (render.c:2419-2453, settesteval 55000055)."""
+    lc = loader.load(entry="test_rc.glsl")
+    r = Renderer(lc, screen=(64, 64))
+    state = r.init_state()
+    step = r.jit_step()
+    snap = jnp.zeros((2, lc.cfg.bufsize), jnp.float32)
+    _, frame = step(state, snap, True, np.float32(0.0), np.float32(1.0))
+    assert r.test_evaluate(frame), np.asarray(frame)[0, 0]
+
+
+def test_quantize_frame():
+    f = jnp.asarray([[[0.0, 0.5, 1.0, 1.0 / 3.0]]])
+    q = quantize_frame(f)
+    assert q.tolist() == [[[0, 128, 255, 85]]]
+
+
+def test_user_knob_override_changes_output(tmp_path):
+    (tmp_path / "rc.glsl").write_text("#request mod bars\n#request setgeometry 0 0 96 64\n")
+    (tmp_path / "bars.glsl").write_text(
+        "#define COLOR #ff0000\n#define BAR_OUTLINE #ff0000\n#define BAR_WIDTH 3\n#define BAR_GAP 3\n"
+    )
+    lc = loader.load(user_dir=tmp_path)
+    r = Renderer(lc)
+    frame = _drive(r, n_updates=12)
+    drawn = frame[frame[..., 3] > 0]
+    assert drawn.size > 0
+    np.testing.assert_allclose(drawn[:, 0], 1.0, atol=1e-6)  # pure red
+    np.testing.assert_allclose(drawn[:, 1], 0.0, atol=1e-6)
+
+
+def test_mirror_mono_layout():
+    r = _load("bars", extra=("setmirror true",))
+    frame = _drive(r)
+    assert frame[..., 3].max() > 0

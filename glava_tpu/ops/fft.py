@@ -147,6 +147,12 @@ def packed_spectrum(x: jax.Array, fft_scale, fft_cutoff) -> jax.Array:
     window+fft transform.
     """
     n = x.shape[-1]
+    fft_scale = jnp.asarray(fft_scale)
+    fft_cutoff = jnp.asarray(fft_cutoff)
+    if fft_scale.ndim:  # per-stream scalars -> broadcast over bins
+        fft_scale = fft_scale[..., None]
+    if fft_cutoff.ndim:
+        fft_cutoff = fft_cutoff[..., None]
     re, im = plan_packed_fft(n)(x)
     v = interleave(re, im)
     mag = jnp.log(jnp.abs(v) + 1.0) / 3.0

@@ -218,6 +218,9 @@ def fft_update(
     texture upload, letting the gravity carry go negative
     (render.c:730-735).
     """
+    gravity_g = jnp.asarray(gravity_g)
+    if gravity_g.ndim:  # per-stream (S,) decay -> broadcast over bins
+        gravity_g = gravity_g[..., None]
     spec = fft_chain(pcm, fft_scale, fft_cutoff)
     if texture_clamp:
         spec = jnp.clip(spec, 0.0, 1.0)

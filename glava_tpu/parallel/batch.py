@@ -1,0 +1,123 @@
+"""BatchedRenderer: many independent audio streams on one program.
+
+BASELINE.json config #4: 64 concurrent streams per chip with per-stream
+parameters. The single-stream step (renderer.py) is written batched-
+shape-polymorphic where cheap and vmapped where not; per-stream DSP
+scalars (fft_scale/fft_cutoff/gravity) and per-stream pipe uniforms
+arrive as (S,)-leading arrays. Sharding: streams ride the 'streams'
+mesh axis, frame rows optionally ride 'rows' (see parallel/mesh.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from glava_tpu.config.loader import LoadedConfig
+from glava_tpu.renderer import Renderer, RenderState
+
+
+@dataclass
+class BatchedRenderer:
+    loaded: LoadedConfig
+    n_streams: int
+    screen: tuple[int, int] | None = None
+
+    def __post_init__(self):
+        self.renderer = Renderer(self.loaded, screen=self.screen)
+        self.cfg = self.renderer.cfg
+
+    def init_state(self) -> RenderState:
+        return self.renderer.init_state(batch=(self.n_streams,))
+
+    def step(
+        self,
+        state: RenderState,
+        audio: jax.Array,            # (S, 2, bufsize)
+        modified: jax.Array,         # (S,) bool
+        time: jax.Array,             # (S,) seconds
+        interp_mod: jax.Array,       # (S,)
+        gravity_g: jax.Array,        # (S,)
+        pipe: dict[str, jax.Array] | None = None,  # each (S, ...) leading
+    ) -> tuple[RenderState, jax.Array]:
+        """One frame for every stream: (S, H, W, 4) output."""
+
+        def one(st, au, mo, ti, im, g, pi):
+            return self.renderer.step(st, au, mo, ti, im, g, pi)
+
+        return jax.vmap(one)(state, audio, modified, time, interp_mod,
+                             gravity_g, pipe if pipe else {})
+
+    # -- update-only fast path (spectrum textures, no raster) -------------
+
+    def update_textures(self, chains, audio, gravity_g):
+        """(S, 2, bufsize) -> per-uniform (S, sz) textures."""
+        return self.renderer.pipeline.update(
+            chains, audio[..., 0, :], audio[..., 1, :], gravity_g=gravity_g
+        )
+
+    # -- sharded program ---------------------------------------------------
+
+    def sharded_step(self, mesh: Mesh):
+        """jit the batched step with streams/rows shardings on `mesh`.
+
+        Streams shard over the 'streams' axis (DP over streams); the
+        output frame is additionally constrained to split its row axis
+        over 'rows' (spatial parallelism) — XLA all-gathers the small
+        spectrum textures and partitions the raster math.
+        """
+        s = NamedSharding(mesh, P("streams"))
+        r = NamedSharding(mesh, P())
+
+        def step(state, audio, modified, time, interp_mod, gravity_g, pipe):
+            st, frame = self.step(
+                state, audio, modified, time, interp_mod, gravity_g, pipe
+            )
+            frame = jax.lax.with_sharding_constraint(
+                frame, NamedSharding(mesh, P("streams", "rows"))
+            )
+            return st, frame
+
+        return jax.jit(
+            step,
+            in_shardings=(s, s, s, s, s, s, r),
+            out_shardings=(s, NamedSharding(mesh, P("streams", "rows"))),
+            donate_argnums=(0,),
+        )
+
+    def shard_state(self, state: RenderState, mesh: Mesh) -> RenderState:
+        s = NamedSharding(mesh, P("streams"))
+        return jax.tree.map(lambda x: jax.device_put(x, s), state)
+
+
+def example_batch(br: BatchedRenderer, rng_seed: int = 0):
+    """Synthetic per-stream inputs for compile checks and benches."""
+    import numpy as np
+
+    S = br.n_streams
+    cfg = br.cfg
+    rng = np.random.default_rng(rng_seed)
+    freqs = rng.uniform(100.0, 8000.0, size=S)
+    t = np.arange(cfg.bufsize) / cfg.sample_rate
+    audio = np.stack(
+        [
+            np.stack(
+                [
+                    0.4 * np.sin(2 * np.pi * f * t),
+                    0.4 * np.sin(2 * np.pi * (f * 1.5) * t),
+                ]
+            )
+            for f in freqs
+        ]
+    ).astype(np.float32)
+    return dict(
+        audio=jnp.asarray(audio),
+        modified=jnp.ones((S,), jnp.bool_),
+        time=jnp.zeros((S,), jnp.float32),
+        interp_mod=jnp.ones((S,), jnp.float32),
+        gravity_g=jnp.full((S,), cfg.gravity_step / cfg.nominal_ups, jnp.float32),
+    )

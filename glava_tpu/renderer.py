@@ -42,7 +42,7 @@ class Renderer:
             self.screen = (cfg.geometry[2], cfg.geometry[3])
         self.uniforms = [UniformSpec(*u) for u in module_uniforms(self.loaded.module)]
         self.pipeline = AudioPipeline(cfg, self.uniforms)
-        env = self.loaded.env
+        env = self.module_env = self.loaded.env
         env.variables.update(builtin_variables(cfg))
         mctx = ModuleContext(
             cfg=cfg,
@@ -72,8 +72,21 @@ class Renderer:
         modified,               # bool scalar: new audio since last frame?
         time,                   # float scalar, seconds (wraps at timecycle)
         interp_mod,             # float scalar: min(uratio*kcounter, 1)
+        gravity_g=None,         # float scalar: gravity_step / measured UPS
+        pipe: dict | None = None,  # live --pipe uniform values (traced)
     ) -> tuple[RenderState, jax.Array]:
         cfg = self.cfg
+        if pipe:
+            # Pipe values are traced arguments; expressions referencing
+            # @name binds pick them up during this trace. vecN values
+            # arrive as (n,) arrays -> component tuples for the
+            # evaluator.
+            vals = {}
+            for k, v in pipe.items():
+                arr = jnp.asarray(v)
+                vals[k] = tuple(arr[i] for i in range(arr.shape[0])) if arr.ndim else arr
+            self.module_env.pipe_values.clear()
+            self.module_env.pipe_values.update(vals)
 
         # Keyframe push on update (render.c:2348-2353): start <- end,
         # end <- new buffers.
@@ -89,7 +102,7 @@ class Renderer:
 
         def do_update(chains):
             return self.pipeline.update(
-                chains, feed[..., 0, :], feed[..., 1, :]
+                chains, feed[..., 0, :], feed[..., 1, :], gravity_g=gravity_g
             )
 
         def no_update(chains):

@@ -1,0 +1,198 @@
+"""Frame sinks: where rendered RGBA frames go.
+
+The reference presents through an X11/GLX window or hands an offscreen
+GL texture to embedders (SURVEY.md L1/L7). The TPU-native capability
+map (SURVEY.md section 7): "place output somewhere, suspend when not
+needed" — a sink receives uint8 RGBA frames and can gate rendering
+(the `should_render` role, glx_wcb.c:319-356).
+
+Built-ins:
+
+* ``null``     — drop frames (bench).
+* ``latest``   — keep the newest frame for `tex()`-style consumers
+  (the OBS-embedding analogue: a frame-stream handle, glava-obs/entry.c).
+* ``raw``      — stream raw RGBA to a file/fd (pipe into ffmpeg etc.).
+* ``y4m``      — YUV4MPEG2 stream, playable/encodable by mpv/ffmpeg/OBS.
+* ``png``      — one PNG per frame (or the last frame), for debugging.
+
+Frames arrive bottom-up (GL row order); sinks that write image formats
+flip to top-down.
+"""
+
+from __future__ import annotations
+
+import struct
+import threading
+import zlib
+from pathlib import Path
+from typing import BinaryIO, Callable
+
+import numpy as np
+
+
+class FrameSink:
+    name = "?"
+
+    def submit(self, frame: np.ndarray, time_s: float) -> None:
+        raise NotImplementedError
+
+    def should_render(self) -> bool:  # visibility gating hook
+        return True
+
+    def close(self) -> None:
+        pass
+
+
+class NullSink(FrameSink):
+    name = "null"
+
+    def __init__(self):
+        self.count = 0
+
+    def submit(self, frame, time_s):
+        self.count += 1
+
+
+class LatestFrameSink(FrameSink):
+    """Embedding handle: holds the newest frame under a lock + condition
+    (the off_tex / glava_wait handshake, glava.c:243-261)."""
+
+    name = "latest"
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self._cond = threading.Condition(self._lock)
+        self._frame: np.ndarray | None = None
+        self.count = 0
+
+    def submit(self, frame, time_s):
+        with self._cond:
+            self._frame = frame
+            self.count += 1
+            self._cond.notify_all()
+
+    def wait(self, timeout: float | None = None) -> np.ndarray:
+        with self._cond:
+            self._cond.wait_for(lambda: self._frame is not None, timeout)
+            if self._frame is None:
+                raise TimeoutError("no frame produced")
+            return self._frame
+
+    def latest(self) -> np.ndarray | None:
+        with self._lock:
+            return self._frame
+
+
+class RawSink(FrameSink):
+    """Raw RGBA32 stream (row order preserved, bottom-up)."""
+
+    name = "raw"
+
+    def __init__(self, fh: BinaryIO):
+        self.fh = fh
+
+    def submit(self, frame, time_s):
+        self.fh.write(frame.tobytes())
+
+    def close(self):
+        self.fh.flush()
+
+
+class Y4MSink(FrameSink):
+    """YUV4MPEG2 (C444) stream for ffmpeg/mpv/OBS media sources."""
+
+    name = "y4m"
+
+    def __init__(self, fh: BinaryIO, fps: int = 60):
+        self.fh = fh
+        self.fps = max(int(fps) or 60, 1)
+        self._wrote_header = False
+
+    def submit(self, frame, time_s):
+        img = frame[::-1]  # top-down
+        h, w = img.shape[:2]
+        if not self._wrote_header:
+            self.fh.write(
+                f"YUV4MPEG2 W{w} H{h} F{self.fps}:1 Ip A1:1 C444\n".encode()
+            )
+            self._wrote_header = True
+        r = img[..., 0].astype(np.float32)
+        g = img[..., 1].astype(np.float32)
+        b = img[..., 2].astype(np.float32)
+        yp = 0.299 * r + 0.587 * g + 0.114 * b
+        u = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        v = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        self.fh.write(b"FRAME\n")
+        for plane in (yp, u, v):
+            self.fh.write(np.clip(plane, 0, 255).astype(np.uint8).tobytes())
+
+    def close(self):
+        self.fh.flush()
+
+
+def write_png(path: str | Path, frame: np.ndarray) -> None:
+    """Minimal PNG writer (RGBA8). `frame` is bottom-up GL order."""
+    img = frame[::-1]
+    h, w = img.shape[:2]
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+
+    def chunk(t: bytes, d: bytes) -> bytes:
+        c = t + d
+        return struct.pack(">I", len(d)) + c + struct.pack(">I", zlib.crc32(c))
+
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    Path(path).write_bytes(data)
+
+
+class PngSink(FrameSink):
+    name = "png"
+
+    def __init__(self, path: str | Path, every: int = 0):
+        self.path = Path(path)
+        self.every = every  # 0: keep overwriting; N: numbered every N frames
+        self._n = 0
+
+    def submit(self, frame, time_s):
+        self._n += 1
+        if self.every:
+            if self._n % self.every:
+                return
+            target = self.path.with_name(f"{self.path.stem}_{self._n:06d}.png")
+        else:
+            target = self.path
+        write_png(target, frame)
+
+
+class CallbackSink(FrameSink):
+    name = "callback"
+
+    def __init__(self, fn: Callable[[np.ndarray, float], None]):
+        self.fn = fn
+
+    def submit(self, frame, time_s):
+        self.fn(frame, time_s)
+
+
+def make_sink(spec: str, fps: int = 60) -> FrameSink:
+    """Parse a sink spec: null | latest | raw[:path] | y4m[:path] | png:path."""
+    kind, _, arg = spec.partition(":")
+    if kind == "null":
+        return NullSink()
+    if kind == "latest":
+        return LatestFrameSink()
+    if kind == "raw":
+        import sys
+        fh = open(arg, "wb") if arg and arg != "-" else sys.stdout.buffer
+        return RawSink(fh)
+    if kind == "y4m":
+        import sys
+        fh = open(arg, "wb") if arg and arg != "-" else sys.stdout.buffer
+        return Y4MSink(fh, fps=fps)
+    if kind == "png":
+        return PngSink(arg or "frame.png")
+    raise ValueError(f"unknown sink '{spec}'")

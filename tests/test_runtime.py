@@ -1,0 +1,181 @@
+"""Runtime tests: engine loop, sinks, pipe protocol, batching, mesh."""
+
+import io
+
+import numpy as np
+import pytest
+import jax
+
+from glava_tpu.config import loader
+from glava_tpu.parallel.batch import BatchedRenderer, example_batch
+from glava_tpu.parallel.mesh import make_mesh
+from glava_tpu.runtime import sinks
+from glava_tpu.runtime.engine import Engine, EngineOptions
+from glava_tpu.runtime.stdin_pipe import PipeBind, PipeReader, parse_line, parse_value
+
+
+# ---------------------------------------------------------------------------
+# stdin pipe protocol (render.c:1861-2005 semantics)
+# ---------------------------------------------------------------------------
+
+def test_parse_values():
+    assert parse_value("bool", "true") == 1.0
+    assert parse_value("bool", "False") == 0.0
+    with pytest.raises(ValueError):
+        parse_value("bool", "yes")
+    assert parse_value("int", "42") == 42.0
+    assert parse_value("float", "1.5") == 1.5
+    assert parse_value("vec2", "1.0,2.0") == (1.0, 2.0)
+    assert parse_value("vec4", "1,2,3,4") == (1.0, 2.0, 3.0, 4.0)
+    c = parse_value("vec4", "#ff000080")
+    assert c[0] == 1.0 and abs(c[3] - 0x80 / 255) < 1e-9
+
+
+def test_parse_line_and_default_bind():
+    binds = {"fg": PipeBind("fg", "vec4"), "_": PipeBind("_", "float")}
+    assert parse_line("fg = #ff0000", binds) == ("fg", (1.0, 0.0, 0.0, 1.0))
+    assert parse_line("0.75", binds) == ("_", 0.75)  # bare value -> PIPE_DEFAULT
+    with pytest.raises(KeyError):
+        parse_line("nope = 1", binds)
+
+
+def test_pipe_reader_thread():
+    stream = io.StringIO("amp = 0.5\namp = 0.9\n")
+    r = PipeReader([PipeBind("amp", "float")], stream)
+    r.start()
+    import time
+
+    for _ in range(100):
+        if r.eof:
+            break
+        time.sleep(0.01)
+    assert r.snapshot()["amp"] == 0.9
+
+
+# ---------------------------------------------------------------------------
+# sinks
+# ---------------------------------------------------------------------------
+
+def test_y4m_sink():
+    buf = io.BytesIO()
+    s = sinks.Y4MSink(buf, fps=60)
+    frame = np.zeros((4, 6, 4), np.uint8)
+    frame[..., 0] = 255  # red
+    s.submit(frame, 0.0)
+    data = buf.getvalue()
+    assert data.startswith(b"YUV4MPEG2 W6 H4 F60:1")
+    assert b"FRAME\n" in data
+    assert len(data.split(b"FRAME\n", 1)[1]) == 3 * 4 * 6
+
+
+def test_png_sink(tmp_path):
+    p = tmp_path / "f.png"
+    s = sinks.PngSink(p)
+    s.submit(np.full((2, 2, 4), 128, np.uint8), 0.0)
+    assert p.read_bytes().startswith(b"\x89PNG")
+
+
+def test_make_sink_specs():
+    assert isinstance(sinks.make_sink("null"), sinks.NullSink)
+    assert isinstance(sinks.make_sink("latest"), sinks.LatestFrameSink)
+    with pytest.raises(ValueError):
+        sinks.make_sink("bogus")
+
+
+# ---------------------------------------------------------------------------
+# engine
+# ---------------------------------------------------------------------------
+
+def test_engine_golden_mode():
+    eng = Engine(EngineOptions(audio_backend="synth", test_mode=True,
+                               screen=(32, 32)))
+    assert eng.run_tests() is True
+
+
+def test_engine_renders_and_control_api():
+    frames = []
+    eng = Engine(
+        EngineOptions(audio_backend="synth", screen=(96, 64),
+                      requests=("setprintframes false",)),
+        sink=sinks.CallbackSink(lambda f, t: frames.append(f)),
+    )
+    eng.run(max_seconds=2.5)
+    assert len(frames) > 5
+    assert frames[-1].shape == (64, 96, 4)
+    assert (frames[-1][..., 3] > 0).any(), "no content rendered"
+
+
+def test_engine_pipe_uniform_changes_color():
+    """--pipe fg live-overrides the bars COLOR expression."""
+    stream = io.StringIO("fg = #00ff00\n")
+    frames = []
+    eng = Engine(
+        EngineOptions(
+            audio_backend="synth", screen=(96, 64),
+            requests=("setprintframes false",),
+            pipe_binds=(PipeBind("fg", "vec4"), PipeBind("bg", "vec4")),
+        ),
+        sink=sinks.CallbackSink(lambda f, t: frames.append(f)),
+        pipe_stream=stream,
+    )
+    eng.run(max_seconds=2.5)
+    last = frames[-1]
+    drawn = last[last[..., 3] > 0]
+    assert drawn.size > 0
+    # all drawn pixels pure green (both COLOR and BAR_OUTLINE derive from @fg/@bg)
+    assert drawn[:, 1].min() == 255
+    assert drawn[:, 0].max() == 0
+
+
+# ---------------------------------------------------------------------------
+# batched multi-stream + mesh
+# ---------------------------------------------------------------------------
+
+def _tiny_loaded():
+    return loader.load(
+        cli_requests=("setgeometry 0 0 48 32", "setbufsize 256",
+                      "setsamplesize 64", "setprintframes false"),
+        force_module="bars",
+    )
+
+
+def test_batched_renderer_shapes():
+    br = BatchedRenderer(_tiny_loaded(), n_streams=4)
+    ex = example_batch(br)
+    state = br.init_state()
+    step = jax.jit(br.step)
+    for _ in range(8):  # fill the averaging window
+        state, frames = step(
+            state, ex["audio"], ex["modified"], ex["time"], ex["interp_mod"],
+            ex["gravity_g"], {},
+        )
+    assert frames.shape == (4, 32, 48, 4)
+    f = np.asarray(frames)
+    assert np.isfinite(f).all()
+    assert (f[..., 3] > 0).any()
+    # streams see different tones -> different frames
+    assert not np.array_equal(f[0], f[1])
+
+
+def test_sharded_step_8_devices():
+    assert len(jax.devices()) >= 8, "conftest should provide 8 CPU devices"
+    mesh = make_mesh(jax.devices()[:8], rows=2)
+    br = BatchedRenderer(_tiny_loaded(), n_streams=8)
+    step = br.sharded_step(mesh)
+    state = br.shard_state(br.init_state(), mesh)
+    ex = example_batch(br)
+    state, frames = step(state, ex["audio"], ex["modified"], ex["time"],
+                         ex["interp_mod"], ex["gravity_g"], {})
+    assert frames.shape == (8, 32, 48, 4)
+    assert "streams" in str(frames.sharding.spec)
+
+
+def test_graft_entry_and_dryrun():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    state, frame = jax.jit(fn)(*args)
+    assert frame.shape == (256, 512, 4)
+    g.dryrun_multichip(8)

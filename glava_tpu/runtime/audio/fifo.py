@@ -32,6 +32,30 @@ class FifoBackend(AudioBackend):
             audio.source = DEFAULT_PATH
 
     def entry(self, audio: AudioData) -> None:
+        # Native path: the C++ capture thread does everything (no GIL
+        # on the capture side); this thread just supervises.
+        ring = getattr(audio, "ring", None)
+        if ring is not None:
+            from glava_tpu.native import NativeFifoReader
+
+            reader = NativeFifoReader(
+                ring, audio.source or DEFAULT_PATH, audio.hop,
+                mono=audio.channels == 1,
+            )
+            try:
+                while not audio.terminate:
+                    if reader.running() < 0:
+                        raise RuntimeError(
+                            f"could not open FIFO source '{audio.source}' "
+                            f"(errno {-reader.running()})"
+                        )
+                    time.sleep(0.05)
+            finally:
+                reader.stop()
+            return
+        self._python_entry(audio)
+
+    def _python_entry(self, audio: AudioData) -> None:
         path = audio.source or DEFAULT_PATH
         hop = audio.hop
         frame_bytes = hop * 2 * 2  # hop frames * 2ch * s16

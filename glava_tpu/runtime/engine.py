@@ -92,8 +92,8 @@ class Engine:
         self.state = self.renderer.init_state()
         self._step = self.renderer.jit_step()
 
-        self.audio = audio_mod.AudioData(
-            buffer=np.zeros((2, cfg.bufsize), np.float32),
+        self.audio = audio_mod.make_audio_data(
+            bufsize=cfg.bufsize,
             sample_sz=cfg.samplesize,
             rate=cfg.sample_rate,
             channels=1 if cfg.mirror_input else 2,

@@ -71,8 +71,12 @@ class ResampleOp(NamedTuple):
         """Apply to (..., sz) spectrum planes -> (..., P)."""
         if self.mode == "average":
             m = jnp.asarray(self.matrix)
+            # the log curve only ever samples the leading band of the
+            # spectrum (scale_audio(1) * sz texels); the matrix is
+            # stored column-cropped to that band
+            band = m.shape[1]
             return jnp.einsum(
-                "ps,...s->...p", m, tex,
+                "ps,...s->...p", m, tex[..., :band],
                 precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32,
             )
@@ -135,6 +139,11 @@ def build_resample(tex_sz: int, positions, params: SmoothParams) -> ResampleOp:
             if total <= 0:
                 continue
             np.add.at(mat[r], texel, (w / total).astype(np.float32))
+        # crop trailing all-zero columns (pad to the 128-lane grid)
+        nz = np.nonzero(mat.any(axis=0))[0]
+        band = int(nz[-1]) + 1 if nz.size else tex_sz
+        band = min(-(-band // 128) * 128, tex_sz)
+        mat = np.ascontiguousarray(mat[:, :band])
         return ResampleOp("average", mat, None, None, params.hybrid_weight)
 
     K = max((len(t) for t, _ in rows), default=1) or 1

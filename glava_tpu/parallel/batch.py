@@ -44,13 +44,61 @@ class BatchedRenderer:
         gravity_g: jax.Array,        # (S,)
         pipe: dict[str, jax.Array] | None = None,  # each (S, ...) leading
     ) -> tuple[RenderState, jax.Array]:
-        """One frame for every stream: (S, H, W, 4) output."""
+        """One frame for every stream: (S, H, W, 4) output.
 
-        def one(st, au, mo, ti, im, g, pi):
-            return self.renderer.step(st, au, mo, ti, im, g, pi)
+        The pipeline runs natively batched (one fused kernel call for
+        the whole fleet); per-stream update gating selects between
+        advanced and carried state. Only the rasterizer is vmapped.
+        Note: on the fused path the rolling-history slot counter is
+        shared across streams — exact only when streams update on a
+        common audio clock (the batched deployment mode).
+        """
+        rend = self.renderer
+        cfg = self.cfg
+        m3 = modified[:, None, None]
+        key_start = jnp.where(m3, state.key_end, state.key_start)
+        key_end = jnp.where(m3, audio, state.key_end)
 
-        return jax.vmap(one)(state, audio, modified, time, interp_mod,
-                             gravity_g, pipe if pipe else {})
+        if cfg.interpolate and not cfg.accel_fft:
+            im3 = jnp.minimum(interp_mod, 1.0)[:, None, None]
+            feed = key_start + (key_end - key_start) * im3
+        else:
+            feed = key_end
+
+        adv = rend.pipeline.advance(
+            state.chains, feed[:, 0, :], feed[:, 1, :], gravity_g=gravity_g
+        )
+
+        def select(new, old):
+            if new.ndim == 0:  # shared scalars (fused slot counter)
+                return new
+            mshape = (modified.shape[0],) + (1,) * (new.ndim - 1)
+            return jnp.where(modified.reshape(mshape), new, old)
+
+        chains = jax.tree.map(select, adv, state.chains)
+        textures = rend.pipeline.textures_from(
+            chains, feed[:, 0, :], feed[:, 1, :]
+        )
+
+        from glava_tpu.render.base import PassInputs
+
+        def raster(tex, ti, pi):
+            if pi:
+                vals = {}
+                for k, v in pi.items():
+                    arr = jnp.asarray(v)
+                    vals[k] = (
+                        tuple(arr[i] for i in range(arr.shape[0]))
+                        if arr.ndim else arr
+                    )
+                rend.module_env.pipe_values.clear()
+                rend.module_env.pipe_values.update(vals)
+            return rend.module.render(
+                PassInputs(prev=None, textures=tex, time=ti)
+            )
+
+        frames = jax.vmap(raster)(textures, time, pipe if pipe else {})
+        return RenderState(chains, key_start, key_end), frames
 
     # -- update-only fast path (spectrum textures, no raster) -------------
 

@@ -19,12 +19,27 @@ Chain semantics (render.c:849-856, 1256-1284, 2128-2160):
 After the chain, the default configuration applies the smooth *pass*
 (render.c:2276-2303): a log-frequency resample of the texture onto
 itself, baked here as a precomputed matrix operator.
+
+Two execution paths produce identical results (tests assert ~1e-5):
+
+* **unfused** (any backend): jnp ops, XLA-fused — the portable path.
+* **fused** (TPU, default chain): the Pallas kernel in
+  ops/pallas/fused.py keeps FFT + magnitude + gravity + rolling
+  average in VMEM with state aliased in place (~12x the unfused
+  update throughput on v5e). State layout differs (complex planes +
+  rolling slot), so each path has its own carry type.
+
+The API is split as ``advance`` (state transition) + ``textures_from``
+(state -> textures): batched engines gate per-stream updates by
+selecting between advanced and previous state before materializing
+textures, which is how the reference's "only transform on new audio"
+rule (render.c:2122) generalizes to a vector of streams.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -48,17 +63,54 @@ class UniformSpec:
     transforms: tuple[str, ...]    # declared chain, reference names
 
 
+class FusedChainState(NamedTuple):
+    """Carry for the Pallas fused path (complex-plane layout).
+
+    One stacked state for ALL fft uniforms, stored under the
+    ``_FUSED_KEY`` entry of the chain dict: axis layout
+    ``(*batch, U, ...)`` so per-stream update gating can select on the
+    leading axis without touching the uniform axis. ``avg`` caches the
+    kernel's averaged output — carried streams reuse it exactly like
+    the reference reuses the last average texture (render.c:2268-2272).
+    """
+
+    gravity: jax.Array   # (*batch, U, 2, m)
+    history: jax.Array   # (*batch, U, F, 2, m) rolling ring
+    avg: jax.Array       # (*batch, U, 2, m) last averaged spectrum
+    count: jax.Array     # () int32 update counter (ring slot = count % F)
+
+
+_FUSED_KEY = "__fused__"
+
+
 _KNOWN_TRANSFORMS = {"window", "fft", "wrange", "avg", "gravity", "smooth"}
+_STANDARD_CHAIN = ("window", "fft", "gravity", "avg")
 
 
 def _has_fft(chain: tuple[str, ...]) -> bool:
     return "fft" in chain
 
 
+def _fused_supported(cfg: RenderConfig, uniforms) -> bool:
+    sz = cfg.scaled_bufsize
+    m = sz // 2
+    if not (cfg.accel_fft and m % 128 == 0 and m >= 256):
+        return False
+    for u in uniforms:
+        if _has_fft(u.transforms) and tuple(u.transforms) != _STANDARD_CHAIN:
+            return False
+    return True
+
+
 class AudioPipeline:
     """Builds the jittable update step for a set of uniform chains."""
 
-    def __init__(self, cfg: RenderConfig, uniforms: list[UniformSpec]):
+    def __init__(
+        self,
+        cfg: RenderConfig,
+        uniforms: list[UniformSpec],
+        use_fused: bool | None = None,
+    ):
         for u in uniforms:
             unknown = set(u.transforms) - _KNOWN_TRANSFORMS
             if unknown:
@@ -77,19 +129,187 @@ class AudioPipeline:
             if cfg.smooth_pass
             else None
         )
+        if use_fused is None:
+            use_fused = (
+                jax.default_backend() == "tpu"
+                and _fused_supported(cfg, self.uniforms)
+            )
+        if use_fused and not _fused_supported(cfg, self.uniforms):
+            raise ValueError("fused path unsupported for this configuration")
+        self.use_fused = use_fused
+        self._fft_uniforms = [u for u in self.uniforms if _has_fft(u.transforms)]
+        if use_fused:
+            from glava_tpu.ops.pallas.fused import build_fused_update
+            from glava_tpu.ops.autotune import best_batch_tile
+
+            self._fused = build_fused_update(
+                self.sz,
+                cfg.avg_frames,
+                tuple(float(w) for w in np.asarray(self.avg_weights)),
+                batch_tile=best_batch_tile(self.sz, cfg.avg_frames),
+            )
+        else:
+            self._fused = None
 
     # -- state ----------------------------------------------------------
 
     def init_state(self, batch: tuple[int, ...] = ()) -> dict[str, Any]:
         state: dict[str, Any] = {}
-        for u in self.uniforms:
-            if _has_fft(u.transforms):
-                state[u.name] = transforms.chain_init(
-                    self.sz, self.cfg.avg_frames, batch
-                )
+        m = self.sz // 2
+        F = self.cfg.avg_frames
+        if self.use_fused:
+            U = len(self._fft_uniforms)
+            state[_FUSED_KEY] = FusedChainState(
+                gravity=jnp.zeros(batch + (U, 2, m), jnp.float32),
+                history=jnp.zeros(batch + (U, F, 2, m), jnp.float32),
+                avg=jnp.zeros(batch + (U, 2, m), jnp.float32),
+                count=jnp.zeros((), jnp.int32),
+            )
+            return state
+        for u in self._fft_uniforms:
+            state[u.name] = transforms.chain_init(self.sz, F, batch)
         return state
 
-    # -- one audio update -------------------------------------------------
+    # -- parameter defaults ------------------------------------------------
+
+    def _params(self, fft_scale, fft_cutoff, gravity_g):
+        cfg = self.cfg
+        return (
+            cfg.fft_scale if fft_scale is None else fft_scale,
+            cfg.fft_cutoff if fft_cutoff is None else fft_cutoff,
+            cfg.gravity_step / cfg.nominal_ups if gravity_g is None else gravity_g,
+        )
+
+    # -- state transition --------------------------------------------------
+
+    def advance(
+        self,
+        state: dict[str, Any],
+        audio_l: jax.Array,
+        audio_r: jax.Array,
+        *,
+        fft_scale=None,
+        fft_cutoff=None,
+        gravity_g=None,
+    ) -> dict[str, Any]:
+        """Apply one audio update to every stateful chain."""
+        cfg = self.cfg
+        fft_scale, fft_cutoff, gravity_g = self._params(
+            fft_scale, fft_cutoff, gravity_g
+        )
+        audio_l = transforms.decimate(audio_l, cfg.bufscale)
+        audio_r = transforms.decimate(audio_r, cfg.bufscale)
+        sources = {"audio_l": audio_l, "audio_r": audio_r}
+
+        if self.use_fused:
+            return self._advance_fused(
+                state, sources, fft_scale, fft_cutoff, gravity_g
+            )
+
+        new_state = dict(state)
+        for u in self._fft_uniforms:
+            st, _ = transforms.fft_update(
+                state[u.name],
+                sources[u.source],
+                fft_scale=fft_scale,
+                fft_cutoff=fft_cutoff,
+                gravity_g=gravity_g,
+                avg_weights=self.avg_weights,
+                texture_clamp=cfg.accel_fft,
+            )
+            new_state[u.name] = st
+        return new_state
+
+    def _advance_fused(self, state, sources, fft_scale, fft_cutoff, gravity_g):
+        us = self._fft_uniforms
+        m = self.sz // 2
+        frames = self.cfg.avg_frames
+        st: FusedChainState = state[_FUSED_KEY]
+        # Stack every fft uniform into the flat kernel batch, keeping
+        # any stream batch leading: (*batch, U, n) -> (prod*U, n).
+        pcm = jnp.stack([sources[u.source] for u in us], axis=-2)
+        lead = pcm.shape[:-1]          # (*batch, U)
+        B = int(np.prod(lead))
+        pcm = pcm.reshape(B, self.sz)
+        grav = st.gravity.reshape(B, 2, m)
+        hist = st.history.reshape(B, frames, 2, m)
+        slot = jnp.mod(st.count, frames)
+
+        def flat_param(p):
+            # scalar stays scalar; per-stream (batch...) params tile per
+            # uniform into the flat kernel batch
+            arr = jnp.asarray(p, jnp.float32)
+            if arr.ndim == 0:
+                return arr
+            return jnp.broadcast_to(
+                arr[..., None], arr.shape + (len(us),)
+            ).reshape(B)
+
+        avg, grav, hist = self._fused(
+            pcm, grav, hist, slot,
+            flat_param(fft_scale), flat_param(fft_cutoff), flat_param(gravity_g),
+        )
+        new_state = dict(state)
+        new_state[_FUSED_KEY] = FusedChainState(
+            gravity=grav.reshape(lead + (2, m)),
+            history=hist.reshape(lead + (frames, 2, m)),
+            avg=avg.reshape(lead + (2, m)),
+            count=st.count + 1,
+        )
+        return new_state
+
+    # -- textures ---------------------------------------------------------
+
+    def textures_from(
+        self,
+        state: dict[str, Any],
+        audio_l: jax.Array,
+        audio_r: jax.Array,
+    ) -> dict[str, jax.Array]:
+        """Materialize every uniform's texture from (possibly carried)
+        state plus the current ring for stateless chains.
+
+        Texture-upload semantics: all 1-D audio textures are GL_R16
+        unsigned normalized (render.c:512-523), so values clamp to
+        [0, 1] regardless of path.
+        """
+        cfg = self.cfg
+        audio_l = transforms.decimate(audio_l, cfg.bufscale)
+        audio_r = transforms.decimate(audio_r, cfg.bufscale)
+        sources = {"audio_l": audio_l, "audio_r": audio_r}
+        w = self.avg_weights
+        textures: dict[str, jax.Array] = {}
+        fused_idx = {u.name: i for i, u in enumerate(self._fft_uniforms)}
+        for u in self.uniforms:
+            if _has_fft(u.transforms):
+                if self.use_fused:
+                    st: FusedChainState = state[_FUSED_KEY]
+                    planes = st.avg[..., fused_idx[u.name], :, :]  # (..., 2, m)
+                    re, im = planes[..., 0, :], planes[..., 1, :]
+                    tex = jnp.stack([re, im], axis=-1).reshape(
+                        planes.shape[:-2] + (self.sz,)
+                    )
+                else:
+                    tex = jnp.sum(
+                        state[u.name].history * w.reshape((-1, 1)), axis=-2
+                    )
+                tex = jnp.clip(tex, 0.0, 1.0)
+                if self.presmooth is not None:
+                    tex = jnp.clip(self.presmooth(tex), 0.0, 1.0)
+                textures[u.name] = tex
+            else:
+                buf = sources[u.source]
+                for t in u.transforms:
+                    if t == "wrange":
+                        buf = transforms.wrange(buf)
+                    elif t == "smooth":
+                        buf = transforms.smooth_transform(
+                            buf, cfg.smooth_ratio, cfg.smooth_distance
+                        )
+                textures[u.name] = jnp.clip(buf, 0.0, 1.0)
+        return textures
+
+    # -- combined update (advance + textures) -------------------------------
 
     def update(
         self,
@@ -101,54 +321,11 @@ class AudioPipeline:
         fft_cutoff=None,
         gravity_g=None,
     ) -> tuple[dict[str, Any], dict[str, jax.Array]]:
-        """Apply every uniform's chain to the current ring snapshot.
-
-        ``audio_l``/``audio_r``: (..., bufsize) ring copies (newest
-        samples at the end, as maintained by the capture backends).
-        Returns new state and the texture dict keyed by uniform name.
-        """
-        cfg = self.cfg
-        fft_scale = cfg.fft_scale if fft_scale is None else fft_scale
-        fft_cutoff = cfg.fft_cutoff if fft_cutoff is None else fft_cutoff
-        if gravity_g is None:
-            gravity_g = cfg.gravity_step / cfg.nominal_ups
-
-        audio_l = transforms.decimate(audio_l, cfg.bufscale)
-        audio_r = transforms.decimate(audio_r, cfg.bufscale)
-        sources = {"audio_l": audio_l, "audio_r": audio_r}
-
-        new_state = dict(state)
-        textures: dict[str, jax.Array] = {}
-        for u in self.uniforms:
-            buf = sources[u.source]
-            for t in u.transforms:
-                if t == "fft":
-                    st = state[u.name]
-                    st, buf = transforms.fft_update(
-                        st,
-                        buf,
-                        fft_scale=fft_scale,
-                        fft_cutoff=fft_cutoff,
-                        gravity_g=gravity_g,
-                        avg_weights=self.avg_weights,
-                        texture_clamp=cfg.accel_fft,
-                    )
-                    new_state[u.name] = st
-                elif t == "wrange":
-                    buf = transforms.wrange(buf)
-                elif t == "smooth":
-                    buf = transforms.smooth_transform(
-                        buf, cfg.smooth_ratio, cfg.smooth_distance
-                    )
-                # window / gravity / avg: no-op names (see module docstring)
-            # Texture upload: all 1-D audio textures are GL_R16 unsigned
-            # normalized (render.c:512-523), so sampled values are
-            # clamped to [0, 1] regardless of path.
-            buf = jnp.clip(buf, 0.0, 1.0)
-            if self.presmooth is not None and _has_fft(u.transforms):
-                buf = jnp.clip(self.presmooth(buf), 0.0, 1.0)
-            textures[u.name] = buf
-        return new_state, textures
+        new_state = self.advance(
+            state, audio_l, audio_r,
+            fft_scale=fft_scale, fft_cutoff=fft_cutoff, gravity_g=gravity_g,
+        )
+        return new_state, self.textures_from(new_state, audio_l, audio_r)
 
     # -- convenience: jitted closure ---------------------------------------
 

@@ -97,68 +97,30 @@ class Renderer:
             # CPU-path interpolation (render.c:1792-1809). The accel
             # path force-disables it (render.c:2161-2173).
             feed = key_start + (key_end - key_start) * jnp.minimum(interp_mod, 1.0)
+            # interpolated feed changes every frame; transforms rerun
+            chains = self.pipeline.advance(
+                state.chains, feed[..., 0, :], feed[..., 1, :], gravity_g=gravity_g
+            )
         else:
             feed = key_end
-
-        def do_update(chains):
-            return self.pipeline.update(
-                chains, feed[..., 0, :], feed[..., 1, :], gravity_g=gravity_g
+            # Transforms run only when new audio arrived (render.c:2122);
+            # otherwise the carried state is reused (render.c:2268-2272).
+            chains = jax.lax.cond(
+                jnp.asarray(modified, jnp.bool_),
+                lambda c: self.pipeline.advance(
+                    c, feed[..., 0, :], feed[..., 1, :], gravity_g=gravity_g
+                ),
+                lambda c: c,
+                state.chains,
             )
 
-        def no_update(chains):
-            # No new audio: reuse the carried textures (the reference
-            # skips transforms and keeps the last average/smooth
-            # results, render.c:2122, 2268-2272).
-            return chains, self._carried_textures(chains, feed)
-
-        if cfg.interpolate and not cfg.accel_fft:
-            # interpolated feed changes every frame; transforms rerun
-            chains, textures = do_update(state.chains)
-        else:
-            chains, textures = jax.lax.cond(
-                jnp.asarray(modified, jnp.bool_), do_update, no_update, state.chains
-            )
-
+        textures = self.pipeline.textures_from(
+            chains, feed[..., 0, :], feed[..., 1, :]
+        )
         frame = self.module.render(
             PassInputs(prev=None, textures=textures, time=jnp.asarray(time))
         )
         return RenderState(chains, key_start, key_end), frame
-
-    def _carried_textures(self, chains, feed):
-        """This frame's textures without advancing the carry.
-
-        For fft uniforms the reference reuses the last average result
-        when no audio arrived (render.c:2268-2272) — reconstructed here
-        as the weighted mean of the existing history. Stateless chains
-        (e.g. wave's wrange) recompute from the unchanged ring.
-        """
-        from glava_tpu.ops import transforms as T
-
-        cfg = self.cfg
-        out = {}
-        sources = {
-            "audio_l": T.decimate(feed[..., 0, :], cfg.bufscale),
-            "audio_r": T.decimate(feed[..., 1, :], cfg.bufscale),
-        }
-        for u in self.uniforms:
-            if u.name in chains:
-                hist = chains[u.name].history
-                w = self.pipeline.avg_weights.reshape((-1, 1))
-                tex = jnp.clip(jnp.sum(hist * w, axis=-2), 0.0, 1.0)
-                if self.pipeline.presmooth is not None:
-                    tex = jnp.clip(self.pipeline.presmooth(tex), 0.0, 1.0)
-                out[u.name] = tex
-            else:
-                buf = sources[u.source]
-                for t in u.transforms:
-                    if t == "wrange":
-                        buf = T.wrange(buf)
-                    elif t == "smooth":
-                        buf = T.smooth_transform(
-                            buf, cfg.smooth_ratio, cfg.smooth_distance
-                        )
-                out[u.name] = jnp.clip(buf, 0.0, 1.0)
-        return out
 
     def jit_step(self):
         return jax.jit(self.step, donate_argnums=(0,))

@@ -1,0 +1,119 @@
+"""Fused Pallas kernel tests (interpret mode on CPU) vs the unfused path."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from glava_tpu.config import loader
+from glava_tpu.ops import transforms, windows
+from glava_tpu.ops.pallas import fused
+from glava_tpu.pipeline import AudioPipeline, UniformSpec
+
+
+def _weights(F):
+    return tuple(float(x) for x in windows.avg_weights(F, True, True))
+
+
+@pytest.mark.parametrize("n", [512, 1024, 4096])
+def test_fused_matches_unfused(n):
+    F, B = 5, 8
+    fn = fused.build_fused_update(n, F, _weights(F), batch_tile=4, interpret=True)
+    rng = np.random.default_rng(0)
+    pcm = jnp.asarray(rng.standard_normal((B, n)).astype(np.float32) * 0.3)
+    grav = jnp.zeros((B, 2, n // 2), jnp.float32)
+    hist = jnp.zeros((B, F, 2, n // 2), jnp.float32)
+    g = 0.05
+    state = transforms.chain_init(n, F, batch=(B,))
+    w = jnp.asarray(windows.avg_weights(F, True, True))
+    for it in range(7):
+        state, want = transforms.fft_update(
+            state, pcm, fft_scale=10.2, fft_cutoff=0.3, gravity_g=g,
+            avg_weights=w,
+        )
+        avg, grav, hist = fn(pcm, grav, hist, it % F, 10.2, 0.3, g)
+    got = np.asarray(fused.interleave_planes(avg))
+    np.testing.assert_allclose(got, np.asarray(want), atol=2e-5)
+
+
+def test_fused_per_row_params():
+    """Per-stream fft_scale/cutoff/gravity as (B,) vectors."""
+    n, F, B = 512, 3, 4
+    fn = fused.build_fused_update(n, F, _weights(F), batch_tile=4, interpret=True)
+    rng = np.random.default_rng(1)
+    pcm = jnp.asarray(rng.standard_normal((B, n)).astype(np.float32) * 0.3)
+    grav = jnp.zeros((B, 2, n // 2), jnp.float32)
+    hist = jnp.zeros((B, F, 2, n // 2), jnp.float32)
+    scales = jnp.asarray([5.0, 10.2, 20.0, 1.0])
+    cuts = jnp.asarray([0.1, 0.3, 0.5, 0.0])
+    gs = jnp.asarray([0.01, 0.05, 0.2, 0.5])
+    avg, grav, hist = fn(pcm, grav, hist, 0, scales, cuts, gs)
+    w = jnp.asarray(windows.avg_weights(F, True, True))
+    for b in range(B):
+        st = transforms.chain_init(n, F)
+        st, want = transforms.fft_update(
+            st, pcm[b], fft_scale=float(scales[b]), fft_cutoff=float(cuts[b]),
+            gravity_g=float(gs[b]), avg_weights=w,
+        )
+        got = np.asarray(fused.interleave_planes(avg))[b]
+        np.testing.assert_allclose(got, np.asarray(want), atol=2e-5)
+
+
+def test_pipeline_fused_vs_unfused_textures():
+    """Full pipeline (advance + textures) parity on the bars chain."""
+    lc = loader.load(
+        cli_requests=("setbufsize 1024", "setsamplesize 256",
+                      "setprintframes false"),
+        force_module="bars",
+    )
+    uniforms = [
+        UniformSpec("audio_l", "audio_l", ("window", "fft", "gravity", "avg")),
+        UniformSpec("audio_r", "audio_r", ("window", "fft", "gravity", "avg")),
+    ]
+    # force the fused path in interpret mode by patching the builder
+    pf = AudioPipeline(lc.cfg, uniforms, use_fused=True)
+    pf._fused = fused.build_fused_update(
+        pf.sz, lc.cfg.avg_frames,
+        tuple(float(x) for x in np.asarray(pf.avg_weights)),
+        batch_tile=2, interpret=True,
+    )
+    pu = AudioPipeline(lc.cfg, uniforms, use_fused=False)
+
+    rng = np.random.default_rng(2)
+    al = jnp.asarray(rng.standard_normal((1024,)).astype(np.float32) * 0.3)
+    ar = jnp.asarray(rng.standard_normal((1024,)).astype(np.float32) * 0.3)
+    sf, su = pf.init_state(), pu.init_state()
+    for _ in range(7):
+        sf, tf = pf.update(sf, al, ar)
+        su, tu = pu.update(su, al, ar)
+    for k in tf:
+        np.testing.assert_allclose(
+            np.asarray(tf[k]), np.asarray(tu[k]), atol=5e-5
+        )
+
+
+def test_fused_unsupported_configs_fall_back():
+    from glava_tpu.pipeline import _fused_supported
+    from glava_tpu.config.state import RenderConfig
+
+    us = [UniformSpec("audio_l", "audio_l", ("window", "fft", "gravity", "avg"))]
+    assert _fused_supported(RenderConfig(bufsize=4096), us)
+    assert not _fused_supported(RenderConfig(bufsize=4096, accel_fft=False), us)
+    assert not _fused_supported(RenderConfig(bufsize=384), us)
+    odd = [UniformSpec("audio_l", "audio_l", ("fft", "smooth"))]
+    assert not _fused_supported(RenderConfig(bufsize=4096), odd)
+
+
+def test_autotune_wisdom_roundtrip(tmp_path, monkeypatch):
+    from glava_tpu.ops import autotune
+
+    monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path))
+    autotune._cache = None
+    assert autotune.best_batch_tile(4096, 5) == autotune.DEFAULT_TILE
+    # seed a wisdom entry and check it is honored
+    key = autotune._key(4096, 5)
+    autotune._cache = {key: {"batch_tile": 4}}
+    autotune._save(autotune._cache)
+    autotune._cache = None
+    assert autotune.best_batch_tile(4096, 5) == 4
+    autotune._cache = None

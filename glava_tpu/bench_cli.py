@@ -1,0 +1,42 @@
+"""`glava-tpu-bench`: kernel microbenchmarks + wisdom autotuning.
+
+Plays the role of GLFFT's ``bench()``/wisdom harness
+(glfft/glfft.hpp:94-112, glfft_wisdom.hpp:91-146): measure the fused
+update at the configured sizes, optionally learn and persist the best
+batch tile.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="glava-tpu-bench")
+    p.add_argument("--bufsize", type=int, default=4096)
+    p.add_argument("--frames", type=int, default=5)
+    p.add_argument("--batch", type=int, default=128)
+    p.add_argument("--tune", action="store_true",
+                   help="learn + persist the best batch tile (wisdom)")
+    args = p.parse_args(argv)
+
+    from glava_tpu.ops import autotune
+
+    if args.tune:
+        result = autotune.learn_batch_tile(args.bufsize, args.frames,
+                                           batch=args.batch)
+        cache = autotune._load()
+        cache[autotune._key(args.bufsize, args.frames)] = result
+        autotune._save(cache)
+        print(json.dumps({"tuned": result,
+                          "wisdom": str(autotune.wisdom_path())}))
+    else:
+        result = autotune.learn_batch_tile(args.bufsize, args.frames,
+                                           batch=args.batch)
+        print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

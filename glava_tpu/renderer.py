@@ -122,8 +122,20 @@ class Renderer:
         )
         return RenderState(chains, key_start, key_end), frame
 
-    def jit_step(self):
-        return jax.jit(self.step, donate_argnums=(0,))
+    def jit_step(self, quantize: bool = False):
+        """Jitted step; with ``quantize`` the frame is converted to
+        uint8 on device (4x less device->host traffic per frame)."""
+        if not quantize:
+            return jax.jit(self.step, donate_argnums=(0,))
+
+        def step(state, audio, modified, time, interp_mod, gravity_g, pipe):
+            st, frame = self.step(
+                state, audio, modified, time, interp_mod, gravity_g, pipe
+            )
+            frame = jnp.clip(jnp.round(frame * 255.0), 0, 255).astype(jnp.uint8)
+            return st, frame
+
+        return jax.jit(step, donate_argnums=(0,))
 
     # -- golden-frame evaluation (render.c:2419-2453) -----------------------
 
@@ -132,7 +144,11 @@ class Renderer:
         expect = self.cfg.test_eval_color
         if expect is None:
             raise ValueError("no `settesteval` color configured")
-        got = np.asarray(frame, dtype=np.float64)
+        got = np.asarray(frame)
+        if got.dtype == np.uint8:
+            got = got.astype(np.float64) / 255.0
+        else:
+            got = got.astype(np.float64)
         want = np.asarray(expect, dtype=np.float64)
         return bool(np.all(np.abs(got - want) <= 0.5 / 255.0 + 1e-9))
 

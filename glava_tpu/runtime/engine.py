@@ -28,7 +28,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from glava_tpu.config import loader as config_loader
-from glava_tpu.renderer import Renderer, quantize_frame
+from glava_tpu.renderer import Renderer
 from glava_tpu.runtime import audio as audio_mod
 from glava_tpu.runtime.sinks import FrameSink, LatestFrameSink, NullSink
 from glava_tpu.runtime.stdin_pipe import PipeBind, PipeReader
@@ -90,7 +90,7 @@ class Engine:
             screen = self._sizereq
         self.renderer = Renderer(self.loaded, screen=screen)
         self.state = self.renderer.init_state()
-        self._step = self.renderer.jit_step()
+        self._step = self.renderer.jit_step(quantize=True)
 
         self.audio = audio_mod.make_audio_data(
             bufsize=cfg.bufsize,
@@ -196,7 +196,7 @@ class Engine:
                     # offscreen resize (render.c:1811-1815): rebuild the
                     # raster program for the new geometry
                     self.renderer = Renderer(self.loaded, screen=sr)
-                    self._step = self.renderer.jit_step()
+                    self._step = self.renderer.jit_step(quantize=True)
 
                 if not self.sink.should_render():
                     _time.sleep(0.05)  # obscured/fullscreen gating
@@ -222,8 +222,7 @@ class Engine:
                     np.float32(gravity_g),
                     pipe_arrs,
                 )
-                out = quantize_frame(frame)
-                self.sink.submit(out, tnow)
+                self.sink.submit(np.asarray(frame), tnow)
                 self.frames_rendered += 1
                 fcount += 1
                 ucount += 1 if modified else 0

@@ -81,6 +81,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help=f"audio backend ({', '.join(audio_mod.available())})")
     p.add_argument("-p", "--pipe", action="append", default=[],
                    metavar="BIND[:TYPE]", type=parse_pipe)
+    p.add_argument("-i", "--stdin", nargs="?", const="vec4", default=None,
+                   metavar="TYPE",
+                   help="legacy: read bare values from stdin into the "
+                        "STDIN uniform (default type vec4)")
     p.add_argument("-V", "--version", action="version",
                    version=f"glava-tpu {__version__}")
     p.add_argument("-T", "--run-tests", action="store_true",
@@ -116,6 +120,13 @@ def main(argv: list[str] | None = None) -> int:
         if args.verbose:
             print(f"Using audio backend: '{backend}'")
 
+    pipe_binds = list(args.pipe)
+    if args.stdin:
+        if args.stdin not in VALID_TYPES:
+            print(f"invalid --stdin type '{args.stdin}'", file=sys.stderr)
+            return 2
+        pipe_binds.append(PipeBind("STDIN", args.stdin))
+
     opts = EngineOptions(
         entry=args.entry,
         user_dir=args.config_dir or default_user_dir(),
@@ -125,13 +136,13 @@ def main(argv: list[str] | None = None) -> int:
         wm_name=os.environ.get("XDG_CURRENT_DESKTOP"),
         audio_backend=backend,
         screen=screen,
-        pipe_binds=tuple(args.pipe),
+        pipe_binds=tuple(pipe_binds),
         test_mode=args.run_tests,
         verbose=args.verbose,
     )
     sink = make_sink(args.sink)
     engine = Engine(opts, sink=sink,
-                    pipe_stream=sys.stdin if args.pipe else None)
+                    pipe_stream=sys.stdin if pipe_binds else None)
 
     # SIGTERM/SIGINT -> terminate; SIGUSR1 -> reload (glava-cli/cli.c:7-15)
     signal.signal(signal.SIGTERM, lambda *_: engine.terminate())

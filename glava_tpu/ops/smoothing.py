@@ -92,6 +92,36 @@ class ResampleOp(NamedTuple):
         hw = self.hybrid_weight
         return vmax * (1.0 - hw) + avg * hw
 
+    def apply_planes(self, re: jax.Array, im: jax.Array) -> jax.Array:
+        """Apply directly to (..., m) complex planes of the interleaved
+        spectrum (tex[2k] = re[k], tex[2k+1] = im[k]) — avoids
+        materializing the interleaved layout: the average matrix splits
+        by column parity into two plane matmuls."""
+        if self.mode == "average":
+            m = self.matrix
+            band = m.shape[1]
+            wre = jnp.asarray(np.ascontiguousarray(m[:, 0::2]))
+            wim = jnp.asarray(np.ascontiguousarray(m[:, 1::2]))
+            hi = jax.lax.Precision.HIGHEST
+            return (
+                jnp.einsum("ps,...s->...p", wre, re[..., : (band + 1) // 2],
+                           precision=hi, preferred_element_type=jnp.float32)
+                + jnp.einsum("ps,...s->...p", wim, im[..., : band // 2],
+                             precision=hi, preferred_element_type=jnp.float32)
+            )
+        idx = jnp.asarray(self.idx)
+        w = jnp.asarray(self.w)
+        half = idx // 2
+        vals = jnp.where(idx % 2 == 0, re[..., half], im[..., half]) * w
+        vmax = jnp.max(vals, axis=-1)
+        if self.mode == "maximum":
+            return vmax
+        avg = jnp.sum(vals, axis=-1) / jnp.maximum(
+            jnp.sum(w, axis=-1), jnp.finfo(jnp.float32).tiny
+        )
+        hw = self.hybrid_weight
+        return vmax * (1.0 - hw) + avg * hw
+
 
 def _span(tex_sz: int, idx: float, p: SmoothParams) -> tuple[float, float]:
     smin = scale_audio(min(max(idx - p.factor, 0.0), 1.0), p.sample_range, p.sample_scale) * tex_sz

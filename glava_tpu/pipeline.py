@@ -286,13 +286,24 @@ class AudioPipeline:
                     st: FusedChainState = state[_FUSED_KEY]
                     planes = st.avg[..., fused_idx[u.name], :, :]  # (..., 2, m)
                     re, im = planes[..., 0, :], planes[..., 1, :]
-                    tex = jnp.stack([re, im], axis=-1).reshape(
-                        planes.shape[:-2] + (self.sz,)
-                    )
-                else:
-                    tex = jnp.sum(
-                        state[u.name].history * w.reshape((-1, 1)), axis=-2
-                    )
+                    if self.presmooth is not None:
+                        # resample straight off the complex planes — no
+                        # interleave materialization on the hot path
+                        tex = jnp.clip(
+                            self.presmooth.apply_planes(re, im), 0.0, 1.0
+                        )
+                    else:
+                        tex = jnp.clip(
+                            jnp.stack([re, im], axis=-1).reshape(
+                                planes.shape[:-2] + (self.sz,)
+                            ),
+                            0.0, 1.0,
+                        )
+                    textures[u.name] = tex
+                    continue
+                tex = jnp.sum(
+                    state[u.name].history * w.reshape((-1, 1)), axis=-2
+                )
                 tex = jnp.clip(tex, 0.0, 1.0)
                 if self.presmooth is not None:
                     tex = jnp.clip(self.presmooth(tex), 0.0, 1.0)

@@ -120,6 +120,14 @@ class Renderer:
         frame = self.module.render(
             PassInputs(prev=None, textures=textures, time=jnp.asarray(time))
         )
+        if not cfg.premultiply_alpha:
+            # xroot/none opacity: the final draw blends src-alpha over
+            # the cleared background (render.c:1468-1469, 1700, 2028);
+            # the desktop pixmap of xroot mode has no TPU meaning, so
+            # both modes composite over `setbg`.
+            bg = jnp.asarray(cfg.clear_color, jnp.float32)
+            a = frame[..., 3:4]
+            frame = frame * a + bg * (1.0 - a)
         return RenderState(chains, key_start, key_end), frame
 
     def jit_step(self, quantize: bool = False):

@@ -50,6 +50,31 @@ class EngineOptions:
     verbose: bool = False
 
 
+_cache_enabled = False
+
+
+def _enable_compile_cache() -> None:
+    """Persist XLA compilations across runs (the reference persists
+    nothing but its GLFFT wisdom; TPU compiles are seconds, so reload
+    and restart latency benefit hugely)."""
+    global _cache_enabled
+    if _cache_enabled:
+        return
+    import os
+
+    import jax
+
+    try:
+        base = os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache"))
+        path = os.path.join(base, "glava_tpu", "jit")
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+    _cache_enabled = True
+
+
 class Engine:
     def __init__(self, opts: EngineOptions, sink: FrameSink | None = None,
                  pipe_stream=None):
@@ -68,6 +93,7 @@ class Engine:
     # -- construction (rd_new equivalent) ---------------------------------
 
     def _build(self) -> None:
+        _enable_compile_cache()
         o = self.opts
         pipe_defaults = {b.name: b.default_value() for b in o.pipe_binds}
         kwargs = {}
@@ -184,6 +210,7 @@ class Engine:
         t0 = _time.monotonic()
         frame_period = 1.0 / cfg.framerate if cfg.framerate > 0 else 0.0
         next_frame = _time.monotonic()
+        pending = None  # one in-flight frame (device array, timestamp)
 
         try:
             while self.alive:
@@ -222,7 +249,11 @@ class Engine:
                     np.float32(gravity_g),
                     pipe_arrs,
                 )
-                self.sink.submit(np.asarray(frame), tnow)
+                # One frame stays in flight: the previous frame's D2H
+                # transfer overlaps this frame's device compute.
+                if pending is not None:
+                    self.sink.submit(np.asarray(pending[0]), pending[1])
+                pending = (frame, tnow)
                 self.frames_rendered += 1
                 fcount += 1
                 ucount += 1 if modified else 0
@@ -258,6 +289,8 @@ class Engine:
                     fcount = ucount = 0
                     sec_mark = now2
         finally:
+            if pending is not None:
+                self.sink.submit(np.asarray(pending[0]), pending[1])
             self.audio.terminate = True
             audio_thread.join(timeout=2.0)
             self.audio.terminate = False

@@ -168,6 +168,87 @@ class PngSink(FrameSink):
         write_png(target, frame)
 
 
+class ShmSink(FrameSink):
+    """Shared-memory frame stream for external consumers.
+
+    The cross-process analogue of the reference's GLX share-list
+    texture steal (glava-obs/entry.c:156-168): a memory-mapped file
+    with a small seqlock header + the newest frame; a consumer in any
+    language maps it and reads torn-free frames.
+
+    Layout (little-endian u32): magic 'GTFS', width, height, seq,
+    frame_count, then H*W*4 bytes RGBA (bottom-up). seq is odd while a
+    write is in progress.
+    """
+
+    name = "shm"
+    MAGIC = 0x47544653
+
+    def __init__(self, path: str):
+        import mmap
+
+        self.path = path
+        self._mmap_mod = mmap
+        self._map = None
+        self._fh = None
+        self._shape = None
+        self._seq = 0
+        self._count = 0
+
+    def _ensure(self, h: int, w: int) -> None:
+        if self._shape == (h, w):
+            return
+        if self._map is not None:
+            self._map.close()
+            self._fh.close()
+        size = 20 + h * w * 4
+        self._fh = open(self.path, "w+b")
+        self._fh.truncate(size)
+        self._map = self._mmap_mod.mmap(self._fh.fileno(), size)
+        self._shape = (h, w)
+        self._map[0:16] = struct.pack("<IIII", self.MAGIC, w, h, 0)
+
+    def submit(self, frame, time_s):
+        h, w = frame.shape[:2]
+        self._ensure(h, w)
+        self._seq += 1  # odd: write in progress
+        self._map[12:16] = struct.pack("<I", self._seq)
+        self._map[20:] = frame.tobytes()
+        self._count += 1
+        self._seq += 1  # even: published
+        self._map[12:20] = struct.pack("<II", self._seq, self._count)
+
+    def close(self):
+        if self._map is not None:
+            self._map.flush()
+            self._map.close()
+            self._fh.close()
+            self._map = None
+
+
+def read_shm_frame(path: str) -> np.ndarray | None:
+    """Consumer helper: torn-free read of the newest ShmSink frame."""
+    import mmap
+
+    with open(path, "rb") as fh:
+        m = mmap.mmap(fh.fileno(), 0, access=mmap.ACCESS_READ)
+        try:
+            magic, w, h = struct.unpack("<III", m[0:12])
+            if magic != ShmSink.MAGIC:
+                return None
+            for _ in range(1000):
+                (s0,) = struct.unpack("<I", m[12:16])
+                if s0 & 1:
+                    continue
+                buf = np.frombuffer(m[20 : 20 + h * w * 4], dtype=np.uint8)
+                (s1,) = struct.unpack("<I", m[12:16])
+                if s0 == s1:
+                    return buf.reshape(h, w, 4).copy()
+            return None
+        finally:
+            m.close()
+
+
 class CallbackSink(FrameSink):
     name = "callback"
 
@@ -195,4 +276,6 @@ def make_sink(spec: str, fps: int = 60) -> FrameSink:
         return Y4MSink(fh, fps=fps)
     if kind == "png":
         return PngSink(arg or "frame.png")
+    if kind == "shm":
+        return ShmSink(arg or "/dev/shm/glava_tpu_frame")
     raise ValueError(f"unknown sink '{spec}'")

@@ -95,6 +95,10 @@ def parse_line(line: str, binds: dict[str, PipeBind]) -> tuple[str, Any] | None:
     else:
         name, raw = PIPE_DEFAULT, line
     bind = binds.get(name)
+    if bind is None and name == PIPE_DEFAULT and "STDIN" in binds:
+        # legacy --stdin mode: bare values feed the STDIN uniform
+        # (render.c:1884, USE_STDIN header render.c:320-326)
+        name, bind = "STDIN", binds["STDIN"]
     if bind is None:
         raise KeyError(f'Variable name not bound: "{name}"')
     return name, parse_value(bind.stype, raw)

@@ -75,6 +75,27 @@ def test_png_sink(tmp_path):
     assert p.read_bytes().startswith(b"\x89PNG")
 
 
+def test_shm_sink_roundtrip(tmp_path):
+    path = str(tmp_path / "frames.shm")
+    s = sinks.ShmSink(path)
+    frame = np.arange(4 * 6 * 4, dtype=np.uint8).reshape(4, 6, 4)
+    s.submit(frame, 0.0)
+    out = sinks.read_shm_frame(path)
+    np.testing.assert_array_equal(out, frame)
+    frame2 = frame[::-1].copy()
+    s.submit(frame2, 0.1)
+    np.testing.assert_array_equal(sinks.read_shm_frame(path), frame2)
+    s.close()
+
+
+def test_stdin_legacy_mode():
+    from glava_tpu.runtime.stdin_pipe import PipeBind, parse_line
+
+    binds = {"STDIN": PipeBind("STDIN", "vec4")}
+    name, val = parse_line("#ff0000", binds)
+    assert name == "STDIN" and val[0] == 1.0
+
+
 def test_make_sink_specs():
     assert isinstance(sinks.make_sink("null"), sinks.NullSink)
     assert isinstance(sinks.make_sink("latest"), sinks.LatestFrameSink)

@@ -1,0 +1,172 @@
+"""FleetEngine: serve many visualizer streams from one device program.
+
+The deployment mode the reference cannot express (one process = one
+window): N independent audio sources batch onto a single chip — one
+fused kernel call and one raster program per frame for the whole fleet
+— and each stream's frames flow to its own sink. Per-stream parameters
+(colors via pipe values, gravity/fft knobs) ride (S,)-leading arrays.
+
+Streams sharing a FleetEngine share a module + static knob set (one
+compiled program); heterogeneous fleets run one FleetEngine per module
+group (see parallel/batch.py notes on the shared update clock).
+"""
+
+from __future__ import annotations
+
+import time as _time
+from dataclasses import dataclass, field
+from typing import Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from glava_tpu.config.loader import LoadedConfig
+from glava_tpu.parallel.batch import BatchedRenderer
+from glava_tpu.runtime import audio as audio_mod
+from glava_tpu.runtime.engine import _enable_compile_cache
+from glava_tpu.runtime.sinks import FrameSink, LatestFrameSink, make_sink
+
+
+@dataclass
+class StreamSpec:
+    """One fleet member: an audio source and a frame destination."""
+
+    name: str
+    audio_backend: str = "synth"
+    source: str | None = None
+    sink: FrameSink | str = "latest"
+    pipe: dict[str, Any] = field(default_factory=dict)  # per-stream uniforms
+
+
+class FleetEngine:
+    def __init__(self, loaded: LoadedConfig, streams: list[StreamSpec],
+                 screen: tuple[int, int] | None = None):
+        _enable_compile_cache()
+        if not streams:
+            raise ValueError("fleet needs at least one stream")
+        self.loaded = loaded
+        self.streams = streams
+        self.br = BatchedRenderer(loaded, n_streams=len(streams), screen=screen)
+        cfg = loaded.cfg
+        self.sinks: list[FrameSink] = [
+            s.sink if isinstance(s.sink, FrameSink) else make_sink(s.sink)
+            for s in streams
+        ]
+        self.audio: list[audio_mod.AudioData] = []
+        self.backends = []
+        for s in streams:
+            ad = audio_mod.make_audio_data(
+                bufsize=cfg.bufsize, sample_sz=cfg.samplesize,
+                rate=cfg.sample_rate,
+                channels=1 if cfg.mirror_input else 2,
+                source=s.source if s.source is not None else cfg.audio_source,
+            )
+            backend = audio_mod.lookup(s.audio_backend)
+            backend.init(ad)
+            self.audio.append(ad)
+            self.backends.append(backend)
+        # stacked per-stream pipe values (static structure, live-updatable)
+        names = sorted({k for s in streams for k in s.pipe})
+        self._pipe_names = names
+        self._pipe_host = {
+            n: np.stack([
+                np.asarray(s.pipe.get(n, self._default_pipe(n)), np.float32)
+                for s in streams
+            ])
+            for n in names
+        }
+        self.state = self.br.init_state()
+        self._step = self._make_step()
+        self.alive = False
+        self.frames_rendered = 0
+        self.fps = 0.0
+
+    def _default_pipe(self, name):
+        for s in self.streams:
+            if name in s.pipe:
+                v = np.asarray(s.pipe[name], np.float32)
+                return np.zeros_like(v)
+        return 0.0
+
+    def _make_step(self):
+        br = self.br
+
+        def step(state, audio, modified, t, interp, g, pipe):
+            st, frames = br.step(state, audio, modified, t, interp, g, pipe)
+            frames = jnp.clip(jnp.round(frames * 255.0), 0, 255).astype(jnp.uint8)
+            return st, frames
+
+        return jax.jit(step, donate_argnums=(0,))
+
+    def set_pipe(self, stream: int, name: str, value) -> None:
+        """Live per-stream uniform update (no recompilation)."""
+        self._pipe_host[name][stream] = np.asarray(value, np.float32)
+
+    def run(self, max_frames: int | None = None,
+            max_seconds: float | None = None) -> None:
+        cfg = self.loaded.cfg
+        S = len(self.streams)
+        threads = [b.spawn(a) for b, a in zip(self.backends, self.audio)]
+        self.alive = True
+        g0 = cfg.gravity_step / cfg.nominal_ups
+        t0 = _time.monotonic()
+        fcount, mark = 0, t0
+        pending = None
+        # warmup
+        zeros = jnp.zeros((S, 2, cfg.bufsize), jnp.float32)
+        pipe = {k: jnp.asarray(v) for k, v in self._pipe_host.items()}
+        self.state, _ = self._step(
+            self.state, zeros, jnp.zeros((S,), bool),
+            jnp.zeros((S,), jnp.float32), jnp.ones((S,), jnp.float32),
+            jnp.full((S,), g0, jnp.float32), pipe,
+        )
+        try:
+            while self.alive:
+                now = _time.monotonic()
+                if max_seconds is not None and now - t0 >= max_seconds:
+                    break
+                snaps = np.empty((S, 2, cfg.bufsize), np.float32)
+                mods = np.empty((S,), bool)
+                for i, ad in enumerate(self.audio):
+                    snaps[i], mods[i] = ad.snapshot()
+                tnow = (now - t0) % cfg.timecycle
+                pipe = {k: jnp.asarray(v) for k, v in self._pipe_host.items()}
+                self.state, frames = self._step(
+                    self.state, jnp.asarray(snaps), jnp.asarray(mods),
+                    jnp.full((S,), np.float32(tnow)),
+                    jnp.ones((S,), jnp.float32),
+                    jnp.full((S,), np.float32(g0)),
+                    pipe,
+                )
+                if pending is not None:
+                    self._distribute(pending[0], pending[1])
+                pending = (frames, tnow)
+                self.frames_rendered += 1
+                fcount += 1
+                if now - mark >= 1.0:
+                    self.fps = fcount / (now - mark)
+                    fcount, mark = 0, now
+                if max_frames is not None and self.frames_rendered >= max_frames:
+                    break
+        finally:
+            if pending is not None:
+                self._distribute(pending[0], pending[1])
+            for ad in self.audio:
+                ad.terminate = True
+            for t in threads:
+                t.join(timeout=2.0)
+            for s in self.sinks:
+                s.close()
+
+    def _distribute(self, frames, tnow: float) -> None:
+        host = np.asarray(frames)  # (S, H, W, 4) uint8, one transfer
+        for i, sink in enumerate(self.sinks):
+            sink.submit(host[i], tnow)
+
+    def tex(self, stream: int) -> np.ndarray | None:
+        s = self.sinks[stream]
+        return s.latest() if isinstance(s, LatestFrameSink) else None
+
+    def terminate(self) -> None:
+        self.alive = False

@@ -1,0 +1,44 @@
+"""FleetEngine tests: multi-stream serving with per-stream everything."""
+
+import numpy as np
+
+from glava_tpu.config import loader
+from glava_tpu.runtime.fleet import FleetEngine, StreamSpec
+
+
+def _loaded():
+    return loader.load(
+        cli_requests=("setgeometry 0 0 96 64", "setprintframes false",
+                      "setbufsize 1024", "setsamplesize 256"),
+    )
+
+
+def test_fleet_per_stream_sources_and_colors():
+    streams = [
+        StreamSpec("a", source="synth:300,900",
+                   pipe={"fg": (1, 0, 0, 1), "bg": (0, 0, 0, 0)}),
+        StreamSpec("b", source="synth:noise",
+                   pipe={"fg": (0, 0, 1, 1), "bg": (0, 0, 0, 0)}),
+    ]
+    f = FleetEngine(_loaded(), streams)
+    f.run(max_seconds=2.5)
+    fa, fb = f.tex(0), f.tex(1)
+    assert fa is not None and fb is not None
+    da = fa[fa[..., 3] > 0]
+    db = fb[fb[..., 3] > 0]
+    assert da.size and db.size
+    assert da[:, :3].mean(axis=0).argmax() == 0  # red stream
+    assert db[:, :3].mean(axis=0).argmax() == 2  # blue stream
+    assert not np.array_equal(fa, fb)
+
+
+def test_fleet_live_pipe_update():
+    streams = [StreamSpec("a", source="synth:500,1500",
+                          pipe={"fg": (1, 0, 0, 1), "bg": (0, 0, 0, 0)})]
+    f = FleetEngine(_loaded(), streams)
+    f.set_pipe(0, "fg", (0, 1, 0, 1))
+    f.run(max_seconds=2.0)
+    fr = f.tex(0)
+    drawn = fr[fr[..., 3] > 0]
+    assert drawn.size
+    assert drawn[:, 1].min() == 255  # updated to green before run

@@ -110,7 +110,12 @@ def load(
         if args:
             on_request(args[0], args[1:], "<request>", 0)
 
-    # 4. module knobs + smoothing parameters
+    # 4. user Python modules (the reference scans config-root module
+    # dirs, render.c:1488-1597), then module knobs + smoothing params
+    if user_dir is not None:
+        from glava_tpu.render.modules import load_user_modules
+
+        load_user_modules(user_dir)
     if force_module:
         cfg.module = force_module
     module = cfg.module

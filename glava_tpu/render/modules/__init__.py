@@ -42,6 +42,35 @@ def module_uniforms(name: str) -> tuple:
         raise KeyError(f"module '{name}' does not exist") from None
 
 
+def load_user_modules(user_dir) -> list[str]:
+    """Discover user Python modules: ``<user_dir>/modules/<name>.py``.
+
+    The extensibility story of the reference's module system (users
+    drop shader directories into their config root,
+    render.c:1488-1597) — here a user module is a Python file calling
+    :func:`register`, with knobs still coming from an optional
+    ``<name>.glsl`` next to it. Returns the names loaded.
+    """
+    import importlib.util
+    from pathlib import Path
+
+    if user_dir is None:
+        return []
+    mdir = Path(user_dir) / "modules"
+    if not mdir.is_dir():
+        return []
+    loaded = []
+    for py in sorted(mdir.glob("*.py")):
+        before = set(_REGISTRY)
+        spec = importlib.util.spec_from_file_location(
+            f"glava_tpu_user_module_{py.stem}", py
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        loaded.extend(sorted(set(_REGISTRY) - before))
+    return loaded
+
+
 def available() -> list[str]:
     return sorted(_REGISTRY)
 

@@ -206,3 +206,37 @@ def test_loader_test_entry():
     assert lc.cfg.test_eval_color is not None
     r, g, b, a = lc.cfg.test_eval_color
     assert r == pytest.approx(0x55 / 255) and a == pytest.approx(0x55 / 255)
+
+
+def test_user_python_module(tmp_path):
+    """User modules: <config>/modules/<name>.py self-register and load
+    with their knob files (render.c:1488-1597 extensibility analogue)."""
+    import shutil
+
+    (tmp_path / "modules").mkdir()
+    shutil.copy("docs/examples/vu_meter.py", tmp_path / "modules" / "vu_meter.py")
+    (tmp_path / "rc.glsl").write_text(
+        "#request mod vu_meter\n#request setgeometry 0 0 64 48\n"
+    )
+    (tmp_path / "vu_meter.glsl").write_text("#define METER_COLOR #ff00ff\n")
+    lc = loader.load(user_dir=tmp_path)
+    assert lc.module == "vu_meter"
+    assert lc.defines["METER_COLOR"] == "#ff00ff"
+
+    import numpy as np
+    import jax.numpy as jnp
+    from glava_tpu.renderer import Renderer
+
+    r = Renderer(lc)
+    state = r.init_state()
+    step = r.jit_step(quantize=True)
+    snap = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, lc.cfg.bufsize))
+        .astype(np.float32) * 0.3
+    )
+    for _ in range(6):
+        state, frame = step(state, snap, True, np.float32(0.0),
+                            np.float32(1.0), np.float32(0.05), {})
+    f = np.asarray(frame)
+    drawn = f[f[..., 3] > 0]
+    assert drawn.size

@@ -11,8 +11,6 @@ mesh axis, frame rows optionally ride 'rows' (see parallel/mesh.py).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

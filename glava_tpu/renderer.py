@@ -19,7 +19,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from glava_tpu.config.loader import LoadedConfig, builtin_variables
-from glava_tpu.config.state import RenderConfig
 from glava_tpu.pipeline import AudioPipeline, UniformSpec
 from glava_tpu.render.base import ModuleContext, PassInputs
 from glava_tpu.render.modules import build_module, module_uniforms

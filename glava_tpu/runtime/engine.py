@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from glava_tpu.config import loader as config_loader
 from glava_tpu.renderer import Renderer
 from glava_tpu.runtime import audio as audio_mod
-from glava_tpu.runtime.sinks import FrameSink, LatestFrameSink, NullSink
+from glava_tpu.runtime.sinks import FrameSink, LatestFrameSink
 from glava_tpu.runtime.stdin_pipe import PipeBind, PipeReader
 
 

@@ -17,7 +17,7 @@ Values land in a shared dict consumed by the render loop each frame
 from __future__ import annotations
 
 import threading
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import IO, Any
 
 from glava_tpu.config.colors import parse_color

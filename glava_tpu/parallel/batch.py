@@ -66,14 +66,7 @@ class BatchedRenderer:
         adv = rend.pipeline.advance(
             state.chains, feed[:, 0, :], feed[:, 1, :], gravity_g=gravity_g
         )
-
-        def select(new, old):
-            if new.ndim == 0:  # shared scalars (fused slot counter)
-                return new
-            mshape = (modified.shape[0],) + (1,) * (new.ndim - 1)
-            return jnp.where(modified.reshape(mshape), new, old)
-
-        chains = jax.tree.map(select, adv, state.chains)
+        chains = rend.pipeline.select_updated(adv, state.chains, modified)
         textures = rend.pipeline.textures_from(
             chains, feed[:, 0, :], feed[:, 1, :]
         )

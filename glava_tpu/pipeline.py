@@ -67,16 +67,18 @@ class FusedChainState(NamedTuple):
     """Carry for the Pallas fused path (complex-plane layout).
 
     One stacked state for ALL fft uniforms, stored under the
-    ``_FUSED_KEY`` entry of the chain dict: axis layout
-    ``(*batch, U, ...)`` so per-stream update gating can select on the
-    leading axis without touching the uniform axis. ``avg`` caches the
-    kernel's averaged output — carried streams reuse it exactly like
-    the reference reuses the last average texture (render.c:2268-2272).
+    ``_FUSED_KEY`` entry of the chain dict in the kernel's own flat
+    layout ``(B, ...) = (prod(batch) * U, ...)`` with row order
+    ``s * U + u`` — the kernel consumes/aliases these buffers without
+    any reshape, which keeps scan/donation aliasing intact. ``avg``
+    caches the kernel's averaged output — carried streams reuse it
+    exactly like the reference reuses the last average texture
+    (render.c:2268-2272).
     """
 
-    gravity: jax.Array   # (*batch, U, 2, m)
-    history: jax.Array   # (*batch, U, F, 2, m) rolling ring
-    avg: jax.Array       # (*batch, U, 2, m) last averaged spectrum
+    gravity: jax.Array   # (B, 2, m)
+    history: jax.Array   # (B, F, 2, m) rolling ring
+    avg: jax.Array       # (B, 2, m) last averaged spectrum
     count: jax.Array     # () int32 update counter (ring slot = count % F)
 
 
@@ -159,10 +161,13 @@ class AudioPipeline:
         F = self.cfg.avg_frames
         if self.use_fused:
             U = len(self._fft_uniforms)
+            B = U
+            for d in batch:
+                B *= d
             state[_FUSED_KEY] = FusedChainState(
-                gravity=jnp.zeros(batch + (U, 2, m), jnp.float32),
-                history=jnp.zeros(batch + (U, F, 2, m), jnp.float32),
-                avg=jnp.zeros(batch + (U, 2, m), jnp.float32),
+                gravity=jnp.zeros((B, 2, m), jnp.float32),
+                history=jnp.zeros((B, F, 2, m), jnp.float32),
+                avg=jnp.zeros((B, 2, m), jnp.float32),
                 count=jnp.zeros((), jnp.int32),
             )
             return state
@@ -222,7 +227,6 @@ class AudioPipeline:
 
     def _advance_fused(self, state, sources, fft_scale, fft_cutoff, gravity_g):
         us = self._fft_uniforms
-        m = self.sz // 2
         frames = self.cfg.avg_frames
         st: FusedChainState = state[_FUSED_KEY]
         # Stack every fft uniform into the flat kernel batch, keeping
@@ -231,8 +235,6 @@ class AudioPipeline:
         lead = pcm.shape[:-1]          # (*batch, U)
         B = int(np.prod(lead))
         pcm = pcm.reshape(B, self.sz)
-        grav = st.gravity.reshape(B, 2, m)
-        hist = st.history.reshape(B, frames, 2, m)
         slot = jnp.mod(st.count, frames)
 
         def flat_param(p):
@@ -246,15 +248,12 @@ class AudioPipeline:
             ).reshape(B)
 
         avg, grav, hist = self._fused(
-            pcm, grav, hist, slot,
+            pcm, st.gravity, st.history, slot,
             flat_param(fft_scale), flat_param(fft_cutoff), flat_param(gravity_g),
         )
         new_state = dict(state)
         new_state[_FUSED_KEY] = FusedChainState(
-            gravity=grav.reshape(lead + (2, m)),
-            history=hist.reshape(lead + (frames, 2, m)),
-            avg=avg.reshape(lead + (2, m)),
-            count=st.count + 1,
+            gravity=grav, history=hist, avg=avg, count=st.count + 1,
         )
         return new_state
 
@@ -280,11 +279,16 @@ class AudioPipeline:
         w = self.avg_weights
         textures: dict[str, jax.Array] = {}
         fused_idx = {u.name: i for i, u in enumerate(self._fft_uniforms)}
+        if self.use_fused:
+            # flat (B, 2, m) -> (*batch, U, 2, m) read-only view
+            batch = audio_l.shape[:-1]
+            U = len(self._fft_uniforms)
+            m = self.sz // 2
+            avg_view = state[_FUSED_KEY].avg.reshape(batch + (U, 2, m))
         for u in self.uniforms:
             if _has_fft(u.transforms):
                 if self.use_fused:
-                    st: FusedChainState = state[_FUSED_KEY]
-                    planes = st.avg[..., fused_idx[u.name], :, :]  # (..., 2, m)
+                    planes = avg_view[..., fused_idx[u.name], :, :]  # (..., 2, m)
                     re, im = planes[..., 0, :], planes[..., 1, :]
                     if self.presmooth is not None:
                         # resample straight off the complex planes — no
@@ -319,6 +323,35 @@ class AudioPipeline:
                         )
                 textures[u.name] = jnp.clip(buf, 0.0, 1.0)
         return textures
+
+    # -- per-stream update gating --------------------------------------------
+
+    def select_updated(self, new_state, old_state, modified: jax.Array):
+        """Keep advanced state where ``modified`` (S,) is true, carried
+        state elsewhere — the vectorized form of the reference's
+        only-transform-on-new-audio rule (render.c:2122)."""
+        U = len(self._fft_uniforms)
+
+        def sel_mask(mask, n, o):
+            if n.ndim == 0:
+                return n  # shared scalars (fused slot counter)
+            mshape = (n.shape[0],) + (1,) * (n.ndim - 1)
+            return jnp.where(mask.reshape(mshape), n, o)
+
+        out = dict(new_state)
+        for key in new_state:
+            if key == _FUSED_KEY:
+                maskB = jnp.repeat(modified, U)  # flat rows are s*U + u
+                out[key] = jax.tree.map(
+                    lambda n, o: sel_mask(maskB, n, o),
+                    new_state[key], old_state[key],
+                )
+            else:
+                out[key] = jax.tree.map(
+                    lambda n, o: sel_mask(modified, n, o),
+                    new_state[key], old_state[key],
+                )
+        return out
 
     # -- combined update (advance + textures) -------------------------------
 

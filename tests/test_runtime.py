@@ -200,3 +200,27 @@ def test_graft_entry_and_dryrun():
     state, frame = jax.jit(fn)(*args)
     assert frame.shape == (256, 512, 4)
     g.dryrun_multichip(8)
+
+
+def test_engine_reload_rebuilds():
+    """SIGUSR1 semantics: teardown + re-instantiate (glava.c:575-576)."""
+    frames = []
+    eng = Engine(
+        EngineOptions(audio_backend="synth", screen=(48, 32),
+                      requests=("setprintframes false", "setbufsize 1024",
+                                "setsamplesize 256")),
+        sink=sinks.CallbackSink(lambda f, t: frames.append(f)),
+    )
+    first_loaded = eng.loaded
+
+    def trigger(f, t):
+        frames.append(f)
+        if len(frames) == 5:
+            eng.reload()
+        if len(frames) >= 12:
+            eng.terminate()
+
+    eng.sink = sinks.CallbackSink(trigger)
+    eng.run(max_seconds=20.0)
+    assert len(frames) >= 12
+    assert eng.loaded is not first_loaded  # rebuilt after reload

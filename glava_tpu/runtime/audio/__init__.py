@@ -106,8 +106,19 @@ class AudioBackend:
         raise NotImplementedError
 
     def spawn(self, audio: AudioData) -> threading.Thread:
-        t = threading.Thread(target=self.entry, args=(audio,), daemon=True,
-                             name=f"audio-{self.name}")
+        """Run the capture loop on a thread; failures are recorded on
+        the thread object (`.error`) so the consumer can fail fast like
+        the reference's exit-on-source-error (fifo.c:45-48,
+        pulse_input.c:128-135)."""
+
+        def run():
+            try:
+                self.entry(audio)
+            except BaseException as e:  # noqa: BLE001 — surfaced to engine
+                t.error = e
+
+        t = threading.Thread(target=run, daemon=True, name=f"audio-{self.name}")
+        t.error = None  # type: ignore[attr-defined]
         t.start()
         return t
 

@@ -229,6 +229,12 @@ class Engine:
                     _time.sleep(0.05)  # obscured/fullscreen gating
                     continue
 
+                # fail fast on capture errors, like the reference's
+                # exit-on-source-error (fifo.c:45-48)
+                err = getattr(audio_thread, "error", None)
+                if err is not None:
+                    raise RuntimeError(f"audio backend failed: {err}") from err
+
                 snap, modified = self.audio.snapshot()
                 kcounter = 0 if modified else kcounter + 1
                 uratio = min(ur / max(self.fps or fr, 1.0), 1.0)

@@ -1,0 +1,91 @@
+"""Module knob-variant coverage: every documented knob combination
+renders a valid frame (the reference compiles these as shader variants;
+here they are distinct traced programs)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from glava_tpu.config import loader
+from glava_tpu.renderer import Renderer
+
+VARIANTS = [
+    # (module, screen, user knob file content)
+    ("bars", (128, 96), "#define FLIP 1\n"),
+    ("bars", (128, 96), "#define MIRROR_YX 1\n"),
+    ("bars", (96, 128), "#define MIRROR_YX 1\n#define FLIP 1\n"),
+    ("bars", (128, 96), "#define DIRECTION 1\n"),
+    ("bars", (128, 96), "#define INVERT 1\n"),
+    ("bars", (128, 96), "#define BAR_OUTLINE_WIDTH 0\n"),
+    ("bars", (128, 96), "#define USE_ALPHA 1\n"),
+    ("graph", (128, 96), "#define DRAW_OUTLINE 1\n#define DRAW_HIGHLIGHT 0\n"),
+    ("graph", (128, 96), "#define ANTI_ALIAS 1\n"),
+    ("graph", (128, 96), "#define JOIN_CHANNELS 1\n"),
+    ("graph", (128, 96), "#define INVERT 1\n"),
+    ("graph", (128, 96), "#define DIRECTION -1\n"),
+    ("radial", (300, 300), "#define BAR_OUTLINE_WIDTH 2\n"),
+    ("radial", (300, 300), "#define INVERT 1\n#define ROTATE 0\n"),
+    ("circle", (300, 300), "#define C_FILL 1\n"),
+    ("circle", (300, 300), "#define C_SMOOTH 0\n"),
+    ("wave", (128, 96), "#define MIN_THICKNESS 2\n#define MAX_THICKNESS 10\n"),
+]
+
+
+@pytest.mark.parametrize("module,screen,knobs", VARIANTS,
+                         ids=[f"{m}-{i}" for i, (m, _, __) in enumerate(VARIANTS)])
+def test_variant_renders(tmp_path, module, screen, knobs):
+    (tmp_path / "rc.glsl").write_text(
+        f"#request mod {module}\n"
+        f"#request setgeometry 0 0 {screen[0]} {screen[1]}\n"
+        "#request setbufsize 1024\n#request setsamplesize 256\n"
+        "#request setprintframes false\n"
+    )
+    (tmp_path / f"{module}.glsl").write_text(knobs)
+    lc = loader.load(user_dir=tmp_path)
+    r = Renderer(lc)
+    state = r.init_state()
+    step = r.jit_step()
+    rng = np.random.default_rng(3)
+    snap = jnp.asarray(
+        rng.standard_normal((2, lc.cfg.bufsize)).astype(np.float32) * 0.3
+    )
+    for _ in range(6):
+        state, frame = step(state, snap, True, np.float32(0.1),
+                            np.float32(1.0), np.float32(0.05), {})
+    f = np.asarray(frame)
+    assert f.shape == (screen[1], screen[0], 4)
+    assert np.isfinite(f).all()
+    assert f.min() >= 0.0 and f.max() <= 1.0
+    assert (f[..., 3] > 0).any(), "variant drew nothing"
+
+
+def test_graph_antialias_feathers_edges(tmp_path):
+    """ANTI_ALIAS adds partial-alpha pixels along the graph border."""
+
+    def render(aa):
+        (tmp_path / "rc.glsl").write_text(
+            "#request mod graph\n#request setgeometry 0 0 128 96\n"
+            "#request setbufsize 1024\n#request setsamplesize 256\n"
+            "#request setprintframes false\n"
+        )
+        (tmp_path / "graph.glsl").write_text(
+            f"#define ANTI_ALIAS {aa}\n#define DRAW_HIGHLIGHT 0\n"
+        )
+        lc = loader.load(user_dir=tmp_path)
+        r = Renderer(lc)
+        state = r.init_state()
+        step = r.jit_step()
+        rng = np.random.default_rng(3)
+        snap = jnp.asarray(
+            rng.standard_normal((2, lc.cfg.bufsize)).astype(np.float32) * 0.3
+        )
+        for _ in range(6):
+            state, frame = step(state, snap, True, np.float32(0.1),
+                                np.float32(1.0), np.float32(0.05), {})
+        return np.asarray(frame)
+
+    plain = render(0)
+    aa = render(1)
+    partial_plain = ((plain[..., 3] > 0) & (plain[..., 3] < 1)).sum()
+    partial_aa = ((aa[..., 3] > 0) & (aa[..., 3] < 1)).sum()
+    assert partial_aa > partial_plain

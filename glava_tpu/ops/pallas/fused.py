@@ -76,6 +76,7 @@ def build_fused_update(
     batch_tile: int = 16,
     texture_clamp: bool = True,
     interpret: bool = False,
+    fast_math: bool = False,
 ):
     """Compile the fused update for ``n``-float buffers.
 
@@ -95,6 +96,11 @@ def build_fused_update(
     wts = tuple(float(w) for w in avg_weights)
     assert len(wts) == F
     window = win.pcm_window(n)
+    # fast_math trades exact f32 FFT matmuls for single-pass bf16 MXU
+    # (visually indistinguishable spectra; opt-in via
+    # GLAVA_TPU_FAST_MATH=1 — see docs/ARCHITECTURE.md)
+    _prec = (jax.lax.Precision.DEFAULT if fast_math
+             else jax.lax.Precision.HIGHEST)
 
     def kernel(slot_ref, scale_ref, cutoff_ref, g_ref,
                ar_ref, ai_ref, grav_ref, hist_ref,
@@ -111,20 +117,20 @@ def build_fused_update(
             rr = jax.lax.dot_general(
                 xr, w1r_ref[:], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=_prec,
             ) - jax.lax.dot_general(
                 xi, w1i_ref[:], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=_prec,
             )
             ri = jax.lax.dot_general(
                 xi, w1r_ref[:], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=_prec,
             ) + jax.lax.dot_general(
                 xr, w1i_ref[:], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=_prec,
             )
             return rr, ri  # (B, m2, m1) == (B, n2, k1)
 
@@ -138,20 +144,20 @@ def build_fused_update(
             rr = jax.lax.dot_general(
                 xr, w2r_ref[:], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=_prec,
             ) - jax.lax.dot_general(
                 xi, w2i_ref[:], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=_prec,
             )
             ri = jax.lax.dot_general(
                 xi, w2r_ref[:], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=_prec,
             ) + jax.lax.dot_general(
                 xr, w2i_ref[:], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=_prec,
             )
             return rr, ri  # (B, k1, k2)
 

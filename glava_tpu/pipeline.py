@@ -141,6 +141,8 @@ class AudioPipeline:
         self.use_fused = use_fused
         self._fft_uniforms = [u for u in self.uniforms if _has_fft(u.transforms)]
         if use_fused:
+            import os
+
             from glava_tpu.ops.pallas.fused import build_fused_update
             from glava_tpu.ops.autotune import best_batch_tile
 
@@ -149,6 +151,7 @@ class AudioPipeline:
                 cfg.avg_frames,
                 tuple(float(w) for w in np.asarray(self.avg_weights)),
                 batch_tile=best_batch_tile(self.sz, cfg.avg_frames),
+                fast_math=os.environ.get("GLAVA_TPU_FAST_MATH", "") == "1",
             )
         else:
             self._fused = None

@@ -20,8 +20,8 @@ import os
 import time
 from pathlib import Path
 
-DEFAULT_TILE = 8
-_CANDIDATES = (4, 8, 16)
+DEFAULT_TILE = 16  # measured best for the incremental kernel on v5e
+_CANDIDATES = (8, 16, 32)
 
 _cache: dict | None = None
 
@@ -54,7 +54,7 @@ def _key(n: int, frames: int) -> str:
     import jax
 
     dev = jax.devices()[0]
-    return f"{dev.device_kind}/fused_update/n{n}/f{frames}"
+    return f"{dev.device_kind}/fused_update_inc/n{n}/f{frames}"
 
 
 def best_batch_tile(n: int, frames: int, learn: bool = False) -> int:
@@ -79,7 +79,7 @@ def learn_batch_tile(n: int, frames: int, batch: int = 128,
     import numpy as np
 
     from glava_tpu.ops import windows
-    from glava_tpu.ops.pallas.fused import build_fused_update
+    from glava_tpu.ops.pallas.fused import build_fused_update_inc
 
     wts = tuple(float(x) for x in windows.avg_weights(frames, True, True))
     rng = np.random.default_rng(0)
@@ -89,17 +89,19 @@ def learn_batch_tile(n: int, frames: int, batch: int = 128,
     for bt in _CANDIDATES:
         try:
             fn = jax.jit(
-                build_fused_update(n, frames, wts, batch_tile=bt),
-                donate_argnums=(1, 2),
+                build_fused_update_inc(n, frames, wts, batch_tile=bt),
+                donate_argnums=(1, 2, 3),
             )
             grav = jnp.zeros((batch, 2, m), jnp.float32)
             hist = jnp.zeros((batch, frames, 2, m), jnp.float32)
-            avg, grav, hist = fn(pcm, grav, hist, 0, 10.2, 0.3, 0.05)
-            jax.block_until_ready(avg)
+            ssum = jnp.zeros((batch, 2, m), jnp.float32)
+            grav, hist, ssum = fn(pcm, grav, hist, ssum, 0, 10.2, 0.3, 0.05)
+            jax.block_until_ready(ssum)
             t0 = time.perf_counter()
             for it in range(iters):
-                avg, grav, hist = fn(pcm, grav, hist, it % frames, 10.2, 0.3, 0.05)
-            jax.block_until_ready(avg)
+                grav, hist, ssum = fn(pcm, grav, hist, ssum, it % frames,
+                                      10.2, 0.3, 0.05)
+            jax.block_until_ready(ssum)
             results[bt] = (time.perf_counter() - t0) / iters
         except Exception:
             continue

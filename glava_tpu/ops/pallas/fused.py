@@ -298,3 +298,218 @@ def split_planes(inter: jax.Array) -> jax.Array:
     """(B, 2m) interleaved -> (B, 2, m) planes."""
     B, n = inter.shape
     return jnp.stack([inter[:, 0::2], inter[:, 1::2]], axis=1)
+
+
+@lru_cache(maxsize=None)
+def build_fused_update_inc(
+    n: int,
+    frames: int,
+    avg_weights: tuple[float, ...],
+    batch_tile: int = 8,
+    texture_clamp: bool = True,
+    fast_math: bool = False,
+    interpret: bool = False,
+):
+    """Incremental-average variant of the fused update.
+
+    The v1 kernel streams the whole (B, F, 2, m) history through VMEM
+    every update (~2F planes of HBM traffic) even though only one slot
+    changes. Here the history stays HBM-resident (memory_space=ANY) and
+    the kernel maintains the weighted running sum incrementally:
+
+        sum' = sum + w[slot] * (new - hist[slot])
+        hist[slot] = new        (one-slot DMA write)
+
+    with a full recomputation every ring wrap (slot == 0) to cancel
+    floating-point drift — so results are *exactly* the weighted sum at
+    least once per F updates and within ~F ulps otherwise. Because the
+    averaging windows are positive with sum(w) <= 1 and history values
+    are texture-clamped to [0, 1], the running sum IS the clamped
+    average (no extra clip state needed).
+
+    HBM traffic per update drops from ~(4F + 8) planes to ~12 + 2F/F
+    planes (~2.3x for F=5). Interface:
+    ``fn(pcm, grav, hist, sum, slot, fft_scale, fft_cutoff, g) ->
+    (grav', hist', sum')`` — the carried sum IS the averaged texture.
+    """
+    (m, m1, m2, w1r, w1i, w2r, w2i, tr, ti, boost_re, boost_im) = _constants(n)
+    F = frames
+    wts = tuple(float(w) for w in avg_weights)
+    assert len(wts) == F
+    window = win.pcm_window(n)
+    _prec = (jax.lax.Precision.DEFAULT if fast_math
+             else jax.lax.Precision.HIGHEST)
+
+    def kernel(slot_ref, scale_ref, cutoff_ref, g_ref,
+               ar_ref, ai_ref, grav_ref, hist_ref, sum_ref,
+               w1r_ref, w1i_ref, w2r_ref, w2i_ref, tr_ref, ti_ref,
+               bre_ref, bim_ref,
+               grav_out, hist_out, sum_out,
+               old_scr, full_scr, dma_sem):
+        B = ar_ref.shape[0]
+
+        def dg(a, b):
+            return jax.lax.dot_general(
+                a, b, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=_prec,
+            )
+
+        # ---- FFT + magnitude (as v1) ---------------------------------
+        ar, ai = ar_ref[:], ai_ref[:]
+        br = dg(ar, w1r_ref[:]) - dg(ai, w1i_ref[:])
+        bi = dg(ai, w1r_ref[:]) + dg(ar, w1i_ref[:])
+        cr = br * tr_ref[:] - bi * ti_ref[:]
+        ci = br * ti_ref[:] + bi * tr_ref[:]
+        dr = dg(cr, w2r_ref[:]) - dg(ci, w2i_ref[:])
+        di = dg(ci, w2r_ref[:]) + dg(cr, w2i_ref[:])
+        xr = dr.swapaxes(1, 2).reshape(B, m)
+        xi = di.swapaxes(1, 2).reshape(B, m)
+        fs2 = scale_ref[:][:, 0]
+        fc2 = cutoff_ref[:][:, 0]
+        mr = jnp.log(jnp.abs(xr) + 1.0) / 3.0
+        mi = jnp.log(jnp.abs(xi) + 1.0) / 3.0
+        mr = mr * jnp.maximum(bre_ref[:] * fs2 + (1.0 - fc2), 1.0)
+        mi = mi * jnp.maximum(bim_ref[:] * fs2 + (1.0 - fc2), 1.0)
+        spec = jnp.stack([mr, mi], axis=1)
+        if texture_clamp:
+            spec = jnp.clip(spec, 0.0, 1.0)
+
+        # ---- gravity ---------------------------------------------------
+        grav = jnp.maximum(grav_ref[:], spec) - g_ref[:]
+        if texture_clamp:
+            grav = jnp.clip(grav, 0.0, 1.0)
+        grav_out[:] = grav
+
+        slot = slot_ref[0]
+        i = pl.program_id(0)
+        bt = B
+
+        # read the slot being replaced (HBM -> VMEM)
+        rd = pltpu.make_async_copy(
+            hist_ref.at[pl.ds(i * bt, bt), pl.ds(slot, 1)],
+            old_scr, dma_sem.at[0],
+        )
+        rd.start()
+        rd.wait()
+
+        # slot-indexed weight via scalar select (dynamic gather of a
+        # constant vector is not Mosaic-friendly)
+        w_slot = jnp.float32(0.0)
+        for f in range(F):
+            w_slot = jnp.where(slot == f, jnp.float32(wts[f]), w_slot)
+
+        new_sum = sum_ref[:] + w_slot * (grav - old_scr[:, 0])
+
+        # write the new slot frame back (VMEM -> HBM)
+        old_scr[:, 0] = grav
+        wr = pltpu.make_async_copy(
+            old_scr, hist_out.at[pl.ds(i * bt, bt), pl.ds(slot, 1)],
+            dma_sem.at[1],
+        )
+        wr.start()
+        wr.wait()
+
+        # drift cancellation: full recompute when the ring wraps
+        @pl.when(slot == F - 1)
+        def _():
+            rdf = pltpu.make_async_copy(
+                hist_out.at[pl.ds(i * bt, bt)], full_scr, dma_sem.at[2]
+            )
+            rdf.start()
+            rdf.wait()
+            acc = jnp.zeros((bt, 2, m), jnp.float32)
+            for f in range(F):
+                acc = acc + wts[f] * full_scr[:, f]
+            sum_out[:] = acc
+
+        @pl.when(slot != F - 1)
+        def _():
+            sum_out[:] = new_sum
+
+    def fn(pcm, grav, hist, ssum, slot, fft_scale, fft_cutoff, g):
+        Btot = pcm.shape[0]
+        bt = min(batch_tile, Btot)
+        while Btot % bt:
+            bt //= 2
+        x = pcm * jnp.asarray(window)
+        ar = x[..., 0::2].reshape(Btot, m1, m2)
+        ai = x[..., 1::2].reshape(Btot, m1, m2)
+        grid = (Btot // bt,)
+        vm = pltpu.VMEM
+        bspec = lambda blk, imap: pl.BlockSpec(blk, imap, memory_space=vm)
+        const = lambda shp: pl.BlockSpec(
+            shp, lambda i, *_: (0,) * len(shp), memory_space=vm
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                bspec((bt, 1, 1), lambda i, *_: (i, 0, 0)),
+                bspec((bt, 1, 1), lambda i, *_: (i, 0, 0)),
+                bspec((bt, 1, 1), lambda i, *_: (i, 0, 0)),
+                bspec((bt, m1, m2), lambda i, *_: (i, 0, 0)),
+                bspec((bt, m1, m2), lambda i, *_: (i, 0, 0)),
+                bspec((bt, 2, m), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec(memory_space=pltpu.ANY),   # hist stays in HBM
+                bspec((bt, 2, m), lambda i, *_: (i, 0, 0)),
+                const((m1, m1)),
+                const((m1, m1)),
+                const((m2, m2)),
+                const((m2, m2)),
+                const((m2, m1)),
+                const((m2, m1)),
+                const((m,)),
+                const((m,)),
+            ],
+            out_specs=[
+                bspec((bt, 2, m), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec(memory_space=pltpu.ANY),   # hist out (aliased)
+                bspec((bt, 2, m), lambda i, *_: (i, 0, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((bt, 1, 2, m), jnp.float32),
+                pltpu.VMEM((bt, F, 2, m), jnp.float32),
+                pltpu.SemaphoreType.DMA((3,)),
+            ],
+        )
+
+        def reordered(slot_ref, scale_ref, cutoff_ref, g_ref,
+                      ar_ref, ai_ref, grav_ref, hist_ref, sum_ref,
+                      w1r_ref, w1i_ref, w2r_ref, w2i_ref, tr_ref, ti_ref,
+                      bre_ref, bim_ref,
+                      grav_out, hist_out, sum_out,
+                      old_scr, full_scr, dma_sem):
+            kernel(slot_ref, scale_ref, cutoff_ref, g_ref,
+                   ar_ref, ai_ref, grav_ref, hist_ref, sum_ref,
+                   w1r_ref, w1i_ref, w2r_ref, w2i_ref, tr_ref, ti_ref,
+                   bre_ref, bim_ref,
+                   grav_out, hist_out, sum_out,
+                   old_scr, full_scr, dma_sem)
+
+        grav2, hist2, sum2 = pl.pallas_call(
+            reordered,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((Btot, 2, m), jnp.float32),
+                jax.ShapeDtypeStruct((Btot, F, 2, m), jnp.float32),
+                jax.ShapeDtypeStruct((Btot, 2, m), jnp.float32),
+            ],
+            input_output_aliases={6: 0, 7: 1, 8: 2},
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            cost_estimate=pl.CostEstimate(
+                flops=Btot * (8 * m * (m1 + m2)),
+                bytes_accessed=4 * Btot * (n + 10 * m),
+                transcendentals=Btot * n,
+            ),
+            interpret=interpret,
+        )(
+            jnp.asarray([slot], jnp.int32),
+            _rowvec(fft_scale, Btot),
+            _rowvec(fft_cutoff, Btot),
+            _rowvec(g, Btot),
+            ar, ai, grav, hist, ssum,
+            w1r, w1i, w2r, w2i, tr, ti, boost_re, boost_im,
+        )
+        return grav2, hist2, sum2
+
+    return fn

@@ -143,10 +143,10 @@ class AudioPipeline:
         if use_fused:
             import os
 
-            from glava_tpu.ops.pallas.fused import build_fused_update
+            from glava_tpu.ops.pallas.fused import build_fused_update_inc
             from glava_tpu.ops.autotune import best_batch_tile
 
-            self._fused = build_fused_update(
+            self._fused = build_fused_update_inc(
                 self.sz,
                 cfg.avg_frames,
                 tuple(float(w) for w in np.asarray(self.avg_weights)),
@@ -250,13 +250,13 @@ class AudioPipeline:
                 arr[..., None], arr.shape + (len(us),)
             ).reshape(B)
 
-        avg, grav, hist = self._fused(
-            pcm, st.gravity, st.history, slot,
+        grav, hist, ssum = self._fused(
+            pcm, st.gravity, st.history, st.avg, slot,
             flat_param(fft_scale), flat_param(fft_cutoff), flat_param(gravity_g),
         )
         new_state = dict(state)
         new_state[_FUSED_KEY] = FusedChainState(
-            gravity=grav, history=hist, avg=avg, count=st.count + 1,
+            gravity=grav, history=hist, avg=ssum, count=st.count + 1,
         )
         return new_state
 

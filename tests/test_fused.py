@@ -72,7 +72,7 @@ def test_pipeline_fused_vs_unfused_textures():
     ]
     # force the fused path in interpret mode by patching the builder
     pf = AudioPipeline(lc.cfg, uniforms, use_fused=True)
-    pf._fused = fused.build_fused_update(
+    pf._fused = fused.build_fused_update_inc(
         pf.sz, lc.cfg.avg_frames,
         tuple(float(x) for x in np.asarray(pf.avg_weights)),
         batch_tile=2, interpret=True,

@@ -97,12 +97,15 @@ def learn_batch_tile(n: int, frames: int, batch: int = 128,
             ssum = jnp.zeros((batch, 2, m), jnp.float32)
             grav, hist, ssum = fn(pcm, grav, hist, ssum, 0, 10.2, 0.3, 0.05)
             jax.block_until_ready(ssum)
-            t0 = time.perf_counter()
-            for it in range(iters):
-                grav, hist, ssum = fn(pcm, grav, hist, ssum, it % frames,
-                                      10.2, 0.3, 0.05)
-            jax.block_until_ready(ssum)
-            results[bt] = (time.perf_counter() - t0) / iters
+            best = float("inf")
+            for _ in range(3):  # best-of-3: remote dispatch jitter
+                t0 = time.perf_counter()
+                for it in range(iters):
+                    grav, hist, ssum = fn(pcm, grav, hist, ssum,
+                                          it % frames, 10.2, 0.3, 0.05)
+                jax.block_until_ready(ssum)
+                best = min(best, (time.perf_counter() - t0) / iters)
+            results[bt] = best
         except Exception:
             continue
     if not results:

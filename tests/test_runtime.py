@@ -224,3 +224,33 @@ def test_engine_reload_rebuilds():
     eng.run(max_seconds=20.0)
     assert len(frames) >= 12
     assert eng.loaded is not first_loaded  # rebuilt after reload
+
+
+def test_engine_fifo_missing_path_fails_fast(tmp_path):
+    """Capture errors surface instead of silent stale rendering
+    (reference exits on source errors, fifo.c:45-48)."""
+    eng = Engine(EngineOptions(
+        audio_backend="fifo", screen=(32, 32),
+        requests=("setprintframes false", "setbufsize 1024",
+                  "setsamplesize 256",
+                  f'setsource "{tmp_path}/does_not_exist"'),
+    ))
+    with pytest.raises(RuntimeError, match="audio backend failed|FIFO"):
+        eng.run(max_seconds=5.0)
+
+
+def test_profiling_utils(tmp_path):
+    from glava_tpu.utils import profiling
+
+    with profiling.trace(str(tmp_path / "trace")):
+        import jax.numpy as jnp
+
+        _ = (jnp.ones(8) * 2).block_until_ready()
+    assert any((tmp_path / "trace").rglob("*")), "no trace files written"
+
+    rc = profiling.RateCounter(window=0.0)
+    assert rc.tick() is True and rc.rate > 0
+    lt = profiling.LatencyTracker(capacity=4)
+    for v in (5, 1, 3, 2, 4):
+        lt.record(v)
+    assert lt.percentile(50) in (2, 3)

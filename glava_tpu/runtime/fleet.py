@@ -40,13 +40,19 @@ class StreamSpec:
 
 
 class FleetEngine:
+    """Multi-stream serving engine; pass ``mesh`` (jax.sharding.Mesh
+    with 'streams'/'rows' axes, see parallel/mesh.py) to shard the
+    fleet across chips — streams ride data parallelism, frame rows ride
+    spatial parallelism, XLA inserts the ICI collectives."""
+
     def __init__(self, loaded: LoadedConfig, streams: list[StreamSpec],
-                 screen: tuple[int, int] | None = None):
+                 screen: tuple[int, int] | None = None, mesh=None):
         _enable_compile_cache()
         if not streams:
             raise ValueError("fleet needs at least one stream")
         self.loaded = loaded
         self.streams = streams
+        self.mesh = mesh
         self.br = BatchedRenderer(loaded, n_streams=len(streams), screen=screen)
         cfg = loaded.cfg
         self.sinks: list[FrameSink] = [
@@ -94,9 +100,27 @@ class FleetEngine:
 
         def step(state, audio, modified, t, interp, g, pipe):
             st, frames = br.step(state, audio, modified, t, interp, g, pipe)
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                frames = jax.lax.with_sharding_constraint(
+                    frames, NamedSharding(self.mesh, P("streams", "rows"))
+                )
             frames = jnp.clip(jnp.round(frames * 255.0), 0, 255).astype(jnp.uint8)
             return st, frames
 
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            s = NamedSharding(self.mesh, P("streams"))
+            r = NamedSharding(self.mesh, P())
+            self.state = self.br.shard_state(self.state, self.mesh)
+            return jax.jit(
+                step,
+                in_shardings=(s, s, s, s, s, s, r),
+                out_shardings=(s, NamedSharding(self.mesh, P("streams", "rows"))),
+                donate_argnums=(0,),
+            )
         return jax.jit(step, donate_argnums=(0,))
 
     def set_pipe(self, stream: int, name: str, value) -> None:

@@ -42,3 +42,22 @@ def test_fleet_live_pipe_update():
     drawn = fr[fr[..., 3] > 0]
     assert drawn.size
     assert drawn[:, 1].min() == 255  # updated to green before run
+
+
+def test_fleet_on_device_mesh():
+    """Sharded fleet: streams over the mesh data axis, rows spatial."""
+    import jax
+
+    from glava_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(jax.devices()[:8], rows=2)
+    streams = [
+        StreamSpec(f"s{i}", source=f"synth:{300 + 200 * i},900",
+                   pipe={"fg": (1, 0, 0, 1), "bg": (0, 0, 0, 0)})
+        for i in range(8)
+    ]
+    f = FleetEngine(_loaded(), streams, mesh=mesh)
+    f.run(max_seconds=2.5)
+    fr = f.tex(0)
+    assert fr is not None and fr.shape == (64, 96, 4)
+    assert f.frames_rendered > 3

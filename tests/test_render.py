@@ -144,3 +144,25 @@ def test_mirror_mono_layout():
     r = _load("bars", extra=("setmirror true",))
     frame = _drive(r)
     assert frame[..., 3].max() > 0
+
+
+def test_odd_screen_sizes():
+    """No alignment requirements on output geometry."""
+    r = _load("bars", screen=(131, 77))
+    frame = _drive(r, n_updates=10)
+    assert frame.shape == (77, 131, 4)
+    assert np.isfinite(frame).all()
+
+
+def test_bufscale_decimation_path():
+    """`setbufscale 2`: spectrum texture is bufsize/2 (render.c:1765-1790)."""
+    lc = loader.load(
+        cli_requests=("setgeometry 0 0 96 64", "setbufsize 2048",
+                      "setsamplesize 256", "setbufscale 2",
+                      "setprintframes false"),
+        force_module="bars",
+    )
+    r = Renderer(lc)
+    assert r.pipeline.sz == 1024
+    frame = _drive(r, n_updates=10)
+    assert (frame[..., 3] > 0).any()

@@ -146,7 +146,8 @@ def build(ctx: base.ModuleContext) -> base.ModuleBuild:
             # fragment color of (x, h2): gather per column from frame
             rows = jnp.clip(ty, 0, h - 1).astype(jnp.int32)
             if invert > 0:
-                rows_pix = (h - 1) - rows
+                # d = h - y (graph/1.frag:111): pixel row of distance d
+                rows_pix = jnp.clip(h - rows, 0, h - 1)
             else:
                 rows_pix = rows
             col_ids = jnp.arange(w)

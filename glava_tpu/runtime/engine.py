@@ -128,9 +128,12 @@ class Engine:
         self.backend = audio_mod.lookup(o.audio_backend)
         self.backend.init(self.audio)
 
-        self.pipe = None
-        if o.pipe_binds and self._pipe_stream is not None:
-            self.pipe = PipeReader(list(o.pipe_binds), self._pipe_stream)
+        # keep the existing stdin reader across reloads (a second thread
+        # on the same stream would steal lines from the first)
+        if getattr(self, "pipe", None) is None:
+            self.pipe = None
+            if o.pipe_binds and self._pipe_stream is not None:
+                self.pipe = PipeReader(list(o.pipe_binds), self._pipe_stream)
 
     # -- control API (glava.h parity) --------------------------------------
 

@@ -118,6 +118,8 @@ class PipeReader:
         self.eof = False
 
     def start(self) -> None:
+        if self._thread is not None and self._thread.is_alive():
+            return  # idempotent across engine reloads
         self._thread = threading.Thread(target=self._run, daemon=True,
                                         name="stdin-pipe")
         self._thread.start()

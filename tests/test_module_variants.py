@@ -89,3 +89,31 @@ def test_graph_antialias_feathers_edges(tmp_path):
     partial_plain = ((plain[..., 3] > 0) & (plain[..., 3] < 1)).sum()
     partial_aa = ((aa[..., 3] > 0) & (aa[..., 3] < 1)).sum()
     assert partial_aa > partial_plain
+
+
+def test_graph_antialias_inverted(tmp_path):
+    """AA + INVERT renders sane feathered output (d = h - y row math)."""
+    (tmp_path / "rc.glsl").write_text(
+        "#request mod graph\n#request setgeometry 0 0 128 96\n"
+        "#request setbufsize 1024\n#request setsamplesize 256\n"
+        "#request setprintframes false\n"
+    )
+    (tmp_path / "graph.glsl").write_text(
+        "#define ANTI_ALIAS 1\n#define INVERT 1\n#define DRAW_HIGHLIGHT 0\n"
+    )
+    lc = loader.load(user_dir=tmp_path)
+    r = Renderer(lc)
+    state = r.init_state()
+    step = r.jit_step()
+    rng = np.random.default_rng(3)
+    snap = jnp.asarray(
+        rng.standard_normal((2, lc.cfg.bufsize)).astype(np.float32) * 0.3
+    )
+    for _ in range(6):
+        state, frame = step(state, snap, True, np.float32(0.1),
+                            np.float32(1.0), np.float32(0.05), {})
+    f = np.asarray(frame)
+    assert np.isfinite(f).all()
+    # inverted graph hangs from the top: content in the upper half
+    assert (f[f.shape[0] // 2:, :, 3] > 0).any()
+    assert ((f[..., 3] > 0) & (f[..., 3] < 1)).any()  # feathered pixels

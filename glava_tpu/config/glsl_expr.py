@@ -186,7 +186,7 @@ _TOKEN_RE = re.compile(
   | (?P<num>(\d+\.\d*|\.\d+|\d+)([eE][+-]?\d+)?[fF]?)
   | (?P<bind>@[A-Za-z_][A-Za-z0-9_]*:?)
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<op>==|!=|<=|>=|&&|\|\||[-+*/%(),.<>?:!])
+  | (?P<op>\+=|-=|\*=|/=|==|!=|<=|>=|&&|\|\||[-+*/%(),.<>?:!={};])
     """,
     re.X,
 )
@@ -215,6 +215,7 @@ class Env:
     defines: dict[str, str] = field(default_factory=dict)
     variables: dict[str, Any] = field(default_factory=dict)  # runtime values
     pipe_values: dict[str, Any] = field(default_factory=dict)  # live --pipe uniforms
+    functions: dict[str, Any] = field(default_factory=dict)  # extra callables
     _cache: dict[str, Any] = field(default_factory=dict)
     _expanding: set = field(default_factory=set)
 
@@ -267,6 +268,8 @@ class _Parser:
             a = self.ternary()
             self.expect(":")
             b = self.ternary()
+            if _np_like(cond):  # per-pixel select
+                return _map2(lambda x, y: x, lambda x, y: _jnp().where(cond, x, y), a, b)
             return a if _truthy(cond) else b
         return cond
 
@@ -274,14 +277,24 @@ class _Parser:
         v = self.logic_and()
         while self.peek()[1] == "||":
             self.next()
-            v = _truthy(v) or _truthy(self.logic_and())
+            rhs = self.logic_and()
+            if _np_like(v) or _np_like(rhs):
+                jnp = _jnp()
+                v = jnp.asarray(v, bool) | jnp.asarray(rhs, bool)
+            else:
+                v = _truthy(v) or _truthy(rhs)
         return v
 
     def logic_and(self):
         v = self.compare()
         while self.peek()[1] == "&&":
             self.next()
-            v = _truthy(v) and _truthy(self.compare())
+            rhs = self.compare()
+            if _np_like(v) or _np_like(rhs):
+                jnp = _jnp()
+                v = jnp.asarray(v, bool) & jnp.asarray(rhs, bool)
+            else:
+                v = _truthy(v) and _truthy(rhs)
         return v
 
     def compare(self):
@@ -336,7 +349,10 @@ class _Parser:
             return self.unary()
         if val == "!":
             self.next()
-            return not _truthy(self.unary())
+            v = self.unary()
+            if _np_like(v):
+                return ~_jnp().asarray(v, bool)
+            return not _truthy(v)
         return self.postfix()
 
     def postfix(self):
@@ -381,7 +397,7 @@ class _Parser:
                         self.next()
                         args.append(self.ternary())
                 self.expect(")")
-                fn = self.funcs.get(val)
+                fn = self.env.functions.get(val) or self.funcs.get(val)
                 if fn is None:
                     raise ExprError(f"unknown function '{val}'")
                 return fn(*args)

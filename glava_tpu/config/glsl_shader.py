@@ -1,0 +1,454 @@
+"""Restricted GLSL fragment-shader interpreter -> jnp rasterizer.
+
+The reference's module system is user-extensible: drop a directory of
+numbered fragment shaders into the config root and `#request mod` it
+(render.c:1488-1597). The built-in modules here are hand-written jnp
+programs (faster, exact), but custom user shaders deserve the same
+drop-in workflow — this interpreter executes a *documented subset* of
+GLSL 1-pass-style fragment shaders as vectorized jnp over the (H, W)
+pixel grid:
+
+* statements: declarations with initializers (`float/int/bool/vec2/3/4`),
+  assignments (incl. `+= -= *= /=` and swizzled lvalues like
+  `fragment.rgb`), `if`/`else` blocks, early `return`, expression
+  statements;
+* control flow is vectorized: an `if` masks both branches, `return`
+  retires pixels (exact GLSL semantics for side-effect-free bodies);
+* expressions: everything glsl_expr supports (arithmetic, comparisons,
+  vec constructors, swizzles, mix/clamp/step/..., `#RRGGBBAA` colors,
+  `@pipe:default` binds, knob macros);
+* builtins: `gl_FragCoord` (.x/.y, honoring
+  ``layout(pixel_center_integer)``), `screen`, `audio_sz`, `time`,
+  `texture(sampler1D, x)` (NEAREST+REPEAT, render.c:512-517),
+  `texelFetch(sampler1D, i, 0)`, `texelFetch(sampler2D, ivec2(x, y), 0)`
+  on `prev`, `smooth_audio(tex, sz, idx)` / `smooth_audio_adj`;
+* `#request uniform`/`#request transform` lines wire the audio
+  pipeline exactly like the reference pass sources (bars/1.frag:12-24);
+* knob conditionals: `#if/#elif/#else` over integer macro expressions,
+  and `#error __disablestage` skips the pass (render.c:358-371).
+
+NOT supported (use a Python module instead, docs/examples/vu_meter.py):
+loops, user-defined functions, function-like macros, arrays,
+`discard`, derivatives. Unsupported constructs raise a clear error at
+load time.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Any
+
+import numpy as np
+
+from glava_tpu.config import glsl_expr
+from glava_tpu.config.glsl_expr import ExprError, tokenize
+
+
+class ShaderError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# AST
+# ---------------------------------------------------------------------------
+
+@dataclass
+class Decl:
+    names: list[tuple[str, list | None]]  # (name, init token list or None)
+    line: int = 0
+
+
+@dataclass
+class Assign:
+    target: str
+    swizzle: str | None
+    op: str               # '=', '+=', '-=', '*=', '/='
+    expr: list            # token list
+    line: int = 0
+
+
+@dataclass
+class If:
+    cond: list
+    then: list
+    other: list = field(default_factory=list)
+    line: int = 0
+
+
+@dataclass
+class Return:
+    line: int = 0
+
+
+@dataclass
+class ExprStmt:
+    expr: list
+    line: int = 0
+
+
+_TYPES = ("float", "int", "bool", "vec2", "vec3", "vec4", "highp", "lowp",
+          "mediump", "const")
+
+
+class _StmtParser:
+    """Token-stream statement parser for main()'s body."""
+
+    def __init__(self, toks: list[tuple[str, str]]):
+        self.toks = toks
+        self.pos = 0
+
+    def peek(self):
+        return self.toks[self.pos]
+
+    def next(self):
+        t = self.toks[self.pos]
+        self.pos += 1
+        return t
+
+    def expect(self, val):
+        k, v = self.next()
+        if v != val:
+            raise ShaderError(f"expected {val!r}, got {v!r}")
+
+    def at_end(self):
+        return self.peek()[0] == "end"
+
+    def parse_block(self) -> list:
+        self.expect("{")
+        out = []
+        while self.peek()[1] != "}":
+            if self.at_end():
+                raise ShaderError("unterminated block")
+            out.append(self.parse_stmt())
+        self.next()
+        return out
+
+    def collect_expr(self, stops=(";",)) -> list:
+        """Grab raw tokens (balanced parens) until a stop token."""
+        depth = 0
+        toks = []
+        while True:
+            k, v = self.peek()
+            if k == "end":
+                raise ShaderError("unterminated expression")
+            if depth == 0 and v in stops:
+                break
+            if v == "(":
+                depth += 1
+            elif v == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            toks.append(self.next())
+        return toks + [("end", "")]
+
+    def parse_stmt(self):
+        k, v = self.peek()
+        if v == "{":
+            return If([("ident", "true"), ("end", "")], self.parse_block())
+        if v == "if":
+            self.next()
+            self.expect("(")
+            cond = self.collect_expr(stops=(")",))
+            self.expect(")")
+            then = (self.parse_block() if self.peek()[1] == "{"
+                    else [self.parse_stmt()])
+            other = []
+            if self.peek()[1] == "else":
+                self.next()
+                other = (self.parse_block() if self.peek()[1] == "{"
+                         else [self.parse_stmt()])
+            return If(cond, then, other)
+        if v == "return":
+            self.next()
+            if self.peek()[1] != ";":
+                raise ShaderError("`return <value>` is not valid in a "
+                                  "fragment shader main()")
+            self.expect(";")
+            return Return()
+        if v in ("for", "while", "do"):
+            raise ShaderError(
+                f"`{v}` loops are not supported by the GLSL subset "
+                "interpreter — write this module in Python instead "
+                "(see docs/examples/vu_meter.py)"
+            )
+        if v in _TYPES:
+            # declaration: type [precision] name [= expr] {, name [= expr]}
+            while self.peek()[1] in _TYPES:
+                self.next()
+            names = []
+            while True:
+                kk, name = self.next()
+                if kk != "ident":
+                    raise ShaderError(f"expected identifier, got {name!r}")
+                init = None
+                if self.peek()[1] == "=":
+                    self.next()
+                    init = self.collect_expr(stops=(";", ","))
+                names.append((name, init))
+                if self.peek()[1] == ",":
+                    self.next()
+                    continue
+                break
+            self.expect(";")
+            return Decl(names)
+        # assignment or expression statement
+        save = self.pos
+        if k == "ident":
+            name = self.next()[1]
+            swiz = None
+            if self.peek()[1] == ".":
+                # could be a swizzled lvalue OR an expression like a.x + b
+                save2 = self.pos
+                self.next()
+                kk, sw = self.next()
+                if kk == "ident" and self.peek()[1] in ("=", "+=", "-=",
+                                                        "*=", "/="):
+                    swiz = sw
+                else:
+                    self.pos = save2
+            if self.peek()[1] in ("=", "+=", "-=", "*=", "/="):
+                op = self.next()[1]
+                expr = self.collect_expr(stops=(";",))
+                self.expect(";")
+                return Assign(name, swiz, op, expr)
+            self.pos = save
+        expr = self.collect_expr(stops=(";",))
+        self.expect(";")
+        return ExprStmt(expr)
+
+
+# ---------------------------------------------------------------------------
+# source-level parsing: requests, uniforms, main body
+# ---------------------------------------------------------------------------
+
+_REQ_UNIFORM = re.compile(r'^\s*#request\s+uniform\s+"(\w+)"\s+(\w+)\s*$',
+                          re.M)
+_REQ_TRANSFORM = re.compile(r'^\s*#request\s+transform\s+(\w+)\s+"(\w+)"\s*$',
+                            re.M)
+_PIXEL_CENTER = re.compile(r"layout\s*\(\s*pixel_center_integer\s*\)")
+
+
+@dataclass
+class ParsedShader:
+    uniforms: list[tuple[str, str]]            # (source, uniform name)
+    transforms: dict[str, list[str]]           # uniform name -> chain
+    body: list                                  # statement AST
+    pixel_center_integer: bool
+
+
+def _strip_directives(text: str) -> str:
+    """Remove remaining preprocessor lines and declarations the
+    interpreter handles out-of-band (uniform/in/out declarations)."""
+    out = []
+    for line in text.split("\n"):
+        s = line.strip()
+        if s.startswith("#"):
+            continue
+        if re.match(r"^(layout\s*\(.*\)\s*)?(in|out|uniform)\s+", s):
+            continue
+        out.append(line)
+    return "\n".join(out)
+
+
+def parse_declarations(text: str) -> ParsedShader:
+    """Uniform/transform/pci declarations only (no body parse) — used
+    at registration time so syntax errors surface at module build."""
+    uniforms = [(src, name) for src, name in _REQ_UNIFORM.findall(text)]
+    transforms: dict[str, list[str]] = {}
+    for name, tr in _REQ_TRANSFORM.findall(text):
+        transforms.setdefault(name, []).append(tr)
+    pci = bool(_PIXEL_CENTER.search(text))
+    return ParsedShader(uniforms, transforms, [], pci)
+
+
+def parse_shader(text: str) -> ParsedShader:
+    decls = parse_declarations(text)
+    uniforms, transforms, pci = decls.uniforms, decls.transforms, \
+        decls.pixel_center_integer
+
+    m = re.search(r"void\s+main\s*\(\s*\)\s*", text)
+    if not m:
+        raise ShaderError("no `void main()` found")
+    rest = _strip_directives(text[m.end():])
+    toks = tokenize(rest)
+    parser = _StmtParser(toks)
+    body = parser.parse_block()
+    return ParsedShader(uniforms, transforms, body, pci)
+
+
+# ---------------------------------------------------------------------------
+# execution
+# ---------------------------------------------------------------------------
+
+def _jnp():
+    import jax.numpy as jnp
+
+    return jnp
+
+
+class _Exec:
+    """Vectorized executor: every variable is a scalar/bool/array or a
+    component tuple broadcastable over the (H, W) grid; control flow is
+    carried as an active-pixel mask."""
+
+    def __init__(self, env: glsl_expr.Env, h: int, w: int):
+        self.env = env
+        self.h, self.w = h, w
+        jnp = _jnp()
+        self.mask = jnp.ones((h, w), bool)
+
+    def _eval(self, toks) -> Any:
+        return glsl_expr._Parser(list(toks), self.env).parse()
+
+    def _masked_set(self, name: str, value):
+        jnp = _jnp()
+        old = self.env.variables.get(name)
+        mask = self.mask
+        if old is None or mask is None or (isinstance(mask, bool) and mask):
+            self.env.variables[name] = value
+            return
+
+        def sel(n, o):
+            return jnp.where(mask, n, o)
+
+        if isinstance(value, tuple) or isinstance(old, tuple):
+            vt = value if isinstance(value, tuple) else (value,) * len(old)
+            ot = old if isinstance(old, tuple) else (old,) * len(vt)
+            if len(vt) != len(ot):
+                raise ShaderError(
+                    f"assignment changes vector size of '{name}'"
+                )
+            self.env.variables[name] = tuple(sel(a, b) for a, b in zip(vt, ot))
+        else:
+            self.env.variables[name] = sel(value, old)
+
+    def run(self, body: list) -> None:
+        for stmt in body:
+            self._stmt(stmt)
+
+    def _stmt(self, stmt) -> None:
+        jnp = _jnp()
+        if isinstance(stmt, Decl):
+            for name, init in stmt.names:
+                val = self._eval(init) if init is not None else 0.0
+                # declarations introduce the name unconditionally
+                self.env.variables[name] = val
+        elif isinstance(stmt, Assign):
+            rhs = self._eval(stmt.expr)
+            cur = self.env.variables.get(stmt.target)
+            if stmt.op != "=":
+                if cur is None:
+                    raise ShaderError(f"'{stmt.target}' used before assignment")
+                base = (self._component(cur, stmt.swizzle)
+                        if stmt.swizzle else cur)
+                fn = {"+=": lambda a, b: _bin(a, b, "+"),
+                      "-=": lambda a, b: _bin(a, b, "-"),
+                      "*=": lambda a, b: _bin(a, b, "*"),
+                      "/=": lambda a, b: _bin(a, b, "/")}[stmt.op]
+                rhs = fn(base, rhs)
+            if stmt.swizzle:
+                if not isinstance(cur, tuple):
+                    raise ShaderError(
+                        f"cannot swizzle-assign non-vector '{stmt.target}'"
+                    )
+                idxs = [glsl_expr._SWIZZLE[c] for c in stmt.swizzle]
+                comps = list(cur)
+                rt = rhs if isinstance(rhs, tuple) else (rhs,) * len(idxs)
+                if len(rt) != len(idxs):
+                    raise ShaderError("swizzle assignment size mismatch")
+                for i, r in zip(idxs, rt):
+                    comps[i] = r
+                rhs = tuple(comps)
+            self._masked_set(stmt.target, rhs)
+        elif isinstance(stmt, If):
+            cond = self._eval(stmt.cond)
+            if isinstance(cond, bool):
+                cond = jnp.full((self.h, self.w), cond)
+            cond = jnp.broadcast_to(jnp.asarray(cond, bool),
+                                    (self.h, self.w))
+            outer = self.mask
+            self.mask = outer & cond
+            self.run(stmt.then)
+            then_mask = self.mask  # pixels still active (not returned)
+            self.mask = outer & ~cond
+            self.run(stmt.other)
+            self.mask = then_mask | self.mask
+        elif isinstance(stmt, Return):
+            self.mask = self.mask & False
+        elif isinstance(stmt, ExprStmt):
+            self._eval(stmt.expr)
+        else:  # pragma: no cover
+            raise ShaderError(f"unknown statement {stmt!r}")
+
+    @staticmethod
+    def _component(val, swizzle):
+        if swizzle is None:
+            return val
+        idxs = [glsl_expr._SWIZZLE[c] for c in swizzle]
+        if len(idxs) == 1:
+            return val[idxs[0]]
+        return tuple(val[i] for i in idxs)
+
+
+def _bin(a, b, op):
+    f = {"+": lambda x, y: x + y, "-": lambda x, y: x - y,
+         "*": lambda x, y: x * y, "/": lambda x, y: x / y}[op]
+    return glsl_expr._map2(f, f, a, b)
+
+
+# ---------------------------------------------------------------------------
+# builtin functions bound per-frame
+# ---------------------------------------------------------------------------
+
+def make_builtins(prev, sz: int, h: int, w: int, smooth_fetch):
+    """Texture/sampling builtins closing over this frame's inputs.
+
+    ``smooth_fetch(tex_array, pos)`` is the dynamic-position
+    smooth_audio evaluator (render/modules/circle._per_pixel_sampler).
+    Texture arguments arrive as the evaluated uniform values: (sz,)
+    arrays for audio textures, the string marker "prev" for the
+    previous-pass sampler2D.
+    """
+    jnp = _jnp()
+
+    def texture(tex, x):
+        # NEAREST + REPEAT (render.c:512-517)
+        x = jnp.asarray(x)
+        u = x - jnp.floor(x)
+        i = jnp.minimum(jnp.floor(u * sz), sz - 1).astype(jnp.int32)
+        return tex[i]
+
+    def texelFetch(tex, idx, _lod=0):
+        if isinstance(tex, str) and tex == "prev":
+            if prev is None:
+                raise ShaderError("`prev` sampled but this is the first pass")
+            if not isinstance(idx, tuple) or len(idx) != 2:
+                raise ShaderError("texelFetch on prev needs ivec2")
+            x = jnp.clip(jnp.asarray(idx[0], jnp.int32), 0, w - 1)
+            y = jnp.clip(jnp.asarray(idx[1], jnp.int32), 0, h - 1)
+            out = prev[y, x]
+            return tuple(out[..., i] for i in range(4))
+        i = jnp.clip(jnp.asarray(idx, jnp.int32), 0, sz - 1)
+        return tex[i]
+
+    def ivec2(x, y):
+        return (jnp.asarray(x, jnp.int32), jnp.asarray(y, jnp.int32))
+
+    def smooth_audio(tex, _sz, idx):
+        return smooth_fetch(tex, jnp.clip(jnp.asarray(idx), 0.0, 1.0))
+
+    def smooth_audio_adj(tex, _sz, idx, pixel):
+        a = smooth_audio(tex, _sz, jnp.maximum(idx - pixel, 0.0))
+        b = smooth_audio(tex, _sz, idx)
+        c = smooth_audio(tex, _sz, jnp.minimum(idx + pixel, 1.0))
+        return (a + b + c) / 3.0
+
+    return {
+        "texture": texture,
+        "texelFetch": texelFetch,
+        "ivec2": ivec2,
+        "smooth_audio": smooth_audio,
+        "smooth_audio_adj": smooth_audio_adj,
+    }

@@ -41,6 +41,10 @@ class LoadedConfig:
     entry_path: Path
     module: str
     defines: dict[str, str] = field(default_factory=dict)
+    # user modules discovered for THIS config root (name -> registry
+    # entry); scoped here instead of mutating the global registry so
+    # different user dirs don't leak into each other
+    module_overrides: dict = field(default_factory=dict)
 
 
 def _dispatcher(cfg: RenderConfig):
@@ -110,12 +114,27 @@ def load(
         if args:
             on_request(args[0], args[1:], "<request>", 0)
 
-    # 4. user Python modules (the reference scans config-root module
-    # dirs, render.c:1488-1597), then module knobs + smoothing params
+    # 4. user Python modules + drop-in GLSL shader modules (the
+    # reference scans config-root module dirs, render.c:1488-1597),
+    # then module knobs + smoothing params. Registrations are captured
+    # into this load's override map, not left in the global registry.
+    module_overrides: dict = {}
     if user_dir is not None:
-        from glava_tpu.render.modules import load_user_modules
+        from glava_tpu.render.modules import _REGISTRY, load_user_modules
+        from glava_tpu.render.modules.glsl_module import (
+            register_shader_module,
+            scan_shader_modules,
+        )
 
+        snapshot = dict(_REGISTRY)
         load_user_modules(user_dir)
+        for mname, mdir in scan_shader_modules(user_dir).items():
+            register_shader_module(mname, mdir, user_dir, system_dir)
+        for k, v in list(_REGISTRY.items()):
+            if snapshot.get(k) is not v:
+                module_overrides[k] = v
+        _REGISTRY.clear()
+        _REGISTRY.update(snapshot)
     if force_module:
         cfg.module = force_module
     module = cfg.module
@@ -134,7 +153,7 @@ def load(
     )
     return LoadedConfig(
         cfg=cfg, env=env, entry_path=entry_path, module=module,
-        defines=dict(ctx.defines),
+        defines=dict(ctx.defines), module_overrides=module_overrides,
     )
 
 

@@ -269,3 +269,143 @@ def process_text(
 def process_file(path: str | Path, ctx: Context) -> None:
     path = Path(path)
     process_text(path.read_text(), ctx, fname=str(path), current_dir=path.parent)
+
+
+# ---------------------------------------------------------------------------
+# shader-source preprocessing (for the GLSL subset interpreter)
+# ---------------------------------------------------------------------------
+
+class StageDisabledDirective(Exception):
+    """`#error __disablestage` — skip this pass (render.c:358-371)."""
+
+
+class _PPEnv:
+    """#if evaluation env: undefined macros read as 0 (C preprocessor
+    semantics)."""
+
+    def __init__(self, defines: dict[str, str]):
+        from glava_tpu.config import glsl_expr
+
+        self._inner = glsl_expr.Env(defines=dict(defines))
+        self.functions = {}
+        self.pipe_values = {}
+        self.variables = {}
+        self.defines = self._inner.defines
+
+    def lookup(self, name: str):
+        try:
+            return self._inner.lookup(name)
+        except Exception:
+            return 0.0
+
+
+def eval_pp_expr(expr: str, defines: dict[str, str]):
+    """Evaluate a `#if` expression over the macro environment."""
+    from glava_tpu.config import glsl_expr
+
+    expr = re.sub(r"defined\s*\(\s*(\w+)\s*\)",
+                  lambda m: "1" if m.group(1) in defines else "0", expr)
+    expr = re.sub(r"defined\s+(\w+)",
+                  lambda m: "1" if m.group(1) in defines else "0", expr)
+    return glsl_expr.evaluate(expr, _PPEnv(defines))
+
+
+def preprocess_shader_source(
+    text: str, ctx: Context, fname: str = "<shader>",
+    current_dir: Path | None = None,
+) -> str:
+    """Resolve a pass source for the GLSL interpreter.
+
+    Executes `#request`s, records `#define`s, fully evaluates
+    `#if/#elif/#else/#endif` over the knob environment, processes
+    `#include`s for their defines/requests (their text is not inlined —
+    utility functions are interpreter builtins), honors
+    `#error __disablestage`, and returns the active GLSL lines.
+    """
+    out: list[str] = []
+    stack: list[tuple[bool, bool]] = []  # (currently_active, any_taken)
+
+    def active() -> bool:
+        return all(a for a, _ in stack)
+
+    for ln, line in enumerate(strip_comments(text).split("\n"), start=1):
+        s = line.strip()
+        if not s.startswith("#"):
+            if active():
+                out.append(line)
+            continue
+        body = s[1:].lstrip()
+        m = re.match(r"([A-Za-z_][A-Za-z0-9_]*)", body)
+        word = m.group(1) if m else ""
+        rest = body[m.end():].strip() if m else ""
+
+        if word == "ifdef":
+            cond = rest.split()[0] in ctx.defines if rest else False
+            stack.append((cond, cond))
+        elif word == "ifndef":
+            cond = rest.split()[0] not in ctx.defines if rest else False
+            stack.append((cond, cond))
+        elif word == "if":
+            try:
+                cond = bool(eval_pp_expr(rest, ctx.defines)) if active() else False
+            except Exception as e:
+                raise PreprocessError(fname, ln, f"cannot evaluate #if {rest}: {e}")
+            stack.append((cond, cond))
+        elif word == "elif":
+            if not stack:
+                raise PreprocessError(fname, ln, "#elif without #if")
+            was_active, taken = stack.pop()
+            if taken:
+                stack.append((False, True))
+            else:
+                try:
+                    cond = bool(eval_pp_expr(rest, ctx.defines))
+                except Exception as e:
+                    raise PreprocessError(fname, ln, f"cannot evaluate #elif: {e}")
+                stack.append((cond, cond))
+        elif word == "else":
+            if not stack:
+                raise PreprocessError(fname, ln, "#else without #if")
+            was_active, taken = stack.pop()
+            stack.append((not taken, True))
+        elif word == "endif":
+            if stack:
+                stack.pop()
+        elif not active():
+            continue
+        elif word == "error":
+            if "__disablestage" in rest:
+                raise StageDisabledDirective()
+            raise PreprocessError(fname, ln, f"#error {rest}")
+        elif word == "define":
+            dm = _DEFINE_RE.match(body[len("define"):])
+            if dm:
+                name, paren, value = dm.groups()
+                if paren != "(":
+                    ctx.defines[name] = value
+        elif word == "undef":
+            ctx.defines.pop(rest.split()[0] if rest else "", None)
+        elif word == "include":
+            args = tokenize_args(rest)
+            if args:
+                target = args[0]
+                base = current_dir
+                if target.startswith(":"):
+                    target, base = target[1:], ctx.user_dir or ctx.system_dir
+                elif target.startswith("@"):
+                    target, base = target[1:], ctx.system_dir
+                path = Path(base) / target if base else None
+                if path is not None and not path.is_file() and ctx.system_dir:
+                    alt = Path(ctx.system_dir) / target
+                    if alt.is_file():
+                        path = alt
+                if path is not None and path.is_file():
+                    # defines/requests only; function bodies are builtins
+                    process_text(path.read_text(), ctx, fname=str(path),
+                                 current_dir=path.parent)
+        elif word == "request":
+            args = tokenize_args(rest)
+            if args and ctx.on_request is not None:
+                ctx.on_request(args[0], args[1:], fname, ln)
+        # #version / #line / unknown directives: dropped
+    return "\n".join(out)

@@ -98,8 +98,11 @@ def _fused_supported(cfg: RenderConfig, uniforms) -> bool:
     m = sz // 2
     if not (cfg.accel_fft and m % 128 == 0 and m >= 256):
         return False
-    for u in uniforms:
-        if _has_fft(u.transforms) and tuple(u.transforms) != _STANDARD_CHAIN:
+    fft_us = [u for u in uniforms if _has_fft(u.transforms)]
+    if not fft_us:
+        return False
+    for u in fft_us:
+        if tuple(u.transforms) != _STANDARD_CHAIN:
             return False
     return True
 

@@ -24,22 +24,27 @@ def register(name: str, uniforms: tuple = _STEREO_FFT):
     return deco
 
 
-def build_module(name: str, ctx: ModuleContext) -> ModuleBuild:
+def _resolve(name: str, overrides: dict | None):
+    if overrides and name in overrides:
+        return overrides[name]
     try:
-        builder, _ = _REGISTRY[name]
+        return _REGISTRY[name]
     except KeyError:
+        avail = sorted(set(_REGISTRY) | set(overrides or ()))
         raise KeyError(
-            f"module '{name}' does not exist (available: {sorted(_REGISTRY)})"
+            f"module '{name}' does not exist (available: {avail})"
         ) from None
+
+
+def build_module(name: str, ctx: ModuleContext,
+                 overrides: dict | None = None) -> ModuleBuild:
+    builder, _ = _resolve(name, overrides)
     return builder(ctx)
 
 
-def module_uniforms(name: str) -> tuple:
+def module_uniforms(name: str, overrides: dict | None = None) -> tuple:
     """Uniform declarations for a module's audio pipeline."""
-    try:
-        return _REGISTRY[name][1]
-    except KeyError:
-        raise KeyError(f"module '{name}' does not exist") from None
+    return _resolve(name, overrides)[1]
 
 
 def load_user_modules(user_dir) -> list[str]:

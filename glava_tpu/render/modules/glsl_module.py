@@ -1,0 +1,179 @@
+"""Drop-in GLSL shader modules, interpreted.
+
+The reference's user-extension workflow (render.c:1488-1597): a config
+root directory ``<name>/`` holding ``1.frag, 2.frag, ...`` becomes
+module ``<name>``. Here each pass runs through the restricted-GLSL
+interpreter (config/glsl_shader.py) as a vectorized jnp program.
+Discovered and registered by the config loader; built-in Python
+modules are shadowed when the user ships a same-named shader dir, just
+like the reference's user-over-system path search.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from glava_tpu.config import glsl_expr, preprocessor
+from glava_tpu.config.glsl_shader import (
+    ParsedShader,
+    ShaderError,
+    _Exec,
+    make_builtins,
+    parse_declarations,
+    parse_shader,
+)
+from glava_tpu.render import base
+from glava_tpu.render.modules import _REGISTRY
+
+TWOPI = 6.28318530718
+PI = 3.14159265359
+
+_SCALAR_SOURCES = {"screen", "audio_sz", "time", "prev"}
+
+
+def _pass_files(mod_dir: Path) -> list[Path]:
+    files = []
+    n = 1
+    while (mod_dir / f"{n}.frag").is_file():
+        files.append(mod_dir / f"{n}.frag")
+        n += 1
+    return files
+
+
+def scan_shader_modules(user_dir) -> dict[str, Path]:
+    """Find ``<user_dir>/<name>/1.frag`` module directories."""
+    out: dict[str, Path] = {}
+    if user_dir is None:
+        return out
+    root = Path(user_dir)
+    if not root.is_dir():
+        return out
+    for d in sorted(root.iterdir()):
+        if d.is_dir() and d.name not in ("modules", "profiles", "util") \
+                and (d / "1.frag").is_file():
+            out[d.name] = d
+    return out
+
+
+def _collect_uniforms(files: list[Path]):
+    """Uniform/transform declarations across all passes -> UniformSpec
+    tuples for the audio pipeline + per-pass uniform name maps."""
+    audio_uniforms: dict[str, tuple[str, tuple[str, ...]]] = {}
+    per_pass: list[ParsedShader] = []
+    for f in files:
+        parsed = parse_declarations(f.read_text())
+        per_pass.append(parsed)
+        for src, name in parsed.uniforms:
+            if src in ("audio_l", "audio_r"):
+                chain = tuple(parsed.transforms.get(name, ()))
+                prev_entry = audio_uniforms.get(name)
+                if prev_entry is None or (not prev_entry[1] and chain):
+                    audio_uniforms[name] = (src, chain)
+            elif src not in _SCALAR_SOURCES:
+                raise ShaderError(f"unknown uniform source '{src}'")
+    # a declared uniform without `#request transform` lines receives
+    # the raw (untransformed) ring, exactly like the reference
+    specs = tuple(
+        (name, src, chain) for name, (src, chain) in audio_uniforms.items()
+    )
+    return specs, per_pass
+
+
+def register_shader_module(name: str, mod_dir: Path,
+                           user_dir, system_dir) -> None:
+    files = _pass_files(mod_dir)
+    if not files:
+        raise ShaderError(f"module dir '{mod_dir}' has no 1.frag")
+    uniforms, _ = _collect_uniforms(files)
+
+    def builder(ctx: base.ModuleContext) -> base.ModuleBuild:
+        return _build(name, files, ctx, user_dir, system_dir)
+
+    _REGISTRY[name] = (builder, uniforms)
+
+
+def _build(name: str, files: list[Path], ctx: base.ModuleContext,
+           user_dir, system_dir) -> base.ModuleBuild:
+    import jax.numpy as jnp
+
+    w, h = ctx.screen
+    sz = ctx.sz
+    passes = []
+
+    # dynamic per-pixel smooth_audio fetch (see circle._per_pixel_sampler)
+    from glava_tpu.render.modules.circle import _per_pixel_sampler
+
+    fetch = _per_pixel_sampler(ctx)
+
+    for f in files:
+        raw = f.read_text()
+        parsed = parse_declarations(raw)
+        pctx = preprocessor.Context(
+            system_dir=Path(system_dir) if system_dir else None,
+            user_dir=Path(user_dir) if user_dir else None,
+            on_request=lambda *a: None,  # config is frozen at build time
+            defines=dict(ctx.env.defines),
+        )
+        # builtin macro environment (_CHANNELS etc.) for #if evaluation
+        for k, v in ctx.env.variables.items():
+            if isinstance(v, (int, float)) and k not in pctx.defines:
+                pctx.defines[k] = repr(v)
+        try:
+            text = preprocessor.preprocess_shader_source(
+                raw, pctx, fname=str(f), current_dir=f.parent
+            )
+        except preprocessor.StageDisabledDirective:
+            continue
+        body = parse_shader(text).body
+
+        xs, ys = base.frag_coords(w, h, parsed.pixel_center_integer)
+        x2d = jnp.asarray(xs.astype(np.float32))[None, :]
+        y2d = jnp.asarray(ys.astype(np.float32))[:, None]
+        defines = dict(pctx.defines)
+
+        def make_pass(body=body, parsed=parsed, defines=defines,
+                      x2d=x2d, y2d=y2d):
+            def pass_fn(inputs: base.PassInputs):
+                textures = {}
+                variables = dict(ctx.env.variables)
+                for src, uname in parsed.uniforms:
+                    if src in ("audio_l", "audio_r"):
+                        textures[uname] = inputs.textures[uname]
+                        variables[uname] = inputs.textures[uname]
+                    elif src == "screen":
+                        variables[uname] = (float(w), float(h))
+                    elif src == "audio_sz":
+                        variables[uname] = float(sz)
+                    elif src == "time":
+                        variables[uname] = inputs.time
+                    elif src == "prev":
+                        variables[uname] = "prev"
+                variables.update({
+                    "gl_FragCoord": (x2d, y2d, 0.0, 1.0),
+                    "PI": PI, "TWOPI": TWOPI,
+                    "fragment": (0.0, 0.0, 0.0, 0.0),
+                })
+                builtins = make_builtins(inputs.prev, sz, h, w, fetch)
+                env = glsl_expr.Env(
+                    defines=defines,
+                    variables=variables,
+                    pipe_values=ctx.env.pipe_values,
+                    functions=builtins,
+                )
+                ex = _Exec(env, h, w)
+                ex.run(body)
+                frag = env.variables.get("fragment", (0.0, 0.0, 0.0, 0.0))
+                arr = glsl_expr.to_rgba(frag)
+                return jnp.broadcast_to(arr, (h, w, 4)).astype(jnp.float32)
+
+            return pass_fn
+
+        passes.append(make_pass())
+
+    if not passes:
+        raise ShaderError(f"module '{name}': every pass disabled")
+    return base.ModuleBuild(name, passes)
+
+

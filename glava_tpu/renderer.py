@@ -39,7 +39,11 @@ class Renderer:
         cfg = self.cfg = self.loaded.cfg
         if self.screen is None:
             self.screen = (cfg.geometry[2], cfg.geometry[3])
-        self.uniforms = [UniformSpec(*u) for u in module_uniforms(self.loaded.module)]
+        overrides = getattr(self.loaded, "module_overrides", None)
+        self.uniforms = [
+            UniformSpec(*u)
+            for u in module_uniforms(self.loaded.module, overrides)
+        ]
         self.pipeline = AudioPipeline(cfg, self.uniforms)
         env = self.module_env = self.loaded.env
         env.variables.update(builtin_variables(cfg))
@@ -50,7 +54,7 @@ class Renderer:
             sz=self.pipeline.sz,
             channels=1 if cfg.mirror_input else 2,
         )
-        self.module = build_module(self.loaded.module, mctx)
+        self.module = build_module(self.loaded.module, mctx, overrides)
 
     # -- state -------------------------------------------------------------
 

@@ -1,0 +1,158 @@
+"""GLSL subset interpreter: drop-in user .frag modules."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from glava_tpu.config import loader
+from glava_tpu.renderer import Renderer
+
+EQ_FRAG = """
+in vec4 gl_FragCoord;
+
+#request uniform "screen" screen
+uniform ivec2 screen;
+
+#request uniform "audio_sz" audio_sz
+uniform int audio_sz;
+
+#request uniform "audio_l" audio_l
+#request transform audio_l "window"
+#request transform audio_l "fft"
+#request transform audio_l "gravity"
+#request transform audio_l "avg"
+uniform sampler1D audio_l;
+
+out vec4 fragment;
+
+#define AMPLIFY 250
+#define BASE @fg:#22aa66
+
+void main() {
+    float pos = gl_FragCoord.x / screen.x;
+    float v = smooth_audio(audio_l, audio_sz, pos) * AMPLIFY;
+    if (gl_FragCoord.y < v) {
+        float t = clamp(gl_FragCoord.y / v, 0.0, 1.0);
+        fragment = vec4(BASE.rgb * (1.0 - 0.5 * t), 1.0);
+        return;
+    }
+    fragment = vec4(0, 0, 0, 0);
+}
+"""
+
+DIM_FRAG = """
+in vec4 gl_FragCoord;
+#request uniform "prev" tex
+uniform sampler2D tex;
+out vec4 fragment;
+#define DIM 1
+#include ":eq.glsl"
+void main() {
+    fragment = texelFetch(tex, ivec2(gl_FragCoord.x, gl_FragCoord.y), 0);
+    #if DIM == 1
+    fragment.rgb *= 0.8;
+    #endif
+}
+"""
+
+
+def _setup(tmp_path, frag2=DIM_FRAG, knobs=None):
+    mod = tmp_path / "eq"
+    mod.mkdir()
+    (mod / "1.frag").write_text(EQ_FRAG)
+    if frag2:
+        (mod / "2.frag").write_text(frag2)
+    (tmp_path / "rc.glsl").write_text(
+        "#request mod eq\n#request setgeometry 0 0 128 96\n"
+        "#request setbufsize 1024\n#request setsamplesize 256\n"
+        "#request setprintframes false\n"
+    )
+    if knobs:
+        (tmp_path / "eq.glsl").write_text(knobs)
+    return loader.load(user_dir=tmp_path)
+
+
+def _render(lc, n=8):
+    r = Renderer(lc)
+    state = r.init_state()
+    step = r.jit_step()
+    rng = np.random.default_rng(0)
+    snap = jnp.asarray(
+        rng.standard_normal((2, lc.cfg.bufsize)).astype(np.float32) * 0.3
+    )
+    for _ in range(n):
+        state, frame = step(state, snap, True, np.float32(0.0),
+                            np.float32(1.0), np.float32(0.05), {})
+    return np.asarray(frame)
+
+
+def test_custom_frag_module_end_to_end(tmp_path):
+    lc = _setup(tmp_path)
+    assert lc.module == "eq"
+    f = _render(lc)
+    drawn = f[f[..., 3] > 0]
+    assert drawn.size
+    # pass 2 dims the base green 0xaa/255 by 0.8
+    assert abs(drawn[:, 1].max() - 0.8 * (0xAA / 255)) < 2e-3
+
+
+def test_knob_if_disables_second_pass(tmp_path):
+    lc = _setup(tmp_path, knobs="#define DIM 0\n")
+    f = _render(lc)
+    drawn = f[f[..., 3] > 0]
+    assert drawn.size
+    # no dim pass effect... DIM 0 keeps the #if block out
+    assert abs(drawn[:, 1].max() - (0xAA / 255)) < 2e-3
+
+
+def test_disablestage_skips_pass(tmp_path):
+    frag2 = "#if 1\n#error __disablestage\n#endif\n" + DIM_FRAG
+    lc = _setup(tmp_path, frag2=frag2)
+    f = _render(lc)
+    drawn = f[f[..., 3] > 0]
+    assert drawn.size
+    assert abs(drawn[:, 1].max() - (0xAA / 255)) < 2e-3  # undimmed
+
+
+def test_pipe_bind_in_shader(tmp_path):
+    lc = _setup(tmp_path, frag2=None)
+    lc.env.pipe_values["fg"] = (1.0, 0.0, 0.0, 1.0)
+    f = _render(lc)
+    drawn = f[f[..., 3] > 0]
+    assert drawn.size
+    assert drawn[:, 0].max() > 0.9 and drawn[:, 1].max() < 1e-6  # pure red
+
+
+def test_loops_raise_clear_error(tmp_path):
+    mod = tmp_path / "bad"
+    mod.mkdir()
+    (mod / "1.frag").write_text(
+        "out vec4 fragment;\nvoid main() {\n"
+        "  for (int i = 0; i < 4; i++) { }\n  fragment = vec4(1);\n}\n"
+    )
+    (tmp_path / "rc.glsl").write_text(
+        "#request mod bad\n#request setgeometry 0 0 32 32\n"
+        "#request setbufsize 1024\n#request setsamplesize 256\n"
+        "#request setprintframes false\n"
+    )
+    lc = loader.load(user_dir=tmp_path)
+    with pytest.raises(Exception, match="loops are not supported"):
+        Renderer(lc)
+
+
+def test_shader_shadowing_builtin(tmp_path):
+    """A user `bars/1.frag` shadows the built-in bars module
+    (user-over-system path order, render.c:1327-1350)."""
+    mod = tmp_path / "bars"
+    mod.mkdir()
+    (mod / "1.frag").write_text(
+        "out vec4 fragment;\nvoid main() { fragment = vec4(0, 0, 1, 1); }\n"
+    )
+    (tmp_path / "rc.glsl").write_text(
+        "#request mod bars\n#request setgeometry 0 0 16 16\n"
+        "#request setbufsize 1024\n#request setsamplesize 256\n"
+        "#request setprintframes false\n"
+    )
+    lc = loader.load(user_dir=tmp_path)
+    f = _render(lc, n=2)
+    np.testing.assert_allclose(f[..., 2], 1.0)  # all blue

@@ -414,11 +414,13 @@ def make_builtins(prev, sz: int, h: int, w: int, smooth_fetch):
     jnp = _jnp()
 
     def texture(tex, x):
-        # NEAREST + REPEAT (render.c:512-517)
+        # NEAREST + REPEAT (render.c:512-517); audio textures are
+        # single-channel GL_R16 -> vec4(r, 0, 0, 1)
         x = jnp.asarray(x)
         u = x - jnp.floor(x)
         i = jnp.minimum(jnp.floor(u * sz), sz - 1).astype(jnp.int32)
-        return tex[i]
+        v = tex[i]
+        return (v, jnp.zeros_like(v), jnp.zeros_like(v), jnp.ones_like(v))
 
     def texelFetch(tex, idx, _lod=0):
         if isinstance(tex, str) and tex == "prev":
@@ -431,7 +433,8 @@ def make_builtins(prev, sz: int, h: int, w: int, smooth_fetch):
             out = prev[y, x]
             return tuple(out[..., i] for i in range(4))
         i = jnp.clip(jnp.asarray(idx, jnp.int32), 0, sz - 1)
-        return tex[i]
+        v = tex[i]
+        return (v, jnp.zeros_like(v), jnp.zeros_like(v), jnp.ones_like(v))
 
     def ivec2(x, y):
         return (jnp.asarray(x, jnp.int32), jnp.asarray(y, jnp.int32))

@@ -56,6 +56,8 @@ class Context:
     user_dir: Path | None = None     # ':' root (cfd)
     on_request: Callable[[str, list[str], str, int], None] | None = None
     defines: dict[str, str] = field(default_factory=dict)
+    # function-like macros (shader preprocessing only): name -> (params, body)
+    fn_macros: dict[str, tuple[list[str], str]] = field(default_factory=dict)
     expand_symbols: tuple[str, ...] = DEFAULT_EXPAND_SYMBOLS
     visited: list[str] = field(default_factory=list)  # processed file names
 
@@ -201,7 +203,16 @@ def process_text(
                 raise PreprocessError(fname, ln, "No arguments provided to #define directive!")
             name, paren, value = dm.groups()
             if paren == "(":
-                continue  # function-like macro: skipped (glsl_ext.c:687-689)
+                # function-like macro: recorded for the shader
+                # interpreter's expansion (the reference's own
+                # preprocessor leaves these to the GLSL compiler,
+                # glsl_ext.c:687-689)
+                pm = re.match(r"\(([^)]*)\)\s*(.*)$", "(" + value, re.S)
+                if pm:
+                    params = [p.strip() for p in pm.group(1).split(",")
+                              if p.strip()]
+                    ctx.fn_macros[name] = (params, pm.group(2).strip())
+                continue
             ctx.defines[name] = value
             continue
 
@@ -383,6 +394,13 @@ def preprocess_shader_source(
                 name, paren, value = dm.groups()
                 if paren != "(":
                     ctx.defines[name] = value
+                else:
+                    # function-like macro: NAME(a, b) body
+                    pm = re.match(r"\(([^)]*)\)\s*(.*)$", "(" + value, re.S)
+                    if pm:
+                        params = [p.strip() for p in pm.group(1).split(",")
+                                  if p.strip()]
+                        ctx.fn_macros[name] = (params, pm.group(2).strip())
         elif word == "undef":
             ctx.defines.pop(rest.split()[0] if rest else "", None)
         elif word == "include":
@@ -408,4 +426,54 @@ def preprocess_shader_source(
             if args and ctx.on_request is not None:
                 ctx.on_request(args[0], args[1:], fname, ln)
         # #version / #line / unknown directives: dropped
-    return "\n".join(out)
+    result = "\n".join(out)
+    if ctx.fn_macros:
+        result = expand_function_macros(result, ctx.fn_macros)
+    return result
+
+
+def expand_function_macros(text: str, fn_macros: dict,
+                           max_depth: int = 8) -> str:
+    """Textual expansion of function-like macros (C-preprocessor style:
+    parameters substituted at identifier boundaries, arguments split on
+    top-level commas, balanced parentheses)."""
+    for _ in range(max_depth):
+        changed = False
+        for name, (params, mbody) in fn_macros.items():
+            pat = re.compile(rf"\b{re.escape(name)}\s*\(")
+            pos = 0
+            while True:
+                m = pat.search(text, pos)
+                if not m:
+                    break
+                # balanced-paren argument scan
+                depth, i = 1, m.end()
+                args, start = [], m.end()
+                while i < len(text) and depth:
+                    c = text[i]
+                    if c == "(":
+                        depth += 1
+                    elif c == ")":
+                        depth -= 1
+                        if depth == 0:
+                            args.append(text[start:i])
+                    elif c == "," and depth == 1:
+                        args.append(text[start:i])
+                        start = i + 1
+                    i += 1
+                if depth:
+                    break  # unbalanced; leave as-is
+                args = [a.strip() for a in args]
+                if len(params) != len([a for a in args if a != ""]) and \
+                        not (not params and args == [""]):
+                    pos = m.end()
+                    continue
+                body = mbody
+                for p, a in zip(params, args):
+                    body = re.sub(rf"\b{re.escape(p)}\b", f"({a})", body)
+                text = text[:m.start()] + "(" + body + ")" + text[i:]
+                pos = m.start() + 1
+                changed = True
+        if not changed:
+            return text
+    return text

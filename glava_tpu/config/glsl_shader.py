@@ -238,6 +238,44 @@ class ParsedShader:
     pixel_center_integer: bool
 
 
+_FUNC_DEF = re.compile(
+    r"\b(?:float|int|bool|void|vec2|vec3|vec4|highp|lowp|mediump)\s+"
+    r"(\w+)\s*\(([^)]*)\)\s*\{"
+)
+
+
+def _strip_functions(text: str) -> str:
+    """Remove GLSL function *definitions* other than main().
+
+    Utility includes (util/smooth.glsl etc.) define helpers the
+    interpreter provides as builtins; their bodies are skipped so the
+    subset parser never sees them. Calls to functions that are neither
+    builtins nor macros fail with an unknown-function error.
+    """
+    out = []
+    i = 0
+    while True:
+        m = _FUNC_DEF.search(text, i)
+        if not m:
+            out.append(text[i:])
+            break
+        if m.group(1) == "main":
+            out.append(text[i:m.end()])
+            i = m.end()
+            continue
+        out.append(text[i:m.start()])
+        depth = 1
+        j = m.end()
+        while j < len(text) and depth:
+            if text[j] == "{":
+                depth += 1
+            elif text[j] == "}":
+                depth -= 1
+            j += 1
+        i = j
+    return "".join(out)
+
+
 def _strip_directives(text: str) -> str:
     """Remove remaining preprocessor lines and declarations the
     interpreter handles out-of-band (uniform/in/out declarations)."""
@@ -268,6 +306,7 @@ def parse_shader(text: str) -> ParsedShader:
     uniforms, transforms, pci = decls.uniforms, decls.transforms, \
         decls.pixel_center_integer
 
+    text = _strip_functions(text)
     m = re.search(r"void\s+main\s*\(\s*\)\s*", text)
     if not m:
         raise ShaderError("no `void main()` found")

@@ -418,9 +418,16 @@ def preprocess_shader_source(
                     if alt.is_file():
                         path = alt
                 if path is not None and path.is_file():
-                    # defines/requests only; function bodies are builtins
-                    process_text(path.read_text(), ctx, fname=str(path),
-                                 current_dir=path.parent)
+                    # recursive: defines/requests accumulate on ctx and
+                    # the resolved text is inlined (GLSL function
+                    # definitions inside are later skipped by the body
+                    # parser; their calls bind to interpreter builtins)
+                    inlined = preprocess_shader_source(
+                        path.read_text(), ctx, fname=str(path),
+                        current_dir=path.parent,
+                    )
+                    if inlined.strip():
+                        out.append(inlined)
         elif word == "request":
             args = tokenize_args(rest)
             if args and ctx.on_request is not None:

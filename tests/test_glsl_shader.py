@@ -199,3 +199,43 @@ def test_reference_wave_shaders_verbatim(tmp_path):
     a, b = np.asarray(frame_i), np.asarray(frame_n)
     assert (a[..., 3] > 0).mean() > 0.3  # real content
     np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+@pytest.mark.skipif(not __import__("pathlib").Path(REF).is_dir(),
+                    reason="reference shader tree not available")
+def test_reference_bars_shaders_verbatim(tmp_path):
+    """The reference's own bars/1.frag + bars/2.frag (includes of
+    @bars.glsl/util/smooth.glsl, smooth_f() macro, channel split,
+    outline logic) run unmodified and match our native bars module
+    exactly."""
+    import shutil
+
+    mod = tmp_path / "bars"
+    mod.mkdir()
+    shutil.copy(f"{REF}/bars/1.frag", mod / "1.frag")
+    shutil.copy(f"{REF}/bars/2.frag", mod / "2.frag")
+    (tmp_path / "rc.glsl").write_text(
+        "#request mod bars\n#request setgeometry 0 0 192 128\n"
+        "#request setbufsize 1024\n#request setsamplesize 256\n"
+        "#request setprintframes false\n"
+    )
+    lc_i = loader.load(user_dir=tmp_path, system_dir=REF)
+    assert "bars" in lc_i.module_overrides
+    lc_n = loader.load(
+        cli_requests=("setgeometry 0 0 192 128", "setbufsize 1024",
+                      "setsamplesize 256", "setprintframes false"),
+        force_module="bars", system_dir=REF,
+    )
+    ri, rn = Renderer(lc_i), Renderer(lc_n)
+    rng = np.random.default_rng(0)
+    snap = jnp.asarray(rng.standard_normal((2, 1024)).astype(np.float32) * 0.3)
+    si, sn = ri.init_state(), rn.init_state()
+    fi, fn = ri.jit_step(), rn.jit_step()
+    for _ in range(6):
+        si, frame_i = fi(si, snap, True, np.float32(0.0), np.float32(1.0),
+                         np.float32(0.05), {})
+        sn, frame_n = fn(sn, snap, True, np.float32(0.0), np.float32(1.0),
+                         np.float32(0.05), {})
+    a, b = np.asarray(frame_i), np.asarray(frame_n)
+    assert (a[..., 3] > 0).mean() > 0.1
+    np.testing.assert_allclose(a, b, atol=1e-6)

@@ -78,6 +78,7 @@ class If:
 
 @dataclass
 class Return:
+    expr: list | None = None   # value returns allowed in helper functions
     line: int = 0
 
 
@@ -163,8 +164,9 @@ class _StmtParser:
         if v == "return":
             self.next()
             if self.peek()[1] != ";":
-                raise ShaderError("`return <value>` is not valid in a "
-                                  "fragment shader main()")
+                expr = self.collect_expr(stops=(";",))
+                self.expect(";")
+                return Return(expr=expr)
             self.expect(";")
             return Return()
         if v in ("for", "while", "do"):
@@ -212,11 +214,60 @@ class _StmtParser:
                 op = self.next()[1]
                 expr = self.collect_expr(stops=(";",))
                 self.expect(";")
-                return Assign(name, swiz, op, expr)
+                return self._maybe_assign_expr(Assign(name, swiz, op, expr))
             self.pos = save
         expr = self.collect_expr(stops=(";",))
         self.expect(";")
+        inner = self._inner_assignment(expr)
+        if inner is not None:
+            return inner
         return ExprStmt(expr)
+
+    @staticmethod
+    def _whole_paren(t) -> bool:
+        if not (t and t[0][1] == "(" and t[-1][1] == ")"):
+            return False
+        depth = 0
+        for i, (_, v) in enumerate(t):
+            if v == "(":
+                depth += 1
+            elif v == ")":
+                depth -= 1
+                if depth == 0 and i != len(t) - 1:
+                    return False
+        return True
+
+    def _inner_assignment(self, toks):
+        """`( [(]ident[)] [.swz] = expr )` as a statement — the
+        expansion shapes of the reference's APPLY_FRAG(f, c) macro
+        (radial/1.frag:35, args are paren-wrapped on expansion)."""
+        t = [x for x in toks if x[0] != "end"]
+        while self._whole_paren(t):
+            inner = t[1:-1]
+            # collapse parens around a bare lvalue: `( ident ) = ...`
+            if len(inner) >= 3 and inner[0][1] == "(" \
+                    and inner[1][0] == "ident" and inner[2][1] == ")":
+                inner = [inner[1]] + inner[3:]
+            if inner and inner[0][0] == "ident":
+                if len(inner) > 1 and inner[1][1] == "=":
+                    return Assign(inner[0][1], None, "=",
+                                  inner[2:] + [("end", "")])
+                if len(inner) > 3 and inner[1][1] == "." \
+                        and inner[2][0] == "ident" and inner[3][1] == "=":
+                    return Assign(inner[0][1], inner[2][1], "=",
+                                  inner[4:] + [("end", "")])
+            t = inner
+        return None
+
+    def _maybe_assign_expr(self, a: Assign):
+        """`x = (y = expr);` -> `y = expr; x = y;`"""
+        inner = self._inner_assignment(a.expr)
+        if inner is not None and a.op == "=":
+            return If([("ident", "true"), ("end", "")],
+                      [inner,
+                       Assign(a.target, a.swizzle, "=",
+                              [("ident", inner.target), ("end", "")])])
+        return a
 
 
 # ---------------------------------------------------------------------------
@@ -231,11 +282,22 @@ _PIXEL_CENTER = re.compile(r"layout\s*\(\s*pixel_center_integer\s*\)")
 
 
 @dataclass
+class FuncDef:
+    """A helper function (statements + optional tail value return)."""
+
+    name: str
+    params: list[str]
+    body: list
+
+
+@dataclass
 class ParsedShader:
     uniforms: list[tuple[str, str]]            # (source, uniform name)
     transforms: dict[str, list[str]]           # uniform name -> chain
-    body: list                                  # statement AST
+    body: list                                  # main() statement AST
     pixel_center_integer: bool
+    funcs: dict[str, FuncDef] = field(default_factory=dict)
+    pre_body: list = field(default_factory=list)  # file-scope declarations
 
 
 _FUNC_DEF = re.compile(
@@ -243,15 +305,25 @@ _FUNC_DEF = re.compile(
     r"(\w+)\s*\(([^)]*)\)\s*\{"
 )
 
+# helpers provided as interpreter builtins: their GLSL definitions
+# (from inlined utility includes) are discarded
+_BUILTIN_NAMES = {"smooth_audio", "smooth_audio_adj", "scale_audio",
+                  "iscale_audio"}
 
-def _strip_functions(text: str) -> str:
-    """Remove GLSL function *definitions* other than main().
 
-    Utility includes (util/smooth.glsl etc.) define helpers the
-    interpreter provides as builtins; their bodies are skipped so the
-    subset parser never sees them. Calls to functions that are neither
-    builtins nor macros fail with an unknown-function error.
-    """
+def _param_names(sig: str) -> list[str]:
+    names = []
+    for part in sig.split(","):
+        toks = part.strip().split()
+        if toks:
+            names.append(toks[-1])
+    return names
+
+
+def extract_functions(text: str) -> tuple[dict[str, FuncDef], str]:
+    """Pull helper-function definitions out of the source (parsed into
+    executable FuncDefs unless they shadow interpreter builtins)."""
+    funcs: dict[str, FuncDef] = {}
     out = []
     i = 0
     while True:
@@ -272,8 +344,13 @@ def _strip_functions(text: str) -> str:
             elif text[j] == "}":
                 depth -= 1
             j += 1
+        name = m.group(1)
+        if name not in _BUILTIN_NAMES:
+            body_text = "{" + text[m.end():j]
+            body = _StmtParser(tokenize(body_text)).parse_block()
+            funcs[name] = FuncDef(name, _param_names(m.group(2)), body)
         i = j
-    return "".join(out)
+    return funcs, "".join(out)
 
 
 def _strip_directives(text: str) -> str:
@@ -306,15 +383,18 @@ def parse_shader(text: str) -> ParsedShader:
     uniforms, transforms, pci = decls.uniforms, decls.transforms, \
         decls.pixel_center_integer
 
-    text = _strip_functions(text)
+    funcs, text = extract_functions(text)
     m = re.search(r"void\s+main\s*\(\s*\)\s*", text)
     if not m:
         raise ShaderError("no `void main()` found")
+    # file-scope declarations before main() (e.g. graph/1.frag:83-85)
+    pre_text = _strip_directives(text[: m.start()]).strip()
+    pre_body = []
+    if pre_text:
+        pre_body = _StmtParser(tokenize("{" + pre_text + "}")).parse_block()
     rest = _strip_directives(text[m.end():])
-    toks = tokenize(rest)
-    parser = _StmtParser(toks)
-    body = parser.parse_block()
-    return ParsedShader(uniforms, transforms, body, pci)
+    body = _StmtParser(tokenize(rest)).parse_block()
+    return ParsedShader(uniforms, transforms, body, pci, funcs, pre_body)
 
 
 # ---------------------------------------------------------------------------
@@ -337,6 +417,41 @@ class _Exec:
         self.h, self.w = h, w
         jnp = _jnp()
         self.mask = jnp.ones((h, w), bool)
+        self._frames: list[dict] = []  # function scopes: name -> (had, old)
+
+    def call_function(self, fdef: FuncDef, args) -> Any:
+        """Execute a helper function inline under the current pixel mask.
+
+        GLSL scoping: params/locals shadow and are restored afterwards;
+        writes to outer names (e.g. `fragment`) persist. A value
+        `return` is supported as the final statement only."""
+        env = self.env
+        frame: dict = {}
+        self._frames.append(frame)
+        try:
+            for p, a in zip(fdef.params, args):
+                if p not in frame:
+                    frame[p] = (p in env.variables, env.variables.get(p))
+                env.variables[p] = a
+            body = fdef.body
+            if body and isinstance(body[-1], Return) and body[-1].expr is not None:
+                self.run(body[:-1])
+                return self._eval(body[-1].expr)
+            self.run(body)
+            return None
+        finally:
+            frame = self._frames.pop()
+            for name, (had, old) in frame.items():
+                if had:
+                    env.variables[name] = old
+                else:
+                    env.variables.pop(name, None)
+
+    def bind_functions(self, funcs: dict) -> None:
+        for fname, fdef in funcs.items():
+            self.env.functions[fname] = (
+                lambda *a, f=fdef: self.call_function(f, a)
+            )
 
     def _eval(self, toks) -> Any:
         return glsl_expr._Parser(list(toks), self.env).parse()
@@ -372,6 +487,11 @@ class _Exec:
         if isinstance(stmt, Decl):
             for name, init in stmt.names:
                 val = self._eval(init) if init is not None else 0.0
+                if self._frames:  # function locals: save the shadowed value
+                    frame = self._frames[-1]
+                    if name not in frame:
+                        frame[name] = (name in self.env.variables,
+                                       self.env.variables.get(name))
                 # declarations introduce the name unconditionally
                 self.env.variables[name] = val
         elif isinstance(stmt, Assign):
@@ -415,6 +535,16 @@ class _Exec:
             self.run(stmt.other)
             self.mask = then_mask | self.mask
         elif isinstance(stmt, Return):
+            if stmt.expr is not None:
+                raise ShaderError(
+                    "a value `return` is only supported as a helper "
+                    "function's final statement"
+                )
+            if self._frames:
+                raise ShaderError(
+                    "early `return` inside helper functions is not "
+                    "supported — restructure with if/else"
+                )
             self.mask = self.mask & False
         elif isinstance(stmt, ExprStmt):
             self._eval(stmt.expr)
@@ -467,10 +597,15 @@ def make_builtins(prev, sz: int, h: int, w: int, smooth_fetch):
                 raise ShaderError("`prev` sampled but this is the first pass")
             if not isinstance(idx, tuple) or len(idx) != 2:
                 raise ShaderError("texelFetch on prev needs ivec2")
-            x = jnp.clip(jnp.asarray(idx[0], jnp.int32), 0, w - 1)
-            y = jnp.clip(jnp.asarray(idx[1], jnp.int32), 0, h - 1)
+            xi = jnp.asarray(idx[0], jnp.int32)
+            yi = jnp.asarray(idx[1], jnp.int32)
+            inside = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+            x = jnp.clip(xi, 0, w - 1)
+            y = jnp.clip(yi, 0, h - 1)
             out = prev[y, x]
-            return tuple(out[..., i] for i in range(4))
+            # out-of-bounds texelFetch reads transparent black (the
+            # robust-access behavior the GL path exhibits)
+            return tuple(jnp.where(inside, out[..., i], 0.0) for i in range(4))
         i = jnp.clip(jnp.asarray(idx, jnp.int32), 0, sz - 1)
         v = tex[i]
         return (v, jnp.zeros_like(v), jnp.zeros_like(v), jnp.ones_like(v))

@@ -110,10 +110,14 @@ def _build(name: str, files: list[Path], ctx: base.ModuleContext,
     for f in files:
         raw = f.read_text()
         parsed = parse_declarations(raw)
+        # collect uniform declarations made during preprocessing too —
+        # included files may bind uniforms (e.g. util/premultiply.frag
+        # binds `prev`); other requests are frozen at this point
+        reqs: list[tuple[str, list[str]]] = []
         pctx = preprocessor.Context(
             system_dir=Path(system_dir) if system_dir else None,
             user_dir=Path(user_dir) if user_dir else None,
-            on_request=lambda *a: None,  # config is frozen at build time
+            on_request=lambda n, a, _f, _l: reqs.append((n, list(a))),
             defines=dict(ctx.env.defines),
         )
         # builtin macro environment (_CHANNELS etc.) for #if evaluation
@@ -126,14 +130,25 @@ def _build(name: str, files: list[Path], ctx: base.ModuleContext,
             )
         except preprocessor.StageDisabledDirective:
             continue
-        body = parse_shader(text).body
+        program = parse_shader(text)
+        seen = set()
+        uniforms = []
+        for n, a in reqs:
+            if n == "uniform" and len(a) >= 2 and a[1] not in seen:
+                uniforms.append((a[0], a[1]))
+                seen.add(a[1])
+        for src, uname in parsed.uniforms:
+            if uname not in seen:
+                uniforms.append((src, uname))
+                seen.add(uname)
+        parsed.uniforms = uniforms
 
         xs, ys = base.frag_coords(w, h, parsed.pixel_center_integer)
         x2d = jnp.asarray(xs.astype(np.float32))[None, :]
         y2d = jnp.asarray(ys.astype(np.float32))[:, None]
         defines = dict(pctx.defines)
 
-        def make_pass(body=body, parsed=parsed, defines=defines,
+        def make_pass(program=program, parsed=parsed, defines=defines,
                       x2d=x2d, y2d=y2d):
             def pass_fn(inputs: base.PassInputs):
                 textures = {}
@@ -163,7 +178,9 @@ def _build(name: str, files: list[Path], ctx: base.ModuleContext,
                     functions=builtins,
                 )
                 ex = _Exec(env, h, w)
-                ex.run(body)
+                ex.bind_functions(program.funcs)
+                ex.run(program.pre_body)
+                ex.run(program.body)
                 frag = env.variables.get("fragment", (0.0, 0.0, 0.0, 0.0))
                 arr = glsl_expr.to_rgba(frag)
                 return jnp.broadcast_to(arr, (h, w, 4)).astype(jnp.float32)

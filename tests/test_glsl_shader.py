@@ -239,3 +239,57 @@ def test_reference_bars_shaders_verbatim(tmp_path):
     a, b = np.asarray(frame_i), np.asarray(frame_n)
     assert (a[..., 3] > 0).mean() > 0.1
     np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def _compare_verbatim(tmp_path, module, screen, nframes=5):
+    import glob
+    import shutil
+
+    mod = tmp_path / module
+    mod.mkdir()
+    for f in sorted(glob.glob(f"{REF}/{module}/*.frag")):
+        shutil.copy(f, mod)
+    (tmp_path / "rc.glsl").write_text(
+        f"#request mod {module}\n"
+        f"#request setgeometry 0 0 {screen[0]} {screen[1]}\n"
+        "#request setbufsize 1024\n#request setsamplesize 256\n"
+        "#request setprintframes false\n"
+    )
+    lc_i = loader.load(user_dir=tmp_path, system_dir=REF)
+    lc_n = loader.load(
+        cli_requests=(f"setgeometry 0 0 {screen[0]} {screen[1]}",
+                      "setbufsize 1024", "setsamplesize 256",
+                      "setprintframes false"),
+        force_module=module, system_dir=REF,
+    )
+    ri, rn = Renderer(lc_i), Renderer(lc_n)
+    rng = np.random.default_rng(0)
+    snap = jnp.asarray(rng.standard_normal((2, 1024)).astype(np.float32) * 0.3)
+    si, sn = ri.init_state(), rn.init_state()
+    fi, fn = ri.jit_step(), rn.jit_step()
+    for _ in range(nframes):
+        si, a = fi(si, snap, True, np.float32(0.0), np.float32(1.0),
+                   np.float32(0.05), {})
+        sn, b = fn(sn, snap, True, np.float32(0.0), np.float32(1.0),
+                   np.float32(0.05), {})
+    return np.asarray(a), np.asarray(b)
+
+
+@pytest.mark.skipif(not __import__("pathlib").Path(REF).is_dir(),
+                    reason="reference shader tree not available")
+@pytest.mark.parametrize("module,screen,px_tol", [
+    ("radial", (300, 300), 0.0),   # user functions via macros: exact
+    ("circle", (300, 300), 0.001),  # f32-vs-f64 boundary rounding
+    ("graph", (192, 128), 0.02),
+])
+def test_reference_modules_verbatim(tmp_path, module, screen, px_tol):
+    """Every remaining reference module (radial's APPLY_FRAG
+    assignment-macros, circle/graph helper functions and file-scope
+    globals) runs unmodified through the interpreter. Tolerances cover
+    f32-traced vs f64-precomputed edge rounding at bar/slope
+    boundaries."""
+    a, b = _compare_verbatim(tmp_path, module, screen)
+    assert (a[..., 3] > 0).any()
+    assert abs((a[..., 3] > 0).mean() - (b[..., 3] > 0).mean()) < 2e-3
+    frac = (np.abs(a - b).max(axis=-1) > 1 / 255).mean()
+    assert frac <= px_tol, f"{frac:.4%} pixels deviate"

@@ -254,3 +254,47 @@ def test_profiling_utils(tmp_path):
     for v in (5, 1, 3, 2, 4):
         lt.record(v)
     assert lt.percentile(50) in (2, 3)
+
+
+def test_cli_parser_surface():
+    """The reference flag surface parses (glava.c:216-234 parity)."""
+    from glava_tpu.cli import build_parser
+
+    p = build_parser()
+    a = p.parse_args([
+        "-v", "-d", "-r", "setframerate 30", "-r", "setmirror true",
+        "-m", "graph", "-e", "custom.glsl", "-a", "synth",
+        "-p", "fg", "-p", "amp:float", "--stdin", "vec4",
+        "--sink", "null", "--frames", "10", "--size", "640x360",
+    ])
+    assert a.verbose and a.desktop
+    assert a.request == ["setframerate 30", "setmirror true"]
+    assert a.force_mod == "graph" and a.entry == "custom.glsl"
+    assert [b.stype for b in a.pipe] == ["vec4", "float"]
+    assert a.stdin == "vec4"
+    assert a.frames == 10 and a.size == "640x360"
+
+
+def test_engine_memory_stability():
+    """No unbounded growth across a few hundred frames."""
+    import gc
+    import resource
+
+    eng = Engine(EngineOptions(audio_backend="synth", screen=(48, 32),
+                               requests=("setprintframes false",
+                                         "setbufsize 1024",
+                                         "setsamplesize 256")),
+                 sink=sinks.NullSink())
+    eng.run(max_frames=50)  # warm caches
+    gc.collect()
+    rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    eng2 = Engine(EngineOptions(audio_backend="synth", screen=(48, 32),
+                                requests=("setprintframes false",
+                                          "setbufsize 1024",
+                                          "setsamplesize 256")),
+                  sink=sinks.NullSink())
+    eng2.run(max_frames=400)
+    gc.collect()
+    rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    # ru_maxrss is a high-water mark; allow modest growth only
+    assert rss1 - rss0 < 200_000, f"RSS grew {rss1 - rss0} KiB"

@@ -64,6 +64,10 @@ def _load():
         lib.gt_fifo_running.restype = ctypes.c_int
         lib.gt_fifo_running.argtypes = [ctypes.c_void_p]
         lib.gt_fifo_stop.argtypes = [ctypes.c_void_p]
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.gt_rgba_to_yuv444.argtypes = [
+            u8p, ctypes.c_size_t, ctypes.c_size_t, u8p, u8p, u8p,
+        ]
         _lib = lib
         return _lib
 
@@ -123,6 +127,25 @@ class NativeRing:
             self.close()
         except Exception:
             pass
+
+
+def rgba_to_yuv444(frame: np.ndarray) -> tuple[np.ndarray, ...] | None:
+    """Native RGBA8 (bottom-up) -> planar YUV444 (top-down) for the y4m
+    sink; None when the native lib is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    h, w = frame.shape[:2]
+    frame = np.ascontiguousarray(frame, np.uint8)
+    y = np.empty((h, w), np.uint8)
+    u = np.empty((h, w), np.uint8)
+    v = np.empty((h, w), np.uint8)
+
+    def p(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+    lib.gt_rgba_to_yuv444(p(frame), w, h, p(y), p(u), p(v))
+    return y, u, v
 
 
 class NativeFifoReader:

@@ -259,3 +259,35 @@ void gt_fifo_stop(FifoReader* fr) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Frame IO helpers (streaming-sink hot path)
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// RGBA8 (bottom-up GL rows) -> planar YUV444 (top-down), BT.601 full
+// range — the y4m streaming sink's per-frame conversion. Plain loops;
+// the compiler vectorizes.
+void gt_rgba_to_yuv444(const uint8_t* rgba, size_t w, size_t h,
+                       uint8_t* y, uint8_t* u, uint8_t* v) {
+    for (size_t row = 0; row < h; ++row) {
+        const uint8_t* src = rgba + (h - 1 - row) * w * 4;  // flip
+        uint8_t* yp = y + row * w;
+        uint8_t* up = u + row * w;
+        uint8_t* vp = v + row * w;
+        for (size_t x = 0; x < w; ++x) {
+            float r = src[4 * x + 0];
+            float g = src[4 * x + 1];
+            float b = src[4 * x + 2];
+            float yy = 0.299f * r + 0.587f * g + 0.114f * b;
+            float uu = -0.168736f * r - 0.331264f * g + 0.5f * b + 128.0f;
+            float vv = 0.5f * r - 0.418688f * g - 0.081312f * b + 128.0f;
+            yp[x] = (uint8_t)(yy < 0 ? 0 : (yy > 255 ? 255 : yy + 0.5f));
+            up[x] = (uint8_t)(uu < 0 ? 0 : (uu > 255 ? 255 : uu + 0.5f));
+            vp[x] = (uint8_t)(vv < 0 ? 0 : (vv > 255 ? 255 : vv + 0.5f));
+        }
+    }
+}
+
+}  // extern "C"

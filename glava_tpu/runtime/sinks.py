@@ -109,20 +109,31 @@ class Y4MSink(FrameSink):
         self._wrote_header = False
 
     def submit(self, frame, time_s):
-        img = frame[::-1]  # top-down
-        h, w = img.shape[:2]
+        h, w = frame.shape[:2]
         if not self._wrote_header:
             self.fh.write(
                 f"YUV4MPEG2 W{w} H{h} F{self.fps}:1 Ip A1:1 C444\n".encode()
             )
             self._wrote_header = True
+        self.fh.write(b"FRAME\n")
+        # native conversion when available (glava_tpu/native/ring.cpp)
+        try:
+            from glava_tpu import native
+
+            planes = native.rgba_to_yuv444(frame)
+        except Exception:
+            planes = None
+        if planes is not None:
+            for plane in planes:
+                self.fh.write(plane.tobytes())
+            return
+        img = frame[::-1]  # top-down
         r = img[..., 0].astype(np.float32)
         g = img[..., 1].astype(np.float32)
         b = img[..., 2].astype(np.float32)
         yp = 0.299 * r + 0.587 * g + 0.114 * b
         u = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
         v = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-        self.fh.write(b"FRAME\n")
         for plane in (yp, u, v):
             self.fh.write(np.clip(plane, 0, 255).astype(np.uint8).tobytes())
 

@@ -106,3 +106,23 @@ def test_concurrent_push_snapshot_consistency():
     finally:
         stop.set()
         p.join()
+
+
+def test_rgba_to_yuv444_matches_python():
+    rng = np.random.default_rng(4)
+    frame = rng.integers(0, 256, size=(8, 12, 4), dtype=np.uint8)
+    planes = native.rgba_to_yuv444(frame)
+    assert planes is not None
+    img = frame[::-1]
+    r = img[..., 0].astype(np.float64)
+    g = img[..., 1].astype(np.float64)
+    b = img[..., 2].astype(np.float64)
+    want = [
+        0.299 * r + 0.587 * g + 0.114 * b,
+        -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+        0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+    ]
+    for got, w_ in zip(planes, want):
+        diff = np.abs(got.astype(np.int16)
+                      - np.clip(np.round(w_), 0, 255).astype(np.int16))
+        assert diff.max() <= 1  # float rounding

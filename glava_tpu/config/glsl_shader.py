@@ -169,6 +169,13 @@ class _StmtParser:
                 return Return(expr=expr)
             self.expect(";")
             return Return()
+        if v == "discard":
+            self.next()
+            self.expect(";")
+            # discard = emit nothing for this pixel and retire it
+            return If([("ident", "true"), ("end", "")],
+                      [Assign("fragment", None, "=",
+                              tokenize("vec4(0, 0, 0, 0)")), Return()])
         if v in ("for", "while", "do"):
             raise ShaderError(
                 f"`{v}` loops are not supported by the GLSL subset "

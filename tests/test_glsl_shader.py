@@ -293,3 +293,27 @@ def test_reference_modules_verbatim(tmp_path, module, screen, px_tol):
     assert abs((a[..., 3] > 0).mean() - (b[..., 3] > 0).mean()) < 2e-3
     frac = (np.abs(a - b).max(axis=-1) > 1 / 255).mean()
     assert frac <= px_tol, f"{frac:.4%} pixels deviate"
+
+
+def test_discard(tmp_path):
+    mod = tmp_path / "disc"
+    mod.mkdir()
+    (mod / "1.frag").write_text(
+        "in vec4 gl_FragCoord;\n"
+        '#request uniform "screen" screen\n'
+        "uniform ivec2 screen;\n"
+        "out vec4 fragment;\n"
+        "void main() {\n"
+        "  if (gl_FragCoord.x < screen.x / 2) discard;\n"
+        "  fragment = vec4(1, 0, 0, 1);\n"
+        "}\n"
+    )
+    (tmp_path / "rc.glsl").write_text(
+        "#request mod disc\n#request setgeometry 0 0 32 16\n"
+        "#request setbufsize 1024\n#request setsamplesize 256\n"
+        "#request setprintframes false\n"
+    )
+    lc = loader.load(user_dir=tmp_path)
+    f = _render(lc, n=2)
+    assert (f[:, :16, 3] == 0).all()   # discarded left half
+    assert (f[:, 16:, 0] == 1).all()   # red right half

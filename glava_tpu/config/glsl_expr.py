@@ -186,7 +186,7 @@ _TOKEN_RE = re.compile(
   | (?P<num>(\d+\.\d*|\.\d+|\d+)([eE][+-]?\d+)?[fF]?)
   | (?P<bind>@[A-Za-z_][A-Za-z0-9_]*:?)
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<op>\+=|-=|\*=|/=|==|!=|<=|>=|&&|\|\||[-+*/%(),.<>?:!={};])
+  | (?P<op>\+\+|--|\+=|-=|\*=|/=|==|!=|<=|>=|&&|\|\||[-+*/%(),.<>?:!={};])
     """,
     re.X,
 )

@@ -88,6 +88,19 @@ class ExprStmt:
     line: int = 0
 
 
+@dataclass
+class ForLoop:
+    """Static-bound counted loop, unrolled at execution time."""
+
+    var: str
+    start: list          # init expression tokens
+    cond_op: str         # '<' or '<='
+    bound: list          # bound expression tokens
+    step: list | None    # step expression tokens (None = 1)
+    body: list
+    line: int = 0
+
+
 _TYPES = ("float", "int", "bool", "vec2", "vec3", "vec4", "highp", "lowp",
           "mediump", "const")
 
@@ -176,11 +189,13 @@ class _StmtParser:
             return If([("ident", "true"), ("end", "")],
                       [Assign("fragment", None, "=",
                               tokenize("vec4(0, 0, 0, 0)")), Return()])
-        if v in ("for", "while", "do"):
+        if v == "for":
+            return self._parse_for()
+        if v in ("while", "do"):
             raise ShaderError(
                 f"`{v}` loops are not supported by the GLSL subset "
-                "interpreter — write this module in Python instead "
-                "(see docs/examples/vu_meter.py)"
+                "interpreter (bounds must be static) — write this "
+                "module in Python instead (docs/examples/vu_meter.py)"
             )
         if v in _TYPES:
             # declaration: type [precision] name [= expr] {, name [= expr]}
@@ -243,6 +258,48 @@ class _StmtParser:
                 if depth == 0 and i != len(t) - 1:
                     return False
         return True
+
+    def _parse_for(self):
+        """`for (TYPE i = a; i < b; i++/i += k) body` with bounds that
+        resolve to constants through the macro environment — unrolled
+        at execution."""
+        self.next()  # 'for'
+        self.expect("(")
+        while self.peek()[1] in _TYPES:
+            self.next()
+        k, var = self.next()
+        if k != "ident":
+            raise ShaderError("for-loop needs a simple counter variable")
+        self.expect("=")
+        start = self.collect_expr(stops=(";",))
+        self.expect(";")
+        k, cv = self.next()
+        if cv != var:
+            raise ShaderError("for-loop condition must test the counter")
+        op = self.next()[1]
+        if op not in ("<", "<="):
+            raise ShaderError(f"unsupported for-loop comparison '{op}'")
+        bound = self.collect_expr(stops=(";",))
+        self.expect(";")
+        # increment: i++ / ++i / i += k / i = i + k
+        step = None
+        inc = self.collect_expr(stops=(")",))
+        inc_t = [x for x in inc if x[0] != "end"]
+        vals = [x[1] for x in inc_t]
+        if vals in ([var, "++"], ["++", var]):
+            step = None
+        elif len(inc_t) >= 3 and vals[0] == var and vals[1] == "+=":
+            step = inc_t[2:] + [("end", "")]
+        elif len(inc_t) >= 5 and vals[:4] == [var, "=", var, "+"]:
+            step = inc_t[4:] + [("end", "")]
+        else:
+            raise ShaderError(
+                f"unsupported for-loop increment {' '.join(vals)!r}"
+            )
+        self.expect(")")
+        body = (self.parse_block() if self.peek()[1] == "{"
+                else [self.parse_stmt()])
+        return ForLoop(var, start, op, bound, step, body)
 
     def _inner_assignment(self, toks):
         """`( [(]ident[)] [.swz] = expr )` as a statement — the
@@ -555,8 +612,49 @@ class _Exec:
             self.mask = self.mask & False
         elif isinstance(stmt, ExprStmt):
             self._eval(stmt.expr)
+        elif isinstance(stmt, ForLoop):
+            self._for_loop(stmt)
         else:  # pragma: no cover
             raise ShaderError(f"unknown statement {stmt!r}")
+
+    _MAX_UNROLL = 4096
+
+    def _for_loop(self, stmt: ForLoop) -> None:
+        def concrete(toks, what):
+            v = self._eval(toks)
+            if _np_like_val(v):
+                raise ShaderError(
+                    f"for-loop {what} must be a compile-time constant "
+                    "(macro/knob expression), not per-pixel data"
+                )
+            return float(v)
+
+        i = concrete(stmt.start, "start")
+        bound = concrete(stmt.bound, "bound")
+        step = concrete(stmt.step, "step") if stmt.step is not None else 1.0
+        if step <= 0:
+            raise ShaderError("for-loop step must be positive")
+        count = 0
+        env = self.env
+        frame = self._frames[-1] if self._frames else None
+        had = stmt.var in env.variables
+        old = env.variables.get(stmt.var)
+        try:
+            while (i < bound if stmt.cond_op == "<" else i <= bound):
+                if count >= self._MAX_UNROLL:
+                    raise ShaderError(
+                        f"for-loop exceeds {self._MAX_UNROLL} iterations"
+                    )
+                env.variables[stmt.var] = i
+                self.run(stmt.body)
+                i += step
+                count += 1
+        finally:
+            if frame is None or stmt.var not in frame:
+                if had:
+                    env.variables[stmt.var] = old
+                else:
+                    env.variables.pop(stmt.var, None)
 
     @staticmethod
     def _component(val, swizzle):
@@ -566,6 +664,12 @@ class _Exec:
         if len(idxs) == 1:
             return val[idxs[0]]
         return tuple(val[i] for i in idxs)
+
+
+def _np_like_val(x) -> bool:
+    return hasattr(x, "shape") and getattr(x, "ndim", 0) != 0 or (
+        hasattr(x, "aval")  # traced scalar
+    )
 
 
 def _bin(a, b, op):

@@ -128,7 +128,7 @@ def test_loops_raise_clear_error(tmp_path):
     mod.mkdir()
     (mod / "1.frag").write_text(
         "out vec4 fragment;\nvoid main() {\n"
-        "  for (int i = 0; i < 4; i++) { }\n  fragment = vec4(1);\n}\n"
+        "  while (1 > 0) { }\n  fragment = vec4(1);\n}\n"
     )
     (tmp_path / "rc.glsl").write_text(
         "#request mod bad\n#request setgeometry 0 0 32 32\n"
@@ -317,3 +317,55 @@ def test_discard(tmp_path):
     f = _render(lc, n=2)
     assert (f[:, :16, 3] == 0).all()   # discarded left half
     assert (f[:, 16:, 0] == 1).all()   # red right half
+
+
+def test_static_for_loop_unrolls(tmp_path):
+    """Counted loops with knob bounds unroll (community glow-shader
+    pattern)."""
+    mod = tmp_path / "glow"
+    mod.mkdir()
+    (mod / "1.frag").write_text(
+        "in vec4 gl_FragCoord;\n"
+        '#request uniform "screen" screen\n'
+        "uniform ivec2 screen;\n"
+        "out vec4 fragment;\n"
+        "#define TAPS 4\n"
+        "void main() {\n"
+        "  float acc = 0.0;\n"
+        "  for (int i = 0; i < TAPS; i++) {\n"
+        "    acc += 0.25;\n"
+        "  }\n"
+        "  fragment = vec4(acc, 0, 0, 1);\n"
+        "}\n"
+    )
+    (tmp_path / "rc.glsl").write_text(
+        "#request mod glow\n#request setgeometry 0 0 8 8\n"
+        "#request setbufsize 1024\n#request setsamplesize 256\n"
+        "#request setprintframes false\n"
+    )
+    lc = loader.load(user_dir=tmp_path)
+    f = _render(lc, n=1)
+    np.testing.assert_allclose(f[..., 0], 1.0, atol=1e-6)
+
+
+def test_for_loop_dynamic_bound_rejected(tmp_path):
+    mod = tmp_path / "bad2"
+    mod.mkdir()
+    (mod / "1.frag").write_text(
+        "in vec4 gl_FragCoord;\n"
+        '#request uniform "audio_sz" audio_sz\n'
+        "uniform int audio_sz;\n"
+        "out vec4 fragment;\n"
+        "void main() {\n"
+        "  for (int i = 0; i < gl_FragCoord.x; i++) { }\n"
+        "  fragment = vec4(1);\n"
+        "}\n"
+    )
+    (tmp_path / "rc.glsl").write_text(
+        "#request mod bad2\n#request setgeometry 0 0 8 8\n"
+        "#request setbufsize 1024\n#request setsamplesize 256\n"
+        "#request setprintframes false\n"
+    )
+    lc = loader.load(user_dir=tmp_path)
+    with pytest.raises(Exception, match="compile-time constant"):
+        _render(lc, n=1)

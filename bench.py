@@ -93,56 +93,66 @@ def main() -> None:
     total_fps = S / per_frame
 
     # ---- BASELINE config #2: radial @1080p, 44.1 kHz ----------------------
-    lc2 = loader.load(
-        cli_requests=("setgeometry 0 0 1920 1080", "setsamplerate 44100",
-                      "setprintframes false"),
-        force_module="radial",
-    )
-    r2 = Renderer(lc2)
-    rng = np.random.default_rng(0)
-    snap2 = jnp.asarray(
-        rng.standard_normal((2, lc2.cfg.bufsize)).astype(np.float32) * 0.3
-    )
-    g2 = jnp.float32(lc2.cfg.gravity_step / lc2.cfg.nominal_ups)
+    # Optional sections never break the headline JSON line the driver
+    # consumes.
+    radial_fps = None
+    try:
+        lc2 = loader.load(
+            cli_requests=("setgeometry 0 0 1920 1080", "setsamplerate 44100",
+                          "setprintframes false"),
+            force_module="radial",
+        )
+        r2 = Renderer(lc2)
+        rng = np.random.default_rng(0)
+        snap2 = jnp.asarray(
+            rng.standard_normal((2, lc2.cfg.bufsize)).astype(np.float32) * 0.3
+        )
+        g2 = jnp.float32(lc2.cfg.gravity_step / lc2.cfg.nominal_ups)
 
-    def radial_frames(state, snap, g):
-        def body(s, _):
-            s, _fr = r2.step(s, snap, True, jnp.float32(0.1),
+        def radial_frames(state, snap, g):
+            def body(s, _):
+                s, _fr = r2.step(s, snap, True, jnp.float32(0.1),
+                                 jnp.float32(1.0), g, {})
+                return s, None
+
+            state, _ = jax.lax.scan(body, state, None, length=15)
+            s2, fr = r2.step(state, snap, True, jnp.float32(0.1),
                              jnp.float32(1.0), g, {})
-            return s, None
+            return s2, jnp.clip(jnp.round(fr * 255.0), 0, 255).astype(jnp.uint8)
 
-        state, _ = jax.lax.scan(body, state, None, length=15)
-        s2, fr = r2.step(state, snap, True, jnp.float32(0.1),
-                         jnp.float32(1.0), g, {})
-        return s2, jnp.clip(jnp.round(fr * 255.0), 0, 255).astype(jnp.uint8)
-
-    fr_fn = jax.jit(radial_frames, donate_argnums=(0,))
-    st2 = r2.init_state()
-    st2, frame2 = fr_fn(st2, snap2, g2)
-    jax.block_until_ready(frame2)
-    t0 = time.perf_counter()
-    for _ in range(5):
+        fr_fn = jax.jit(radial_frames, donate_argnums=(0,))
+        st2 = r2.init_state()
         st2, frame2 = fr_fn(st2, snap2, g2)
-    jax.block_until_ready(frame2)
-    radial_fps = 5 * 16 / (time.perf_counter() - t0)
+        jax.block_until_ready(frame2)
+        t0 = time.perf_counter()
+        for _ in range(5):
+            st2, frame2 = fr_fn(st2, snap2, g2)
+        jax.block_until_ready(frame2)
+        radial_fps = 5 * 16 / (time.perf_counter() - t0)
+    except Exception as e:
+        print(f"radial bench skipped: {e}", file=__import__("sys").stderr)
 
     # ---- p50 PCM->frame latency (single stream, single dispatch) --------
-    r1 = Renderer(lc)
-    st1 = r1.init_state()
-    step1 = r1.jit_step()
-    snap = np.asarray(ex["audio"][0])
-    g = np.float32(lc.cfg.gravity_step / lc.cfg.nominal_ups)
-    st1, f1 = step1(st1, jnp.asarray(snap), True, np.float32(0.0),
-                    np.float32(1.0), g, {})
-    np.asarray(f1)
-    lats = []
-    for _ in range(30):
-        t0 = time.perf_counter()
+    p50_ms = None
+    try:
+        r1 = Renderer(lc)
+        st1 = r1.init_state()
+        step1 = r1.jit_step()
+        snap = np.asarray(ex["audio"][0])
+        g = np.float32(lc.cfg.gravity_step / lc.cfg.nominal_ups)
         st1, f1 = step1(st1, jnp.asarray(snap), True, np.float32(0.0),
                         np.float32(1.0), g, {})
-        np.asarray(f1)  # device->host, the full PCM->pixels path
-        lats.append(time.perf_counter() - t0)
-    p50_ms = float(np.median(lats) * 1e3)
+        np.asarray(f1)
+        lats = []
+        for _ in range(30):
+            t0 = time.perf_counter()
+            st1, f1 = step1(st1, jnp.asarray(snap), True, np.float32(0.0),
+                            np.float32(1.0), g, {})
+            np.asarray(f1)  # device->host, the full PCM->pixels path
+            lats.append(time.perf_counter() - t0)
+        p50_ms = float(np.median(lats) * 1e3)
+    except Exception as e:
+        print(f"latency bench skipped: {e}", file=__import__("sys").stderr)
 
     result = {
         "metric": "fft_windows_per_sec_per_chip",
@@ -156,12 +166,12 @@ def main() -> None:
             "fused_pallas": pipe.use_fused,
             "bars_fps_per_stream_512x256": round(fps_per_stream, 1),
             "total_fps_64streams": round(total_fps, 1),
-            "radial_1080p_fps": round(radial_fps, 1),
+            "radial_1080p_fps": round(radial_fps, 1) if radial_fps else None,
             # device-side time per full PCM->frame step (the latency a
             # locally-attached chip would see; the single-dispatch p50
             # below is dominated by this environment's network tunnel)
             "device_step_ms": round(per_frame * 1e3, 3),
-            "p50_pcm_to_frame_ms_single_dispatch": round(p50_ms, 3),
+            "p50_pcm_to_frame_ms_single_dispatch": round(p50_ms, 3) if p50_ms else None,
         },
     }
     print(json.dumps(result))

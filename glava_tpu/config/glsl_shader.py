@@ -482,28 +482,31 @@ class _Exec:
         jnp = _jnp()
         self.mask = jnp.ones((h, w), bool)
         self._frames: list[dict] = []  # function scopes: name -> (had, old)
+        self._fn_stack: list[dict] = []  # per-call return bookkeeping
 
     def call_function(self, fdef: FuncDef, args) -> Any:
         """Execute a helper function inline under the current pixel mask.
 
         GLSL scoping: params/locals shadow and are restored afterwards;
-        writes to outer names (e.g. `fragment`) persist. A value
-        `return` is supported as the final statement only."""
+        writes to outer names (e.g. `fragment`) persist. `return`
+        (anywhere, with or without a value) retires pixels for the
+        remainder of the call; per-pixel return values merge across
+        return sites. The caller's mask is restored on exit."""
         env = self.env
         frame: dict = {}
         self._frames.append(frame)
+        self._fn_stack.append({"value": None})
+        entry_mask = self.mask
         try:
             for p, a in zip(fdef.params, args):
                 if p not in frame:
                     frame[p] = (p in env.variables, env.variables.get(p))
                 env.variables[p] = a
-            body = fdef.body
-            if body and isinstance(body[-1], Return) and body[-1].expr is not None:
-                self.run(body[:-1])
-                return self._eval(body[-1].expr)
-            self.run(body)
-            return None
+            self.run(fdef.body)
+            return self._fn_stack[-1]["value"]
         finally:
+            self._fn_stack.pop()
+            self.mask = entry_mask
             frame = self._frames.pop()
             for name, (had, old) in frame.items():
                 if had:
@@ -599,16 +602,13 @@ class _Exec:
             self.run(stmt.other)
             self.mask = then_mask | self.mask
         elif isinstance(stmt, Return):
-            if stmt.expr is not None:
-                raise ShaderError(
-                    "a value `return` is only supported as a helper "
-                    "function's final statement"
-                )
-            if self._frames:
-                raise ShaderError(
-                    "early `return` inside helper functions is not "
-                    "supported — restructure with if/else"
-                )
+            if self._fn_stack:
+                fr = self._fn_stack[-1]
+                if stmt.expr is not None:
+                    v = self._eval(stmt.expr)
+                    fr["value"] = _merge_masked(self.mask, v, fr["value"])
+            elif stmt.expr is not None:
+                raise ShaderError("main() cannot return a value")
             self.mask = self.mask & False
         elif isinstance(stmt, ExprStmt):
             self._eval(stmt.expr)
@@ -664,6 +664,20 @@ class _Exec:
         if len(idxs) == 1:
             return val[idxs[0]]
         return tuple(val[i] for i in idxs)
+
+
+def _merge_masked(mask, new, old):
+    """Per-pixel merge of a return value at one return site."""
+    jnp = _jnp()
+    if old is None:
+        old = (tuple(0.0 for _ in new) if isinstance(new, tuple) else 0.0)
+
+    def sel(n, o):
+        return jnp.where(mask, n, o)
+
+    # always select via jnp (the mask is per-pixel even when the
+    # returned value is scalar)
+    return glsl_expr._map2(sel, sel, new, old)
 
 
 def _np_like_val(x) -> bool:

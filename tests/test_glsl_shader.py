@@ -369,3 +369,36 @@ def test_for_loop_dynamic_bound_rejected(tmp_path):
     lc = loader.load(user_dir=tmp_path)
     with pytest.raises(Exception, match="compile-time constant"):
         _render(lc, n=1)
+
+
+def test_helper_function_early_returns(tmp_path):
+    """Early value-returns in helpers merge per pixel."""
+    mod = tmp_path / "er"
+    mod.mkdir()
+    (mod / "1.frag").write_text(
+        "in vec4 gl_FragCoord;\n"
+        '#request uniform "screen" screen\n'
+        "uniform ivec2 screen;\n"
+        "out vec4 fragment;\n"
+        "float pick(float x) {\n"
+        "  if (x < 8.0) {\n"
+        "    return 0.25;\n"
+        "  }\n"
+        "  if (x < 16.0) return 0.5;\n"
+        "  return 1.0;\n"
+        "}\n"
+        "void main() {\n"
+        "  float v = pick(gl_FragCoord.x);\n"
+        "  fragment = vec4(v, 0, 0, 1);\n"
+        "}\n"
+    )
+    (tmp_path / "rc.glsl").write_text(
+        "#request mod er\n#request setgeometry 0 0 24 4\n"
+        "#request setbufsize 1024\n#request setsamplesize 256\n"
+        "#request setprintframes false\n"
+    )
+    lc = loader.load(user_dir=tmp_path)
+    f = _render(lc, n=1)
+    np.testing.assert_allclose(f[:, :8, 0], 0.25, atol=1e-6)
+    np.testing.assert_allclose(f[:, 8:16, 0], 0.5, atol=1e-6)
+    np.testing.assert_allclose(f[:, 16:, 0], 1.0, atol=1e-6)

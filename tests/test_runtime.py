@@ -298,3 +298,21 @@ def test_engine_memory_stability():
     rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
     # ru_maxrss is a high-water mark; allow modest growth only
     assert rss1 - rss0 < 200_000, f"RSS grew {rss1 - rss0} KiB"
+
+
+def test_engine_frame_limiter():
+    """`setframerate 30` paces the loop (render.c:2361-2372)."""
+    import time
+
+    frames = []
+    eng = Engine(EngineOptions(audio_backend="synth", screen=(48, 32),
+                               requests=("setprintframes false",
+                                         "setframerate 30",
+                                         "setbufsize 1024",
+                                         "setsamplesize 256")),
+                 sink=sinks.CallbackSink(lambda f, t: frames.append(time.monotonic())))
+    eng.run(max_seconds=2.0)
+    assert len(frames) >= 10
+    span = frames[-1] - frames[0]
+    rate = (len(frames) - 1) / span
+    assert 20 <= rate <= 40, f"limiter produced {rate:.1f} fps"

@@ -402,3 +402,27 @@ def test_helper_function_early_returns(tmp_path):
     np.testing.assert_allclose(f[:, :8, 0], 0.25, atol=1e-6)
     np.testing.assert_allclose(f[:, 8:16, 0], 0.5, atol=1e-6)
     np.testing.assert_allclose(f[:, 16:, 0], 1.0, atol=1e-6)
+
+
+@pytest.mark.skipif(not __import__("pathlib").Path(REF).is_dir(),
+                    reason="reference shader tree not available")
+def test_reference_test_module_verbatim_golden(tmp_path):
+    """The reference's own CI fixture (test_rc.glsl + test/{1,2,3}.frag)
+    runs verbatim through the interpreter and passes its settesteval
+    golden assertion."""
+    import glob
+    import shutil
+
+    mod = tmp_path / "test"
+    mod.mkdir()
+    for f in glob.glob(f"{REF}/test/*.frag"):
+        shutil.copy(f, mod)
+    lc = loader.load(entry="test_rc.glsl", user_dir=tmp_path, system_dir=REF)
+    assert "test" in lc.module_overrides
+    r = Renderer(lc, screen=(48, 48))
+    state = r.init_state()
+    step = r.jit_step()
+    snap = jnp.zeros((2, lc.cfg.bufsize), jnp.float32)
+    _, frame = step(state, snap, True, np.float32(0.0), np.float32(1.0),
+                    np.float32(0.05), {})
+    assert r.test_evaluate(frame)

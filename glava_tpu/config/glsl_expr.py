@@ -269,7 +269,16 @@ class _Parser:
             self.expect(":")
             b = self.ternary()
             if _np_like(cond):  # per-pixel select
-                return _map2(lambda x, y: x, lambda x, y: _jnp().where(cond, x, y), a, b)
+                jnp = _jnp()
+
+                def sel(x, y):
+                    return jnp.where(cond, x, y)
+
+                if _is_vec(a) or _is_vec(b):
+                    at = a if _is_vec(a) else (a,) * len(b)
+                    bt = b if _is_vec(b) else (b,) * len(at)
+                    return tuple(sel(x, y) for x, y in zip(at, bt))
+                return sel(a, b)
             return a if _truthy(cond) else b
         return cond
 

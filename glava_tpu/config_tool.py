@@ -71,6 +71,18 @@ def cmd_modules(args) -> int:
     for name in render_modules.available():
         marker = " (test fixture)" if name == "test" else ""
         print(f"  {name}{marker}")
+    root = user_root(args)
+    if root.is_dir():
+        from glava_tpu.render.modules.glsl_module import scan_shader_modules
+
+        shader_mods = scan_shader_modules(root)
+        py_dir = root / "modules"
+        py_mods = sorted(p.stem for p in py_dir.glob("*.py")) \
+            if py_dir.is_dir() else []
+        for name in sorted(shader_mods):
+            print(f"  {name} (user GLSL, {shader_mods[name]})")
+        for name in py_mods:
+            print(f"  {name} (user Python, {py_dir / (name + '.py')})")
     return 0
 
 

@@ -240,3 +240,28 @@ def test_user_python_module(tmp_path):
     f = np.asarray(frame)
     drawn = f[f[..., 3] > 0]
     assert drawn.size
+
+
+def test_expr_step_smoothstep_fract():
+    env = glsl_expr.Env()
+    assert glsl_expr.evaluate("step(0.5, 0.7)", env) == 1.0
+    assert glsl_expr.evaluate("step(0.5, 0.3)", env) == 0.0
+    assert glsl_expr.evaluate("fract(2.75)", env) == pytest.approx(0.75)
+    s = glsl_expr.evaluate("smoothstep(0.0, 1.0, 0.5)", env)
+    assert s == pytest.approx(0.5)
+    assert glsl_expr.evaluate("smoothstep(0.0, 1.0, 2.0)", env) == 1.0
+    # ternary + comparisons
+    assert glsl_expr.evaluate("3 > 2 ? 10 : 20", env) == 10
+    assert glsl_expr.evaluate("mod(7.5, 2.0)", env) == pytest.approx(1.5)
+
+
+def test_expr_vectorized_logic():
+    import jax.numpy as jnp
+
+    env = glsl_expr.Env(variables={"x": jnp.asarray([0.0, 1.0, 2.0])})
+    v = glsl_expr.evaluate("x > 0.5 && x < 1.5", env)
+    assert list(np.asarray(v)) == [False, True, False]
+    v2 = glsl_expr.evaluate("x < 0.5 || x > 1.5", env)
+    assert list(np.asarray(v2)) == [True, False, True]
+    v3 = glsl_expr.evaluate("x > 0.5 ? 1.0 : 0.0", env)
+    np.testing.assert_allclose(np.asarray(v3), [0.0, 1.0, 1.0])

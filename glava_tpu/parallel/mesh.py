@@ -21,11 +21,24 @@ def make_mesh(
     if streams is None and rows is None:
         streams, rows = n, 1
     elif streams is None:
+        if rows <= 0 or n % rows or n < rows:
+            raise ValueError(
+                f"need a device count divisible by rows={rows}, got {n} "
+                f"device(s); provision more devices or lower rows"
+            )
         streams = n // rows
     elif rows is None:
+        if streams <= 0 or n % streams or n < streams:
+            raise ValueError(
+                f"need a device count divisible by streams={streams}, got "
+                f"{n} device(s); provision more devices or lower streams"
+            )
         rows = n // streams
     if streams * rows != n:
-        raise ValueError(f"mesh {streams}x{rows} != {n} devices")
+        raise ValueError(
+            f"mesh streams={streams} x rows={rows} needs {streams * rows} "
+            f"devices but {n} are available"
+        )
     return Mesh(devices.reshape(streams, rows), ("streams", "rows"))
 
 

@@ -27,10 +27,12 @@ pixel grid:
 * knob conditionals: `#if/#elif/#else` over integer macro expressions,
   and `#error __disablestage` skips the pass (render.c:358-371).
 
-NOT supported (use a Python module instead, docs/examples/vu_meter.py):
-loops, user-defined functions, function-like macros, arrays,
-`discard`, derivatives. Unsupported constructs raise a clear error at
-load time.
+Supported beyond straight-line code: `for` loops (unrolled when bounds
+are static, masked otherwise), user-defined functions (inlined, early
+`return` via masking), `discard` (alpha-zero masking), and `#if`
+conditionals. NOT supported (use a Python module instead,
+docs/examples/vu_meter.py): function-like macros and derivatives
+(dFdx/dFdy). Unsupported constructs raise a clear error at load time.
 """
 
 from __future__ import annotations

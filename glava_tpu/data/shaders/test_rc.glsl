@@ -1,5 +1,10 @@
 /* CI golden-frame entry: exercises requests, transforms and the
-   multi-stage chain, asserting a constant output color. */
+   multi-stage chain, asserting a constant output color.
+
+   Provenance: the request list intentionally matches the reference CI
+   fixture (/root/reference/shaders/glava/test_rc.glsl) verbatim — the
+   compatibility contract is that the reference's own test config runs
+   unmodified through this framework's loader (see commit 8876359). */
 #request mod test
 #request setfloating  false
 #request setdecorated true

@@ -1,19 +1,9 @@
-"""Model families — alias package.
+"""Audio-feature model frontends.
 
-The framework's "models" are its visualizer modules (the reference's
-shader module families, SURVEY.md LX layer): bars, radial, graph, wave,
-circle, the `test` CI fixture, plus user Python modules. They live in
-:mod:`glava_tpu.render.modules`; this package re-exports the registry
-for discoverability alongside `ops/` and `parallel/`.
+The framework's visualizer "model families" (bars/radial/graph/wave/
+circle, SURVEY.md LX layer) live in :mod:`glava_tpu.render.modules`;
+this package hosts the *feature* models built on the same FFT kernel —
+currently the Whisper-style log-mel frontend (:mod:`glava_tpu.models.mel`,
+BASELINE config #5)."""
 
-The audio-feature "model" (Whisper-style log-mel frontend) lives in
-:mod:`glava_tpu.ops.mel`.
-"""
-
-from glava_tpu.render.modules import (  # noqa: F401
-    available,
-    build_module,
-    load_user_modules,
-    module_uniforms,
-    register,
-)
+from glava_tpu.models import mel  # noqa: F401

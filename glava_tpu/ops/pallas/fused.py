@@ -450,7 +450,7 @@ def build_fused_update_inc(
                 bspec((bt, m1, m2), lambda i, *_: (i, 0, 0)),
                 bspec((bt, m1, m2), lambda i, *_: (i, 0, 0)),
                 bspec((bt, 2, m), lambda i, *_: (i, 0, 0)),
-                pl.BlockSpec(memory_space=pltpu.ANY),   # hist stays in HBM
+                pl.BlockSpec(memory_space=pl.ANY),   # hist stays in HBM
                 bspec((bt, 2, m), lambda i, *_: (i, 0, 0)),
                 const((m1, m1)),
                 const((m1, m1)),
@@ -463,7 +463,7 @@ def build_fused_update_inc(
             ],
             out_specs=[
                 bspec((bt, 2, m), lambda i, *_: (i, 0, 0)),
-                pl.BlockSpec(memory_space=pltpu.ANY),   # hist out (aliased)
+                pl.BlockSpec(memory_space=pl.ANY),   # hist out (aliased)
                 bspec((bt, 2, m), lambda i, *_: (i, 0, 0)),
             ],
             scratch_shapes=[

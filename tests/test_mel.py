@@ -3,7 +3,7 @@
 import numpy as np
 import jax.numpy as jnp
 
-from glava_tpu.ops import mel
+from glava_tpu.models import mel
 
 
 def test_rfft_via_packed_matches_numpy():

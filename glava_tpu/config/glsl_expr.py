@@ -72,6 +72,92 @@ def _jnp():
     return jnp
 
 
+# ---------------------------------------------------------------------------
+# fixed-size GLSL arrays (`float a[4]`, `vec2[](...)` constructors)
+# ---------------------------------------------------------------------------
+
+_GLSL_ARRAY_REGISTERED = False
+
+
+class GlslArray:
+    """A fixed-size GLSL array value: a list of element values (scalars
+    or component tuples). Registered as a jax pytree so arrays can ride
+    `lax.while_loop` carries in the shader interpreter."""
+
+    __slots__ = ("elems",)
+
+    def __init__(self, elems):
+        self.elems = list(elems)
+        _register_glsl_array()
+
+    def __len__(self):
+        return len(self.elems)
+
+    def __repr__(self):  # pragma: no cover
+        return f"GlslArray({self.elems!r})"
+
+
+def _register_glsl_array():
+    global _GLSL_ARRAY_REGISTERED
+    if _GLSL_ARRAY_REGISTERED:
+        return
+    from jax import tree_util
+
+    tree_util.register_pytree_node(
+        GlslArray,
+        lambda a: (tuple(a.elems), None),
+        lambda _, elems: GlslArray(elems),
+    )
+    _GLSL_ARRAY_REGISTERED = True
+
+
+def index_value(v, idx):
+    """``v[idx]`` on a GlslArray or vector. A Python-number index reads
+    the element directly; a per-pixel index gathers via a select chain
+    (element counts are small, so N-1 `where`s beat a real gather)."""
+    if isinstance(v, GlslArray):
+        elems = v.elems
+    elif _is_vec(v):
+        elems = list(v)
+    else:
+        raise ExprError("cannot index a scalar with '[]'")
+    if not elems:
+        raise ExprError("cannot index an empty array")
+    if not _np_like(idx):
+        i = int(idx)
+        if not 0 <= i < len(elems):
+            raise ExprError(f"array index {i} out of range [0, {len(elems)})")
+        return elems[i]
+    jnp = _jnp()
+    ii = jnp.asarray(idx).astype(jnp.int32)
+    acc = elems[0]
+    for k in range(1, len(elems)):
+        sel = lambda a, b, k=k: jnp.where(ii == k, b, a)
+        acc = _map2(sel, sel, acc, elems[k])
+    return acc
+
+
+def index_store(v, idx, value):
+    """Functional ``v[idx] = value`` on a GlslArray: returns a new
+    GlslArray (mask-merging against the old value is the caller's job)."""
+    if not isinstance(v, GlslArray):
+        raise ExprError("cannot index-assign a non-array")
+    elems = list(v.elems)
+    if not _np_like(idx):
+        i = int(idx)
+        if not 0 <= i < len(elems):
+            raise ExprError(f"array index {i} out of range [0, {len(elems)})")
+        elems[i] = value
+        return GlslArray(elems)
+    jnp = _jnp()
+    ii = jnp.asarray(idx).astype(jnp.int32)
+    out = []
+    for k, old in enumerate(elems):
+        sel = lambda o, n, k=k: jnp.where(ii == k, n, o)
+        out.append(_map2(sel, sel, old, value))
+    return GlslArray(out)
+
+
 def _builtin_funcs() -> dict[str, Callable]:
     jnp = _jnp()
 
@@ -186,7 +272,7 @@ _TOKEN_RE = re.compile(
   | (?P<num>(\d+\.\d*|\.\d+|\d+)([eE][+-]?\d+)?[fF]?)
   | (?P<bind>@[A-Za-z_][A-Za-z0-9_]*:?)
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<op>\+\+|--|\+=|-=|\*=|/=|==|!=|<=|>=|&&|\|\||[-+*/%(),.<>?:!={};])
+  | (?P<op>\+\+|--|\+=|-=|\*=|/=|==|!=|<=|>=|&&|\|\||[-+*/%(),.<>?:!={};\[\]])
     """,
     re.X,
 )
@@ -366,15 +452,24 @@ class _Parser:
 
     def postfix(self):
         v = self.primary()
-        while self.peek()[1] == ".":
-            self.next()
-            k, name = self.next()
-            if k != "ident":
-                raise ExprError("expected swizzle after '.'")
-            if not _is_vec(v):
-                raise ExprError(f"cannot swizzle non-vector with '.{name}'")
-            idxs = [_SWIZZLE[c] for c in name]
-            v = v[idxs[0]] if len(idxs) == 1 else tuple(v[i] for i in idxs)
+        while True:
+            nxt = self.peek()[1]
+            if nxt == ".":
+                self.next()
+                k, name = self.next()
+                if k != "ident":
+                    raise ExprError("expected swizzle after '.'")
+                if not _is_vec(v):
+                    raise ExprError(f"cannot swizzle non-vector with '.{name}'")
+                idxs = [_SWIZZLE[c] for c in name]
+                v = v[idxs[0]] if len(idxs) == 1 else tuple(v[i] for i in idxs)
+            elif nxt == "[":
+                self.next()
+                idx = self.ternary()
+                self.expect("]")
+                v = index_value(v, idx)
+            else:
+                break
         return v
 
     def primary(self):
@@ -397,6 +492,32 @@ class _Parser:
                 return True
             if val == "false":
                 return False
+            if self.peek()[1] == "[" and val in (
+                "float", "int", "bool", "vec2", "vec3", "vec4"
+            ):
+                # array constructor: TYPE[size?](e0, e1, ...)
+                self.next()
+                declared = None
+                if self.peek()[1] != "]":
+                    declared = self.ternary()
+                self.expect("]")
+                self.expect("(")
+                elems = []
+                if self.peek()[1] != ")":
+                    elems.append(self.ternary())
+                    while self.peek()[1] == ",":
+                        self.next()
+                        elems.append(self.ternary())
+                self.expect(")")
+                if declared is not None and elems \
+                        and int(declared) != len(elems):
+                    raise ExprError(
+                        f"array constructor declares {int(declared)} "
+                        f"elements but got {len(elems)}"
+                    )
+                if declared is not None and not elems:
+                    elems = [0.0] * int(declared)
+                return GlslArray(elems)
             if self.peek()[1] == "(":
                 self.next()
                 args = []

@@ -28,11 +28,16 @@ pixel grid:
   and `#error __disablestage` skips the pass (render.c:358-371).
 
 Supported beyond straight-line code: `for` loops (unrolled when bounds
-are static, masked otherwise), user-defined functions (inlined, early
+are static, lowered to masked `lax.while_loop` otherwise), `while` and
+`do`-`while` loops (per-pixel masked iteration with `break`/
+`continue`), fixed-size arrays (declarations, `TYPE[](...)`
+constructors, dynamic indexing), user-defined functions (inlined, early
 `return` via masking), `discard` (alpha-zero masking), and `#if`
 conditionals. NOT supported (use a Python module instead,
-docs/examples/vu_meter.py): function-like macros and derivatives
-(dFdx/dFdy). Unsupported constructs raise a clear error at load time.
+docs/examples/vu_meter.py): function-like macros, derivatives
+(dFdx/dFdy), and `return` lexically inside a data-dependent loop
+(break out and return after). Unsupported constructs raise a clear
+error at load time.
 """
 
 from __future__ import annotations
@@ -57,7 +62,8 @@ class ShaderError(ValueError):
 
 @dataclass
 class Decl:
-    names: list[tuple[str, list | None]]  # (name, init token list or None)
+    # (name, init token list or None, array-size token list or None)
+    names: list[tuple[str, list | None, list | None]]
     line: int = 0
 
 
@@ -67,6 +73,7 @@ class Assign:
     swizzle: str | None
     op: str               # '=', '+=', '-=', '*=', '/='
     expr: list            # token list
+    index: list | None = None  # a[i] = ... lvalue index tokens
     line: int = 0
 
 
@@ -92,7 +99,8 @@ class ExprStmt:
 
 @dataclass
 class ForLoop:
-    """Static-bound counted loop, unrolled at execution time."""
+    """Counted loop: unrolled when the bounds are compile-time
+    constants, lowered to a masked `lax.while_loop` otherwise."""
 
     var: str
     start: list          # init expression tokens
@@ -100,6 +108,27 @@ class ForLoop:
     bound: list          # bound expression tokens
     step: list | None    # step expression tokens (None = 1)
     body: list
+    line: int = 0
+
+
+@dataclass
+class WhileLoop:
+    """Data-dependent loop: per-pixel masked iteration lowered to
+    `lax.while_loop` (pixels retire as their condition goes false or
+    they `break`; the loop exits when every pixel has retired)."""
+
+    cond: list
+    body: list
+    line: int = 0
+
+
+@dataclass
+class Break:
+    line: int = 0
+
+
+@dataclass
+class Continue:
     line: int = 0
 
 
@@ -141,14 +170,15 @@ class _StmtParser:
         return out
 
     def collect_expr(self, stops=(";",)) -> list:
-        """Grab raw tokens (balanced parens) until a stop token."""
+        """Grab raw tokens (balanced parens/brackets) until a stop."""
         depth = 0
+        bdepth = 0
         toks = []
         while True:
             k, v = self.peek()
             if k == "end":
                 raise ShaderError("unterminated expression")
-            if depth == 0 and v in stops:
+            if depth == 0 and bdepth == 0 and v in stops:
                 break
             if v == "(":
                 depth += 1
@@ -156,6 +186,12 @@ class _StmtParser:
                 if depth == 0:
                     break
                 depth -= 1
+            elif v == "[":
+                bdepth += 1
+            elif v == "]":
+                if bdepth == 0:
+                    break
+                bdepth -= 1
             toks.append(self.next())
         return toks + [("end", "")]
 
@@ -193,14 +229,39 @@ class _StmtParser:
                               tokenize("vec4(0, 0, 0, 0)")), Return()])
         if v == "for":
             return self._parse_for()
-        if v in ("while", "do"):
-            raise ShaderError(
-                f"`{v}` loops are not supported by the GLSL subset "
-                "interpreter (bounds must be static) — write this "
-                "module in Python instead (docs/examples/vu_meter.py)"
-            )
+        if v == "while":
+            self.next()
+            self.expect("(")
+            cond = self.collect_expr(stops=(")",))
+            self.expect(")")
+            body = (self.parse_block() if self.peek()[1] == "{"
+                    else [self.parse_stmt()])
+            return WhileLoop(cond, body)
+        if v == "break":
+            self.next()
+            self.expect(";")
+            return Break()
+        if v == "continue":
+            self.next()
+            self.expect(";")
+            return Continue()
+        if v == "do":
+            # do { body } while (cond);
+            #   ==  while (true) { body; if (!(cond)) break; }
+            self.next()
+            body = (self.parse_block() if self.peek()[1] == "{"
+                    else [self.parse_stmt()])
+            self.expect("while")
+            self.expect("(")
+            cond = self.collect_expr(stops=(")",))
+            self.expect(")")
+            self.expect(";")
+            neg = ([("op", "!"), ("op", "(")] + cond[:-1]
+                   + [("op", ")"), ("end", "")])
+            return WhileLoop([("ident", "true"), ("end", "")],
+                             body + [If(neg, [Break()])])
         if v in _TYPES:
-            # declaration: type [precision] name [= expr] {, name [= expr]}
+            # declaration: type [precision] name[size?] [= expr] {, ...}
             while self.peek()[1] in _TYPES:
                 self.next()
             names = []
@@ -208,11 +269,17 @@ class _StmtParser:
                 kk, name = self.next()
                 if kk != "ident":
                     raise ShaderError(f"expected identifier, got {name!r}")
+                arrsize = None
+                if self.peek()[1] == "[":
+                    self.next()
+                    arrsize = (self.collect_expr(stops=("]",))
+                               if self.peek()[1] != "]" else [("end", "")])
+                    self.expect("]")
                 init = None
                 if self.peek()[1] == "=":
                     self.next()
                     init = self.collect_expr(stops=(";", ","))
-                names.append((name, init))
+                names.append((name, init, arrsize))
                 if self.peek()[1] == ",":
                     self.next()
                     continue
@@ -224,6 +291,11 @@ class _StmtParser:
         if k == "ident":
             name = self.next()[1]
             swiz = None
+            index = None
+            if self.peek()[1] == "[":
+                self.next()
+                index = self.collect_expr(stops=("]",))
+                self.expect("]")
             if self.peek()[1] == ".":
                 # could be a swizzled lvalue OR an expression like a.x + b
                 save2 = self.pos
@@ -238,7 +310,9 @@ class _StmtParser:
                 op = self.next()[1]
                 expr = self.collect_expr(stops=(";",))
                 self.expect(";")
-                return self._maybe_assign_expr(Assign(name, swiz, op, expr))
+                return self._maybe_assign_expr(
+                    Assign(name, swiz, op, expr, index)
+                )
             self.pos = save
         expr = self.collect_expr(stops=(";",))
         self.expect(";")
@@ -332,7 +406,8 @@ class _StmtParser:
             return If([("ident", "true"), ("end", "")],
                       [inner,
                        Assign(a.target, a.swizzle, "=",
-                              [("ident", inner.target), ("end", "")])])
+                              [("ident", inner.target), ("end", "")],
+                              a.index)])
         return a
 
 
@@ -485,6 +560,7 @@ class _Exec:
         self.mask = jnp.ones((h, w), bool)
         self._frames: list[dict] = []  # function scopes: name -> (had, old)
         self._fn_stack: list[dict] = []  # per-call return bookkeeping
+        self._loop_stack: list[dict] = []  # break/continue bookkeeping
 
     def call_function(self, fdef: FuncDef, args) -> Any:
         """Execute a helper function inline under the current pixel mask.
@@ -536,16 +612,29 @@ class _Exec:
         def sel(n, o):
             return jnp.where(mask, n, o)
 
-        if isinstance(value, tuple) or isinstance(old, tuple):
-            vt = value if isinstance(value, tuple) else (value,) * len(old)
-            ot = old if isinstance(old, tuple) else (old,) * len(vt)
-            if len(vt) != len(ot):
-                raise ShaderError(
-                    f"assignment changes vector size of '{name}'"
+        def merge(value, old):
+            if isinstance(value, glsl_expr.GlslArray) \
+                    or isinstance(old, glsl_expr.GlslArray):
+                if not (isinstance(value, glsl_expr.GlslArray)
+                        and isinstance(old, glsl_expr.GlslArray)
+                        and len(value) == len(old)):
+                    raise ShaderError(
+                        f"assignment changes array shape of '{name}'"
+                    )
+                return glsl_expr.GlslArray(
+                    [merge(a, b) for a, b in zip(value.elems, old.elems)]
                 )
-            self.env.variables[name] = tuple(sel(a, b) for a, b in zip(vt, ot))
-        else:
-            self.env.variables[name] = sel(value, old)
+            if isinstance(value, tuple) or isinstance(old, tuple):
+                vt = value if isinstance(value, tuple) else (value,) * len(old)
+                ot = old if isinstance(old, tuple) else (old,) * len(vt)
+                if len(vt) != len(ot):
+                    raise ShaderError(
+                        f"assignment changes vector size of '{name}'"
+                    )
+                return tuple(sel(a, b) for a, b in zip(vt, ot))
+            return sel(value, old)
+
+        self.env.variables[name] = merge(value, old)
 
     def run(self, body: list) -> None:
         for stmt in body:
@@ -554,8 +643,11 @@ class _Exec:
     def _stmt(self, stmt) -> None:
         jnp = _jnp()
         if isinstance(stmt, Decl):
-            for name, init in stmt.names:
-                val = self._eval(init) if init is not None else 0.0
+            for name, init, arrsize in stmt.names:
+                if arrsize is not None:
+                    val = self._decl_array(name, init, arrsize)
+                else:
+                    val = self._eval(init) if init is not None else 0.0
                 if self._frames:  # function locals: save the shadowed value
                     frame = self._frames[-1]
                     if name not in frame:
@@ -566,29 +658,33 @@ class _Exec:
         elif isinstance(stmt, Assign):
             rhs = self._eval(stmt.expr)
             cur = self.env.variables.get(stmt.target)
+            idx = self._eval(stmt.index) if stmt.index is not None else None
+            elem = glsl_expr.index_value(cur, idx) if idx is not None else cur
             if stmt.op != "=":
                 if cur is None:
                     raise ShaderError(f"'{stmt.target}' used before assignment")
-                base = (self._component(cur, stmt.swizzle)
-                        if stmt.swizzle else cur)
+                base = (self._component(elem, stmt.swizzle)
+                        if stmt.swizzle else elem)
                 fn = {"+=": lambda a, b: _bin(a, b, "+"),
                       "-=": lambda a, b: _bin(a, b, "-"),
                       "*=": lambda a, b: _bin(a, b, "*"),
                       "/=": lambda a, b: _bin(a, b, "/")}[stmt.op]
                 rhs = fn(base, rhs)
             if stmt.swizzle:
-                if not isinstance(cur, tuple):
+                if not isinstance(elem, tuple):
                     raise ShaderError(
                         f"cannot swizzle-assign non-vector '{stmt.target}'"
                     )
                 idxs = [glsl_expr._SWIZZLE[c] for c in stmt.swizzle]
-                comps = list(cur)
+                comps = list(elem)
                 rt = rhs if isinstance(rhs, tuple) else (rhs,) * len(idxs)
                 if len(rt) != len(idxs):
                     raise ShaderError("swizzle assignment size mismatch")
                 for i, r in zip(idxs, rt):
                     comps[i] = r
                 rhs = tuple(comps)
+            if idx is not None:
+                rhs = glsl_expr.index_store(cur, idx, rhs)
             self._masked_set(stmt.target, rhs)
         elif isinstance(stmt, If):
             cond = self._eval(stmt.cond)
@@ -616,6 +712,22 @@ class _Exec:
             self._eval(stmt.expr)
         elif isinstance(stmt, ForLoop):
             self._for_loop(stmt)
+        elif isinstance(stmt, WhileLoop):
+            self._while_loop(stmt)
+        elif isinstance(stmt, Break):
+            if not self._loop_stack:
+                raise ShaderError("`break` outside a loop")
+            ctx = self._loop_stack[-1]
+            ctx["broken"] = (self.mask if ctx["broken"] is None
+                             else ctx["broken"] | self.mask)
+            self.mask = self.mask & False
+        elif isinstance(stmt, Continue):
+            if not self._loop_stack:
+                raise ShaderError("`continue` outside a loop")
+            ctx = self._loop_stack[-1]
+            ctx["continued"] = (self.mask if ctx["continued"] is None
+                                else ctx["continued"] | self.mask)
+            self.mask = self.mask & False
         else:  # pragma: no cover
             raise ShaderError(f"unknown statement {stmt!r}")
 
@@ -625,38 +737,183 @@ class _Exec:
         def concrete(toks, what):
             v = self._eval(toks)
             if _np_like_val(v):
-                raise ShaderError(
-                    f"for-loop {what} must be a compile-time constant "
-                    "(macro/knob expression), not per-pixel data"
-                )
+                raise _DynamicBound(what)
             return float(v)
 
-        i = concrete(stmt.start, "start")
-        bound = concrete(stmt.bound, "bound")
-        step = concrete(stmt.step, "step") if stmt.step is not None else 1.0
-        if step <= 0:
-            raise ShaderError("for-loop step must be positive")
-        count = 0
         env = self.env
         frame = self._frames[-1] if self._frames else None
         had = stmt.var in env.variables
         old = env.variables.get(stmt.var)
         try:
-            while (i < bound if stmt.cond_op == "<" else i <= bound):
-                if count >= self._MAX_UNROLL:
-                    raise ShaderError(
-                        f"for-loop exceeds {self._MAX_UNROLL} iterations"
-                    )
-                env.variables[stmt.var] = i
-                self.run(stmt.body)
-                i += step
-                count += 1
+            try:
+                i = concrete(stmt.start, "start")
+                bound = concrete(stmt.bound, "bound")
+                step = (concrete(stmt.step, "step")
+                        if stmt.step is not None else 1.0)
+            except _DynamicBound:
+                # data-dependent bounds: lower to a masked while loop
+                # `for (i = a; i OP b; i += s)` ==
+                # `i = a; while (i OP (b)) { body; i += s; }`
+                env.variables[stmt.var] = self._eval(stmt.start)
+                cond = ([("ident", stmt.var), ("op", stmt.cond_op),
+                         ("op", "(")] + [t for t in stmt.bound
+                                         if t[0] != "end"]
+                        + [("op", ")"), ("end", "")])
+                inc = Assign(stmt.var, None, "+=",
+                             stmt.step if stmt.step is not None
+                             else [("num", "1"), ("end", "")])
+                self._while_loop(WhileLoop(cond, list(stmt.body) + [inc]))
+                return
+            if step <= 0:
+                raise ShaderError("for-loop step must be positive")
+            count = 0
+            ctx = {"broken": None, "continued": None}
+            self._loop_stack.append(ctx)
+            try:
+                while (i < bound if stmt.cond_op == "<" else i <= bound):
+                    if count >= self._MAX_UNROLL:
+                        raise ShaderError(
+                            f"for-loop exceeds {self._MAX_UNROLL} iterations"
+                        )
+                    env.variables[stmt.var] = i
+                    self.run(stmt.body)
+                    if ctx["continued"] is not None:
+                        self.mask = self.mask | ctx["continued"]
+                        ctx["continued"] = None
+                    i += step
+                    count += 1
+            finally:
+                self._loop_stack.pop()
+            if ctx["broken"] is not None:
+                self.mask = self.mask | ctx["broken"]
         finally:
             if frame is None or stmt.var not in frame:
                 if had:
                     env.variables[stmt.var] = old
                 else:
                     env.variables.pop(stmt.var, None)
+
+    def _cond_mask(self, toks):
+        """Evaluate a loop/if condition to a (H, W) bool array."""
+        jnp = _jnp()
+        c = self._eval(toks)
+        if isinstance(c, bool):
+            c = jnp.full((self.h, self.w), c)
+        return jnp.broadcast_to(jnp.asarray(c, bool), (self.h, self.w))
+
+    def _decl_array(self, name: str, init, arrsize):
+        """`TYPE name[N];` / `TYPE name[] = TYPE[](...)` declaration."""
+        size_toks = [t for t in arrsize if t[0] != "end"]
+        n = None
+        if size_toks:
+            sv = self._eval(arrsize)
+            if _np_like_val(sv):
+                raise ShaderError(
+                    f"array '{name}' size must be a compile-time constant"
+                )
+            n = int(sv)
+        if init is None:
+            if n is None:
+                raise ShaderError(f"array '{name}' needs a size or initializer")
+            return glsl_expr.GlslArray([0.0] * n)
+        val = self._eval(init)
+        if not isinstance(val, glsl_expr.GlslArray):
+            raise ShaderError(
+                f"array '{name}' initializer must be an array constructor "
+                "like float[](a, b, c)"
+            )
+        if n is not None and len(val) != n:
+            raise ShaderError(
+                f"array '{name}' declares {n} elements, initializer has "
+                f"{len(val)}"
+            )
+        return val
+
+    _WHILE_FUEL_BASE = 4096
+
+    def _while_loop(self, stmt: WhileLoop) -> None:
+        """Masked data-dependent iteration via `lax.while_loop`.
+
+        Per-pixel semantics (the reference runs real GLSL, e.g. graph's
+        anti-alias column walk, graph/3.frag:24-54): each pixel iterates
+        until its condition goes false or it breaks; the compiled loop
+        runs until every pixel has retired. Variables assigned in the
+        body that exist outside it are carried through the loop
+        (canonicalized to (H, W) float32/bool planes so the carry
+        structure is stable); body-local declarations are rebuilt every
+        iteration and discarded afterwards."""
+        import jax.numpy as jnp
+        from jax import lax
+
+        if _contains_return(stmt.body):
+            raise ShaderError(
+                "`return` inside a `while`/dynamic-`for` loop is not "
+                "supported — `break` out and return after the loop"
+            )
+        env = self.env
+        h, w = self.h, self.w
+        locals_, assigns = _collect_writes(stmt.body)
+        pre = {n: (n in env.variables, env.variables.get(n))
+               for n in (locals_ | assigns)}
+        carried = sorted(n for n in (assigns - locals_)
+                         if n in env.variables)
+
+        def canon(v):
+            if isinstance(v, glsl_expr.GlslArray):
+                return glsl_expr.GlslArray([canon(e) for e in v.elems])
+            if isinstance(v, tuple):
+                return tuple(canon(c) for c in v)
+            a = jnp.asarray(v)
+            if a.dtype != jnp.bool_:
+                a = a.astype(jnp.float32)
+            return jnp.broadcast_to(a, (h, w))
+
+        for n in carried:
+            env.variables[n] = canon(env.variables[n])
+        outer_mask = self.mask
+        fuel_cap = 4 * (h + w) + self._WHILE_FUEL_BASE
+        carry0 = {
+            "_active": outer_mask & self._cond_mask(stmt.cond),
+            "_fuel": jnp.asarray(0, jnp.int32),
+            "vars": {n: env.variables[n] for n in carried},
+        }
+
+        def cond_fn(c):
+            return c["_active"].any() & (c["_fuel"] < fuel_cap)
+
+        def body_fn(c):
+            for n in carried:
+                env.variables[n] = c["vars"][n]
+            ctx = {"broken": None, "continued": None}
+            self._loop_stack.append(ctx)
+            self.mask = c["_active"]
+            try:
+                self.run(stmt.body)
+            finally:
+                self._loop_stack.pop()
+            completers = self.mask
+            if ctx["continued"] is not None:
+                completers = completers | ctx["continued"]
+            self.mask = completers
+            nxt = completers & self._cond_mask(stmt.cond)
+            return {
+                "_active": nxt,
+                "_fuel": c["_fuel"] + 1,
+                "vars": {n: canon(env.variables[n]) for n in carried},
+            }
+
+        res = lax.while_loop(cond_fn, body_fn, carry0)
+        # loop-local writes vanish; carried writes commit
+        for n, (had, old) in pre.items():
+            if n in carried:
+                continue
+            if had:
+                env.variables[n] = old
+            else:
+                env.variables.pop(n, None)
+        for n in carried:
+            env.variables[n] = res["vars"][n]
+        self.mask = outer_mask
 
     @staticmethod
     def _component(val, swizzle):
@@ -666,6 +923,47 @@ class _Exec:
         if len(idxs) == 1:
             return val[idxs[0]]
         return tuple(val[i] for i in idxs)
+
+
+class _DynamicBound(Exception):
+    """Internal: a for-loop bound evaluated to per-pixel data."""
+
+
+def _collect_writes(body) -> tuple[set, set]:
+    """(declared names, assigned names) across a statement tree —
+    function-call bodies excluded (calls manage their own frames)."""
+    decls: set = set()
+    assigns: set = set()
+
+    def walk(stmts):
+        for s in stmts:
+            if isinstance(s, Decl):
+                decls.update(n for n, _i, _a in s.names)
+            elif isinstance(s, Assign):
+                assigns.add(s.target)
+            elif isinstance(s, If):
+                walk(s.then)
+                walk(s.other)
+            elif isinstance(s, ForLoop):
+                assigns.add(s.var)
+                walk(s.body)
+            elif isinstance(s, WhileLoop):
+                walk(s.body)
+
+    walk(body)
+    return decls, assigns
+
+
+def _contains_return(body) -> bool:
+    for s in body:
+        if isinstance(s, Return):
+            return True
+        if isinstance(s, If) and (_contains_return(s.then)
+                                  or _contains_return(s.other)):
+            return True
+        if isinstance(s, (ForLoop, WhileLoop)) and _contains_return(s.body):
+            return True
+    return False
 
 
 def _merge_masked(mask, new, old):

@@ -123,21 +123,67 @@ def test_pipe_bind_in_shader(tmp_path):
     assert drawn[:, 0].max() > 0.9 and drawn[:, 1].max() < 1e-6  # pure red
 
 
-def test_loops_raise_clear_error(tmp_path):
-    mod = tmp_path / "bad"
+def test_while_loop_masked_iteration(tmp_path):
+    """Data-dependent `while` loops run per pixel (lax.while_loop with
+    retirement masking) — the construct graph/3.frag's anti-alias
+    column walk needs."""
+    mod = tmp_path / "wl"
     mod.mkdir()
     (mod / "1.frag").write_text(
-        "out vec4 fragment;\nvoid main() {\n"
-        "  while (1 > 0) { }\n  fragment = vec4(1);\n}\n"
+        "in vec4 gl_FragCoord;\n"
+        "out vec4 fragment;\n"
+        "void main() {\n"
+        "  float acc = 0.0;\n"
+        "  float i = 0.0;\n"
+        "  while (i < gl_FragCoord.x) {\n"
+        "    acc += 2.0;\n"
+        "    i += 1.0;\n"
+        "    if (acc > 10.0) break;\n"
+        "  }\n"
+        "  fragment = vec4(acc / 16.0, 0, 0, 1);\n"
+        "}\n"
     )
     (tmp_path / "rc.glsl").write_text(
-        "#request mod bad\n#request setgeometry 0 0 32 32\n"
+        "#request mod wl\n#request setgeometry 0 0 8 2\n"
         "#request setbufsize 1024\n#request setsamplesize 256\n"
         "#request setprintframes false\n"
     )
     lc = loader.load(user_dir=tmp_path)
-    with pytest.raises(Exception, match="loops are not supported"):
-        Renderer(lc)
+    f = _render(lc, n=1)
+    want = np.minimum(2.0 * (np.arange(8) + 1), 12.0) / 16.0
+    np.testing.assert_allclose(f[0, :, 0], want, atol=1e-6)
+
+
+def test_arrays_and_do_while(tmp_path):
+    """Fixed-size arrays (decl, constructor, dynamic index) and
+    do-while — common community-shader constructs."""
+    mod = tmp_path / "arr"
+    mod.mkdir()
+    (mod / "1.frag").write_text(
+        "in vec4 gl_FragCoord;\n"
+        "out vec4 fragment;\n"
+        "void main() {\n"
+        "  float a[3];\n"
+        "  a[0] = 1.0; a[1] = 2.0; a[2] = 4.0;\n"
+        "  float b[] = float[](0.125, 0.25, 0.5);\n"
+        "  float idx = mod(gl_FragCoord.x - 0.5, 3.0);\n"
+        "  float n = 0.0;\n"
+        "  do { n += 1.0; } while (n < a[idx]);\n"
+        "  fragment = vec4(a[idx] / 8.0, b[int(idx)], n / 8.0, 1);\n"
+        "}\n"
+    )
+    (tmp_path / "rc.glsl").write_text(
+        "#request mod arr\n#request setgeometry 0 0 6 2\n"
+        "#request setbufsize 1024\n#request setsamplesize 256\n"
+        "#request setprintframes false\n"
+    )
+    lc = loader.load(user_dir=tmp_path)
+    f = _render(lc, n=1)
+    np.testing.assert_allclose(f[0, :, 0], [1, 2, 4, 1, 2, 4] / np.float32(8),
+                               atol=1e-6)
+    np.testing.assert_allclose(f[0, :, 1], [0.125, 0.25, 0.5] * 2, atol=1e-6)
+    np.testing.assert_allclose(f[0, :, 2], [1, 2, 4, 1, 2, 4] / np.float32(8),
+                               atol=1e-6)
 
 
 def test_shader_shadowing_builtin(tmp_path):
@@ -241,7 +287,7 @@ def test_reference_bars_shaders_verbatim(tmp_path):
     np.testing.assert_allclose(a, b, atol=1e-6)
 
 
-def _compare_verbatim(tmp_path, module, screen, nframes=5):
+def _compare_verbatim(tmp_path, module, screen, nframes=5, knobs=""):
     import glob
     import shutil
 
@@ -249,19 +295,24 @@ def _compare_verbatim(tmp_path, module, screen, nframes=5):
     mod.mkdir()
     for f in sorted(glob.glob(f"{REF}/{module}/*.frag")):
         shutil.copy(f, mod)
-    (tmp_path / "rc.glsl").write_text(
+    rc = (
         f"#request mod {module}\n"
         f"#request setgeometry 0 0 {screen[0]} {screen[1]}\n"
         "#request setbufsize 1024\n#request setsamplesize 256\n"
         "#request setprintframes false\n"
     )
+    (tmp_path / "rc.glsl").write_text(rc)
+    # knob overrides ride the user `<module>.glsl` (the reference's
+    # `:module.glsl` include), applied to BOTH programs; the native one
+    # gets a user dir without the shader directory so it isn't shadowed
+    native_dir = tmp_path / "native_cfg"
+    native_dir.mkdir()
+    (native_dir / "rc.glsl").write_text(rc)
+    if knobs:
+        (tmp_path / f"{module}.glsl").write_text(knobs)
+        (native_dir / f"{module}.glsl").write_text(knobs)
     lc_i = loader.load(user_dir=tmp_path, system_dir=REF)
-    lc_n = loader.load(
-        cli_requests=(f"setgeometry 0 0 {screen[0]} {screen[1]}",
-                      "setbufsize 1024", "setsamplesize 256",
-                      "setprintframes false"),
-        force_module=module, system_dir=REF,
-    )
+    lc_n = loader.load(user_dir=native_dir, system_dir=REF)
     ri, rn = Renderer(lc_i), Renderer(lc_n)
     rng = np.random.default_rng(0)
     snap = jnp.asarray(rng.standard_normal((2, 1024)).astype(np.float32) * 0.3)
@@ -277,22 +328,28 @@ def _compare_verbatim(tmp_path, module, screen, nframes=5):
 
 @pytest.mark.skipif(not __import__("pathlib").Path(REF).is_dir(),
                     reason="reference shader tree not available")
-@pytest.mark.parametrize("module,screen,px_tol", [
-    ("radial", (300, 300), 0.0),   # user functions via macros: exact
-    ("circle", (300, 300), 0.001),  # f32-vs-f64 boundary rounding
-    ("graph", (192, 128), 0.02),
+@pytest.mark.parametrize("module,screen,px_tol,knobs", [
+    ("radial", (300, 300), 0.0, ""),   # user functions via macros: exact
+    ("circle", (300, 300), 0.001, ""),  # f32-vs-f64 boundary rounding
+    ("graph", (192, 128), 0.02, ""),
+    # graph's optional pass 3 (per-column while-loop walk,
+    # graph/3.frag:24-54) runs verbatim via the masked lax.while_loop
+    ("graph", (192, 128), 0.02, "#define ANTI_ALIAS 1\n"),
 ])
-def test_reference_modules_verbatim(tmp_path, module, screen, px_tol):
+def test_reference_modules_verbatim(tmp_path, module, screen, px_tol, knobs):
     """Every remaining reference module (radial's APPLY_FRAG
     assignment-macros, circle/graph helper functions and file-scope
     globals) runs unmodified through the interpreter. Tolerances cover
     f32-traced vs f64-precomputed edge rounding at bar/slope
     boundaries."""
-    a, b = _compare_verbatim(tmp_path, module, screen)
+    a, b = _compare_verbatim(tmp_path, module, screen, knobs=knobs)
     assert (a[..., 3] > 0).any()
     assert abs((a[..., 3] > 0).mean() - (b[..., 3] > 0).mean()) < 2e-3
     frac = (np.abs(a - b).max(axis=-1) > 1 / 255).mean()
     assert frac <= px_tol, f"{frac:.4%} pixels deviate"
+    if "ANTI_ALIAS 1" in knobs:
+        # the AA pass must actually have run: feathered edge pixels
+        assert ((a[..., 3] > 0) & (a[..., 3] < 0.99)).mean() > 0.005
 
 
 def test_discard(tmp_path):
@@ -348,27 +405,28 @@ def test_static_for_loop_unrolls(tmp_path):
     np.testing.assert_allclose(f[..., 0], 1.0, atol=1e-6)
 
 
-def test_for_loop_dynamic_bound_rejected(tmp_path):
-    mod = tmp_path / "bad2"
+def test_for_loop_dynamic_bound_lowers_to_while(tmp_path):
+    """`for` with a per-pixel bound lowers to the masked while loop."""
+    mod = tmp_path / "dynfor"
     mod.mkdir()
     (mod / "1.frag").write_text(
         "in vec4 gl_FragCoord;\n"
-        '#request uniform "audio_sz" audio_sz\n'
-        "uniform int audio_sz;\n"
         "out vec4 fragment;\n"
         "void main() {\n"
-        "  for (int i = 0; i < gl_FragCoord.x; i++) { }\n"
-        "  fragment = vec4(1);\n"
+        "  float acc = 0.0;\n"
+        "  for (int i = 0; i < gl_FragCoord.x; i++) { acc += 0.125; }\n"
+        "  fragment = vec4(acc, 0, 0, 1);\n"
         "}\n"
     )
     (tmp_path / "rc.glsl").write_text(
-        "#request mod bad2\n#request setgeometry 0 0 8 8\n"
+        "#request mod dynfor\n#request setgeometry 0 0 8 2\n"
         "#request setbufsize 1024\n#request setsamplesize 256\n"
         "#request setprintframes false\n"
     )
     lc = loader.load(user_dir=tmp_path)
-    with pytest.raises(Exception, match="compile-time constant"):
-        _render(lc, n=1)
+    f = _render(lc, n=1)
+    np.testing.assert_allclose(f[0, :, 0], 0.125 * (np.arange(8) + 1),
+                               atol=1e-6)
 
 
 def test_helper_function_early_returns(tmp_path):

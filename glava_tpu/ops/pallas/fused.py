@@ -190,9 +190,15 @@ def build_fused_update(
         slot = slot_ref[0]
         hist_out[:] = hist_ref[:]
         hist_out[:, pl.ds(slot, 1)] = grav[:, None]
+        # age-mapped weights: ring slot f holds the frame of age
+        # (slot - f) mod F; the reference weights by AGE (its averaging
+        # shader binds circular FBOs newest-first, render.c:2252-2256)
         acc = jnp.zeros((B, 2, m), jnp.float32)
         for f in range(F):
-            acc = acc + wts[f] * hist_out[:, f]
+            w_f = jnp.float32(0.0)
+            for a in range(F):
+                w_f = jnp.where(slot == (a + f) % F, jnp.float32(wts[a]), w_f)
+            acc = acc + w_f * hist_out[:, f]
         if texture_clamp:
             acc = jnp.clip(acc, 0.0, 1.0)
         avg_ref[:] = acc
@@ -310,27 +316,34 @@ def build_fused_update_inc(
     fast_math: bool = False,
     interpret: bool = False,
 ):
-    """Incremental-average variant of the fused update.
+    """Ring-history variant of the fused update (the production path).
 
     The v1 kernel streams the whole (B, F, 2, m) history through VMEM
-    every update (~2F planes of HBM traffic) even though only one slot
-    changes. Here the history stays HBM-resident (memory_space=ANY) and
-    the kernel maintains the weighted running sum incrementally:
+    in AND out every update (~4F planes of HBM traffic) even though
+    only one slot changes. Here the history stays HBM-resident
+    (memory_space=ANY): each row's full ring is DMA-read once (F
+    planes), the new frame overwrites that row's slot both in VMEM and
+    via a one-slot DMA write-back (1 plane), and the averaged texture
+    is recomputed exactly with **age-mapped** weights:
 
-        sum' = sum + w[slot] * (new - hist[slot])
-        hist[slot] = new        (one-slot DMA write)
+        tex = sum_s w[(slot - s) mod F] * hist[s]
 
-    with a full recomputation every ring wrap (slot == 0) to cancel
-    floating-point drift — so results are *exactly* the weighted sum at
-    least once per F updates and within ~F ulps otherwise. Because the
-    averaging windows are positive with sum(w) <= 1 and history values
-    are texture-clamped to [0, 1], the running sum IS the clamped
-    average (no extra clip state needed).
+    The age rotation matters: the reference's averaging shader binds
+    its circular FBOs newest-first ("t0 is the most recent",
+    render.c:2252-2256), i.e. the window weight follows frame AGE, not
+    ring slot. A slot-indexed weight is only equivalent in steady
+    state; on transients it misweights frames.
 
-    HBM traffic per update drops from ~(4F + 8) planes to ~12 + 2F/F
-    planes (~2.3x for F=5). Interface:
-    ``fn(pcm, grav, hist, sum, slot, fft_scale, fft_cutoff, g) ->
-    (grav', hist', sum')`` — the carried sum IS the averaged texture.
+    ``slot`` is per-row: a (B,) int32 vector (or a scalar, broadcast)
+    giving each row's ring slot. Streams updating on independent
+    clocks therefore keep exact per-stream averaging ages — the
+    reference's per-renderer history (render.c:738-771) has no
+    cross-instance coupling and neither does this kernel.
+
+    HBM traffic per update: ~(2F + 12) planes vs v1's ~(4F + 8).
+    Interface: ``fn(pcm, grav, hist, sum, slot, fft_scale, fft_cutoff,
+    g) -> (grav', hist', sum')`` — sum' IS the averaged texture (the
+    input sum is only an aliasing donor).
     """
     (m, m1, m2, w1r, w1i, w2r, w2i, tr, ti, boost_re, boost_im) = _constants(n)
     F = frames
@@ -380,51 +393,56 @@ def build_fused_update_inc(
             grav = jnp.clip(grav, 0.0, 1.0)
         grav_out[:] = grav
 
-        slot = slot_ref[0]
         i = pl.program_id(0)
         bt = B
+        slots = [slot_ref[i * bt + r] for r in range(bt)]
 
-        # read the slot being replaced (HBM -> VMEM)
-        rd = pltpu.make_async_copy(
-            hist_ref.at[pl.ds(i * bt, bt), pl.ds(slot, 1)],
-            old_scr, dma_sem.at[0],
-        )
-        rd.start()
-        rd.wait()
-
-        # slot-indexed weight via scalar select (dynamic gather of a
-        # constant vector is not Mosaic-friendly)
-        w_slot = jnp.float32(0.0)
-        for f in range(F):
-            w_slot = jnp.where(slot == f, jnp.float32(wts[f]), w_slot)
-
-        new_sum = sum_ref[:] + w_slot * (grav - old_scr[:, 0])
-
-        # write the new slot frame back (VMEM -> HBM)
-        old_scr[:, 0] = grav
-        wr = pltpu.make_async_copy(
-            old_scr, hist_out.at[pl.ds(i * bt, bt), pl.ds(slot, 1)],
-            dma_sem.at[1],
-        )
-        wr.start()
-        wr.wait()
-
-        # drift cancellation: full recompute when the ring wraps
-        @pl.when(slot == F - 1)
-        def _():
-            rdf = pltpu.make_async_copy(
-                hist_out.at[pl.ds(i * bt, bt)], full_scr, dma_sem.at[2]
+        # read each row's full ring (HBM -> VMEM), overlapped
+        rds = []
+        for r in range(bt):
+            rd = pltpu.make_async_copy(
+                hist_ref.at[pl.ds(i * bt + r, 1)],
+                full_scr.at[pl.ds(r, 1)], dma_sem.at[0, r],
             )
-            rdf.start()
-            rdf.wait()
-            acc = jnp.zeros((bt, 2, m), jnp.float32)
-            for f in range(F):
-                acc = acc + wts[f] * full_scr[:, f]
-            sum_out[:] = acc
+            rd.start()
+            rds.append(rd)
+        for rd in rds:
+            rd.wait()
 
-        @pl.when(slot != F - 1)
-        def _():
-            sum_out[:] = new_sum
+        # overwrite each row's slot in VMEM, then DMA just that slot
+        # back so the HBM ring only takes a one-plane write
+        for r in range(bt):
+            full_scr[pl.ds(r, 1), pl.ds(slots[r], 1)] = grav[r][None, None]
+        old_scr[:, 0] = grav
+        wrs = []
+        for r in range(bt):
+            wr = pltpu.make_async_copy(
+                old_scr.at[pl.ds(r, 1)],
+                hist_out.at[pl.ds(i * bt + r, 1), pl.ds(slots[r], 1)],
+                dma_sem.at[1, r],
+            )
+            wr.start()
+            wrs.append(wr)
+
+        # age-mapped weights (render.c:2252-2256 binds newest-first):
+        # slot s holds the frame of age (slot_r - s) mod F, so weight
+        # w[(slot_r - s) mod F] applies. Weights are selected as traced
+        # scalars per row (a dynamic gather of a constant vector — and
+        # assembling a vector from scalars — are not Mosaic-friendly),
+        # each scaling a (1, 2, m) row slice on the VPU.
+        for r in range(bt):
+            acc = jnp.zeros((1, 2, m), jnp.float32)
+            for f in range(F):
+                w_rf = jnp.float32(0.0)
+                for a in range(F):
+                    # (slot_r - f) mod F == a  <=>  slot_r == (a + f) mod F
+                    w_rf = jnp.where(
+                        slots[r] == (a + f) % F, jnp.float32(wts[a]), w_rf
+                    )
+                acc = acc + w_rf * full_scr[r, f][None]
+            sum_out[pl.ds(r, 1)] = acc
+        for wr in wrs:
+            wr.wait()
 
     def fn(pcm, grav, hist, ssum, slot, fft_scale, fft_cutoff, g):
         Btot = pcm.shape[0]
@@ -469,7 +487,7 @@ def build_fused_update_inc(
             scratch_shapes=[
                 pltpu.VMEM((bt, 1, 2, m), jnp.float32),
                 pltpu.VMEM((bt, F, 2, m), jnp.float32),
-                pltpu.SemaphoreType.DMA((3,)),
+                pltpu.SemaphoreType.DMA((2, bt)),
             ],
         )
 
@@ -497,13 +515,13 @@ def build_fused_update_inc(
             input_output_aliases={6: 0, 7: 1, 8: 2},
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
             cost_estimate=pl.CostEstimate(
-                flops=Btot * (8 * m * (m1 + m2)),
-                bytes_accessed=4 * Btot * (n + 10 * m),
+                flops=Btot * (8 * m * (m1 + m2) + 2 * m * F),
+                bytes_accessed=4 * Btot * (n + 2 * m * (F + 1) + 8 * m),
                 transcendentals=Btot * n,
             ),
             interpret=interpret,
         )(
-            jnp.asarray([slot], jnp.int32),
+            _slotvec(slot, Btot),
             _rowvec(fft_scale, Btot),
             _rowvec(fft_cutoff, Btot),
             _rowvec(g, Btot),
@@ -513,3 +531,11 @@ def build_fused_update_inc(
         return grav2, hist2, sum2
 
     return fn
+
+
+def _slotvec(slot, B: int) -> jnp.ndarray:
+    """Scalar or (B,) per-row history slot -> (B,) int32 prefetch."""
+    arr = jnp.asarray(slot, jnp.int32)
+    if arr.ndim == 0:
+        arr = jnp.broadcast_to(arr, (B,))
+    return arr

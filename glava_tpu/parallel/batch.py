@@ -47,9 +47,9 @@ class BatchedRenderer:
         The pipeline runs natively batched (one fused kernel call for
         the whole fleet); per-stream update gating selects between
         advanced and carried state. Only the rasterizer is vmapped.
-        Note: on the fused path the rolling-history slot counter is
-        shared across streams — exact only when streams update on a
-        common audio clock (the batched deployment mode).
+        The fused path keeps a per-row ring-slot counter, so streams
+        updating on independent clocks (staggered `modified` masks) get
+        exact per-stream averaging ages.
         """
         rend = self.renderer
         cfg = self.cfg

@@ -79,7 +79,10 @@ class FusedChainState(NamedTuple):
     gravity: jax.Array   # (B, 2, m)
     history: jax.Array   # (B, F, 2, m) rolling ring
     avg: jax.Array       # (B, 2, m) last averaged spectrum
-    count: jax.Array     # () int32 update counter (ring slot = count % F)
+    count: jax.Array     # (B,) int32 per-row update counters
+    #                      (ring slot = count % F; per-row so streams on
+    #                      independent clocks keep exact averaging ages,
+    #                      matching the reference's per-renderer history)
 
 
 _FUSED_KEY = "__fused__"
@@ -174,7 +177,7 @@ class AudioPipeline:
                 gravity=jnp.zeros((B, 2, m), jnp.float32),
                 history=jnp.zeros((B, F, 2, m), jnp.float32),
                 avg=jnp.zeros((B, 2, m), jnp.float32),
-                count=jnp.zeros((), jnp.int32),
+                count=jnp.zeros((B,), jnp.int32),
             )
             return state
         for u in self._fft_uniforms:
@@ -340,7 +343,7 @@ class AudioPipeline:
 
         def sel_mask(mask, n, o):
             if n.ndim == 0:
-                return n  # shared scalars (fused slot counter)
+                return n  # shared scalars
             mshape = (n.shape[0],) + (1,) * (n.ndim - 1)
             return jnp.where(mask.reshape(mshape), n, o)
 

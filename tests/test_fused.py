@@ -20,13 +20,15 @@ def test_fused_matches_unfused(n):
     F, B = 5, 8
     fn = fused.build_fused_update(n, F, _weights(F), batch_tile=4, interpret=True)
     rng = np.random.default_rng(0)
-    pcm = jnp.asarray(rng.standard_normal((B, n)).astype(np.float32) * 0.3)
     grav = jnp.zeros((B, 2, n // 2), jnp.float32)
     hist = jnp.zeros((B, F, 2, n // 2), jnp.float32)
     g = 0.05
     state = transforms.chain_init(n, F, batch=(B,))
     w = jnp.asarray(windows.avg_weights(F, True, True))
+    # fresh audio every update: exposes slot-vs-age weighting mistakes
+    # that steady-state (constant-pcm) histories mask
     for it in range(7):
+        pcm = jnp.asarray(rng.standard_normal((B, n)).astype(np.float32) * 0.3)
         state, want = transforms.fft_update(
             state, pcm, fft_scale=10.2, fft_cutoff=0.3, gravity_g=g,
             avg_weights=w,
@@ -80,12 +82,62 @@ def test_pipeline_fused_vs_unfused_textures():
     pu = AudioPipeline(lc.cfg, uniforms, use_fused=False)
 
     rng = np.random.default_rng(2)
-    al = jnp.asarray(rng.standard_normal((1024,)).astype(np.float32) * 0.3)
-    ar = jnp.asarray(rng.standard_normal((1024,)).astype(np.float32) * 0.3)
     sf, su = pf.init_state(), pu.init_state()
     for _ in range(7):
+        al = jnp.asarray(rng.standard_normal((1024,)).astype(np.float32) * 0.3)
+        ar = jnp.asarray(rng.standard_normal((1024,)).astype(np.float32) * 0.3)
         sf, tf = pf.update(sf, al, ar)
         su, tu = pu.update(su, al, ar)
+    for k in tf:
+        np.testing.assert_allclose(
+            np.asarray(tf[k]), np.asarray(tu[k]), atol=5e-5
+        )
+
+
+def test_fused_per_stream_slot_counters():
+    """Streams updating on independent clocks (staggered `modified`
+    masks) keep exact per-stream averaging ages on the fused path —
+    parity with the unfused path, whose history is per-row by
+    construction (reference per-renderer history, render.c:738-771)."""
+    from glava_tpu.config import loader
+    from glava_tpu.parallel.batch import BatchedRenderer
+
+    lc = loader.load(
+        cli_requests=("setgeometry 0 0 48 32", "setbufsize 1024",
+                      "setsamplesize 256", "setprintframes false"),
+        force_module="bars",
+    )
+    S = 4
+    bf = BatchedRenderer(lc, n_streams=S)
+    bf.renderer.pipeline.use_fused = True
+    bf.renderer.pipeline._fused = fused.build_fused_update_inc(
+        bf.renderer.pipeline.sz, lc.cfg.avg_frames,
+        tuple(float(x) for x in np.asarray(bf.renderer.pipeline.avg_weights)),
+        batch_tile=4, interpret=True,
+    )
+    bu = BatchedRenderer(lc, n_streams=S)
+    assert not bu.renderer.pipeline.use_fused
+
+    rng = np.random.default_rng(3)
+    sf = bf.renderer.pipeline.init_state(batch=(S,))
+    su = bu.renderer.pipeline.init_state(batch=(S,))
+    g = jnp.full((S,), 0.05, jnp.float32)
+    # stream s updates every (s+1)-th step: fully independent clocks
+    for it in range(12):
+        audio = jnp.asarray(
+            rng.standard_normal((S, 2, 1024)).astype(np.float32) * 0.3
+        )
+        modified = jnp.asarray([(it % (s + 1)) == 0 for s in range(S)])
+        adv_f = bf.renderer.pipeline.advance(
+            sf, audio[:, 0], audio[:, 1], gravity_g=g
+        )
+        sf = bf.renderer.pipeline.select_updated(adv_f, sf, modified)
+        adv_u = bu.renderer.pipeline.advance(
+            su, audio[:, 0], audio[:, 1], gravity_g=g
+        )
+        su = bu.renderer.pipeline.select_updated(adv_u, su, modified)
+    tf = bf.renderer.pipeline.textures_from(sf, audio[:, 0], audio[:, 1])
+    tu = bu.renderer.pipeline.textures_from(su, audio[:, 0], audio[:, 1])
     for k in tf:
         np.testing.assert_allclose(
             np.asarray(tf[k]), np.asarray(tu[k]), atol=5e-5

@@ -101,25 +101,57 @@ def build(ctx: base.ModuleContext) -> base.ModuleBuild:
     color_fn = ctx.color_fn("COLOR")
     bar_outline_fn = ctx.color_fn("BAR_OUTLINE")
 
+    # --- packed planes for the fast path (HBM diet) ----------------------
+    # TPU gathers over a (H, W) index plane are pathologically slow
+    # (~20x the whole raster); the spectrum has only 2*(NBARS/2+1)
+    # distinct values, so the per-pixel bar value is materialized with
+    # an unrolled select-sum against a single int16 combined id plane
+    # (left ids first, right ids offset by n1). in_bar/ring booleans
+    # fold into the alias/ring-alpha floats: alias_enc >= 0 iff in_bar
+    # (clip(alias) is the AA alpha), f0a = premultiplied ring alpha
+    # (0 off-ring). All arithmetic is bit-identical to the reference
+    # formulation — only the memory layout changed.
+    n1 = nbars // 2 + 1
+    comb_id = jnp.asarray(
+        (bar_id + np.where(use_left, 0, n1)).astype(np.int16)
+    )
+    alias_enc = jnp.asarray(
+        np.where(
+            in_bar, np.clip(alias, 0.0, 1.0), -1.0
+        ).astype(np.float32)
+    )
+    outline_f32 = np.asarray(outline_col, np.float32)
+    f0a_c = jnp.asarray(
+        np.where(
+            ring,
+            np.float32(outline_f32[3]) * ring_alpha.astype(np.float32),
+            np.float32(0.0),
+        ).astype(np.float32)
+    )
+
     def pass1_fast(inputs: base.PassInputs) -> jnp.ndarray:
-        """Default-config path (no bar outline, alpha AA): assemble the
-        frame from per-channel scalar fields instead of blending full
-        RGBA frames — ~5x less HBM traffic at 1080p."""
+        """Default-config path (no bar outline, alpha AA, scalar COLOR
+        alpha): assemble the frame from per-channel scalar fields with
+        no gathers and 3 packed input planes — ~6x less HBM traffic
+        than frame blending at 1080p."""
         vl = sample(inputs.textures["audio_l"])
         vr = sample(inputs.textures["audio_r"])
-        v = jnp.where(use_left_c, vl[bar_id_c], vr[bar_id_c]) * amplify
-        body = in_bar_c & (bar_d_c <= v)
+        vcat = jnp.concatenate([vl, vr]) * amplify
+        cid = comb_id.astype(jnp.int32)
+        v = jnp.zeros((h, w), jnp.float32)
+        for k in range(2 * n1):
+            v = v + jnp.where(cid == k, vcat[k], 0.0)
+        body = (alias_enc >= 0.0) & (bar_d_c <= v)
 
         # ring layer as premultiplied scalar fields (constant rgb)
-        f0_a = jnp.where(ring_c, outline_col[3] * ring_alpha_c, 0.0)
         color = ctx_color_components(color_fn, bar_d_c)
-        ca = color[3] * jnp.clip(alias_c, 0.0, 1.0)
-        one_m = 1.0 - jnp.clip(f0_a, 0.0, 1.0)
+        ca = color[3] * jnp.maximum(alias_enc, 0.0)
+        one_m = 1.0 - jnp.clip(f0a_c, 0.0, 1.0)
         chans = []
         for k in range(3):
-            prem = outline_col[k] * f0_a
+            prem = outline_col[k] * f0a_c
             chans.append(jnp.where(body, prem + color[k] * one_m, prem))
-        chans.append(jnp.where(body, jnp.maximum(ca, f0_a), f0_a))
+        chans.append(jnp.where(body, jnp.maximum(ca, f0a_c), f0a_c))
         return jnp.stack(chans, axis=-1).astype(jnp.float32)
 
     def pass1(inputs: base.PassInputs) -> jnp.ndarray:

@@ -8,7 +8,11 @@ fused kernel call and one raster program per frame for the whole fleet
 
 Streams sharing a FleetEngine share a module + static knob set (one
 compiled program); heterogeneous fleets run one FleetEngine per module
-group (see parallel/batch.py notes on the shared update clock).
+group. Dynamics (gravity feedback from measured per-stream UPS,
+keyframe interpolation via per-stream kcounters) mirror the
+single-stream engine loop, and the fused spectrum kernel keeps
+per-stream ring-slot counters, so streams on independent audio clocks
+behave exactly like N separate engines.
 """
 
 from __future__ import annotations
@@ -37,6 +41,43 @@ class StreamSpec:
     source: str | None = None
     sink: FrameSink | str = "latest"
     pipe: dict[str, Any] = field(default_factory=dict)  # per-stream uniforms
+
+
+class FleetDynamics:
+    """Per-stream frame-clock dynamics, the vectorized mirror of the
+    single-stream engine loop (engine.py run(); render.c:728,
+    1792-1809, 2380-2399): per-stream kcounter-driven interpolation and
+    measured-UPS gravity feedback with the nominal/8 stall guard."""
+
+    def __init__(self, n_streams: int, nominal_ups: float, framerate: float):
+        self.S = n_streams
+        self.nominal_ups = float(nominal_ups)
+        self.fr = max(float(framerate) or 60.0, 1.0)
+        self.ur = np.full((n_streams,), self.nominal_ups, np.float64)
+        self.kcounter = np.zeros((n_streams,), np.int64)
+        self.ucount = np.zeros((n_streams,), np.int64)
+        self.ups = np.zeros((n_streams,), np.float64)
+
+    def frame(self, mods: np.ndarray, fps: float):
+        """Advance one frame: (interp_mod, gravity_g), both (S,) f32."""
+        self.kcounter = np.where(mods, 0, self.kcounter + 1)
+        uratio = np.minimum(self.ur / max(fps or self.fr, 1.0), 1.0)
+        interp = np.minimum(
+            uratio * np.maximum(self.kcounter, 1), 1.0
+        ).astype(np.float32)
+        self.ucount += mods
+        return interp
+
+    def gravity(self, gravity_step: float) -> np.ndarray:
+        return (gravity_step / np.maximum(self.ur, 1.0)).astype(np.float32)
+
+    def tick(self, span: float) -> np.ndarray:
+        """Per-second accounting: returns per-stream UPS and feeds the
+        measured rate into the gravity step (stall-guarded)."""
+        self.ups = self.ucount / max(span, 1e-9)
+        self.ur = np.maximum(self.ups, self.nominal_ups / 8.0)
+        self.ucount = np.zeros((self.S,), np.int64)
+        return self.ups
 
 
 class FleetEngine:
@@ -87,6 +128,7 @@ class FleetEngine:
         self.alive = False
         self.frames_rendered = 0
         self.fps = 0.0
+        self.ups = np.zeros((len(streams),), np.float64)  # per-stream
 
     def _default_pipe(self, name):
         for s in self.streams:
@@ -133,7 +175,7 @@ class FleetEngine:
         S = len(self.streams)
         threads = [b.spawn(a) for b, a in zip(self.backends, self.audio)]
         self.alive = True
-        g0 = cfg.gravity_step / cfg.nominal_ups
+        dyn = FleetDynamics(S, cfg.nominal_ups, cfg.framerate)
         t0 = _time.monotonic()
         fcount, mark = 0, t0
         pending = None
@@ -143,7 +185,8 @@ class FleetEngine:
         self.state, _ = self._step(
             self.state, zeros, jnp.zeros((S,), bool),
             jnp.zeros((S,), jnp.float32), jnp.ones((S,), jnp.float32),
-            jnp.full((S,), g0, jnp.float32), pipe,
+            jnp.full((S,), cfg.gravity_step / cfg.nominal_ups, jnp.float32),
+            pipe,
         )
         try:
             while self.alive:
@@ -154,13 +197,15 @@ class FleetEngine:
                 mods = np.empty((S,), bool)
                 for i, ad in enumerate(self.audio):
                     snaps[i], mods[i] = ad.snapshot()
+                interp = dyn.frame(mods, self.fps)
+                gravity_g = dyn.gravity(cfg.gravity_step)
                 tnow = (now - t0) % cfg.timecycle
                 pipe = {k: jnp.asarray(v) for k, v in self._pipe_host.items()}
                 self.state, frames = self._step(
                     self.state, jnp.asarray(snaps), jnp.asarray(mods),
                     jnp.full((S,), np.float32(tnow)),
-                    jnp.ones((S,), jnp.float32),
-                    jnp.full((S,), np.float32(g0)),
+                    jnp.asarray(interp),
+                    jnp.asarray(gravity_g),
                     pipe,
                 )
                 if pending is not None:
@@ -169,7 +214,12 @@ class FleetEngine:
                 self.frames_rendered += 1
                 fcount += 1
                 if now - mark >= 1.0:
-                    self.fps = fcount / (now - mark)
+                    span = now - mark
+                    self.fps = fcount / span
+                    self.ups = dyn.tick(span)
+                    if cfg.print_frames:
+                        print(f"FPS: {self.fps:.1f}, UPS: "
+                              f"{float(np.mean(self.ups)):.1f} (fleet mean)")
                     fcount, mark = 0, now
                 if max_frames is not None and self.frames_rendered >= max_frames:
                     break

@@ -61,3 +61,35 @@ def test_fleet_on_device_mesh():
     fr = f.tex(0)
     assert fr is not None and fr.shape == (64, 96, 4)
     assert f.frames_rendered > 3
+
+
+def test_fleet_dynamics_gravity_and_interp():
+    """FleetDynamics pins the single-stream engine semantics per
+    stream: measured-UPS gravity feedback (render.c:728), kcounter
+    interpolation ramps (render.c:1792-1809), and the nominal/8 stall
+    guard — under a throttled frame clock."""
+    from glava_tpu.runtime.fleet import FleetDynamics
+
+    nominal = 86.1328125
+    dyn = FleetDynamics(2, nominal_ups=nominal, framerate=60)
+    # stream0 updates every frame at 60 fps; stream1 every 4th frame
+    for i in range(60):
+        dyn.frame(np.array([True, i % 4 == 0]), fps=60.0)
+    ups = dyn.tick(1.0)
+    np.testing.assert_allclose(ups, [60.0, 15.0])
+    # gravity decay rate follows each stream's measured UPS
+    np.testing.assert_allclose(
+        dyn.gravity(4.2), [4.2 / 60.0, 4.2 / 15.0], rtol=1e-6
+    )
+    # interpolation: slow stream ramps uratio*kcounter toward 1
+    interps = [dyn.frame(np.array([True, i == 0]), fps=60.0)
+               for i in range(4)]
+    np.testing.assert_allclose(
+        [float(x[1]) for x in interps], [0.25, 0.25, 0.5, 0.75], atol=1e-6
+    )
+    assert all(float(x[0]) == 1.0 for x in interps)  # fast stream: 1.0
+    # stall guard: a silent second decays at nominal/8, not div-by-~0
+    dyn.tick(1.0)
+    np.testing.assert_allclose(
+        dyn.gravity(4.2), [4.2 / (nominal / 8)] * 2, rtol=1e-6
+    )

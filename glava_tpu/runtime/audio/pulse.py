@@ -2,11 +2,12 @@
 
 The reference blocks on ``pa_simple_read`` of float32 native-endian
 stereo with fragsize = samplesize bytes from ``<default sink>.monitor``
-(pulse_input.c:109-190). libpulse isn't a Python dependency here, so
-capture is delegated to the ``parec``/``parecord`` CLI with identical
-format flags; source discovery ("auto" -> default sink monitor) uses
-``pactl``. Gated gracefully: a clear error if PulseAudio tooling is
-absent (the reference exits likewise on connection failure,
+(pulse_input.c:109-190). Capture uses the same ``pa_simple`` client API
+through a ctypes binding (pa_simple.py) when libpulse is present, with
+a ``parec``/``parecord`` subprocess fallback using identical format
+flags; source discovery ("auto" -> default sink monitor) uses
+``pactl``. Gated gracefully: a clear error if PulseAudio is absent
+entirely (the reference exits likewise on connection failure,
 pulse_input.c:128-135).
 """
 
@@ -18,6 +19,7 @@ import subprocess
 import numpy as np
 
 from glava_tpu.runtime.audio import AudioBackend, AudioData, register
+from glava_tpu.runtime.audio import pa_simple
 
 
 def _default_monitor() -> str:
@@ -32,16 +34,39 @@ def _default_monitor() -> str:
 
 @register("pulseaudio")
 class PulseBackend(AudioBackend):
+    #: injectable libpulse handle for tests (None = dlopen for real)
+    libpulse = None
+
     def init(self, audio: AudioData) -> None:
-        if shutil.which("parec") is None and shutil.which("parecord") is None:
+        have_native = (self.libpulse is not None
+                       or pa_simple.load_libpulse() is not None)
+        have_parec = (shutil.which("parec") is not None
+                      or shutil.which("parecord") is not None)
+        if not have_native and not have_parec:
             raise RuntimeError(
-                "PulseAudio capture requires `parec` (pulseaudio-utils); "
-                "use the 'fifo', 'wav' or 'synth' backend instead"
+                "PulseAudio capture requires libpulse-simple or `parec` "
+                "(pulseaudio-utils); use the 'fifo', 'wav' or 'synth' "
+                "backend instead"
             )
         if not audio.source or audio.source == "auto":
             audio.source = _default_monitor()
 
-    def entry(self, audio: AudioData) -> None:
+    # -- native pa_simple path (pulse_input.c:109-190) --------------------
+
+    def _entry_native(self, audio: AudioData) -> None:
+        cap = pa_simple.PaSimpleCapture(
+            audio.source, audio.rate, audio.sample_sz, lib=self.libpulse
+        )
+        try:
+            while not audio.terminate:
+                s = cap.read()  # (sample_sz/2,) interleaved float32
+                audio.push(s[0::2].copy(), s[1::2].copy())
+        finally:
+            cap.close()
+
+    # -- parec subprocess fallback ----------------------------------------
+
+    def _entry_parec(self, audio: AudioData) -> None:
         tool = shutil.which("parec") or shutil.which("parecord")
         hop = audio.hop
         proc = subprocess.Popen(
@@ -65,3 +90,9 @@ class PulseBackend(AudioBackend):
                 audio.push(s[0::2].copy(), s[1::2].copy())
         finally:
             proc.terminate()
+
+    def entry(self, audio: AudioData) -> None:
+        if self.libpulse is not None or pa_simple.load_libpulse() is not None:
+            self._entry_native(audio)
+        else:
+            self._entry_parec(audio)

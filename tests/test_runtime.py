@@ -316,3 +316,121 @@ def test_engine_frame_limiter():
     span = frames[-1] - frames[0]
     rate = (len(frames) - 1) / span
     assert 20 <= rate <= 40, f"limiter produced {rate:.1f} fps"
+
+
+# -- native PulseAudio (ctypes pa_simple) against a fake libpulse ----------
+
+class _FakeLibpulse:
+    """Emulates the 4 libpulse-simple entry points the binding uses;
+    produces deterministic interleaved fragments and terminates the
+    capture after 3 reads."""
+
+    def __init__(self, audio):
+        self.audio = audio
+        self.new_args = None
+        self.reads = 0
+        self.freed = False
+
+    def pa_simple_new(self, server, app, direction, source, desc,
+                      ss_ref, chmap, pb_ref, err_ref):
+        self.new_args = dict(
+            app=app, direction=direction, source=source,
+            ss=type(ss_ref._obj)(ss_ref._obj.format, ss_ref._obj.rate,
+                                 ss_ref._obj.channels),
+            fragsize=pb_ref._obj.fragsize, maxlength=pb_ref._obj.maxlength,
+        )
+        return 1  # truthy handle
+
+    def pa_simple_read(self, handle, buf, nbytes, err_ref):
+        import ctypes
+        n = int(getattr(nbytes, "value", nbytes))
+        floats = n // 4
+        frames = floats // 2
+        base = self.reads * frames
+        inter = np.empty((floats,), np.float32)
+        inter[0::2] = 0.001 * (base + np.arange(frames))   # left
+        inter[1::2] = -0.001 * (base + np.arange(frames))  # right
+        ctypes.memmove(buf, inter.tobytes(), n)
+        self.reads += 1
+        if self.reads >= 3:
+            self.audio.terminate = True
+        return 0
+
+    def pa_simple_free(self, handle):
+        self.freed = True
+
+    def pa_strerror(self, code):
+        return b"fake error"
+
+
+def test_pulse_native_fake_libpulse():
+    """The ctypes pa_simple path configures the stream exactly like
+    pulse_input.c:114-123 (float32ne stereo, fragsize = sample_sz,
+    maxlength -1) and de-interleaves fragments into the ring."""
+    from glava_tpu.runtime.audio import AudioData
+    from glava_tpu.runtime.audio import pa_simple as pas
+    from glava_tpu.runtime.audio.pulse import PulseBackend
+
+    audio = AudioData(
+        buffer=np.zeros((2, 64), np.float32), sample_sz=32, rate=22050,
+        channels=2, source="fake.monitor",
+    )
+    fake = _FakeLibpulse(audio)
+    b = PulseBackend()
+    b.libpulse = fake
+    b._entry_native(audio)
+
+    assert fake.new_args["direction"] == pas.PA_STREAM_RECORD
+    assert fake.new_args["source"] == b"fake.monitor"
+    assert fake.new_args["fragsize"] == 32            # = sample_sz bytes
+    assert fake.new_args["maxlength"] == 0xFFFFFFFF   # (uint32_t) -1
+    ss = fake.new_args["ss"]
+    assert ss.format == pas.FSAMPLE_FORMAT
+    assert ss.rate == 22050 and ss.channels == 2
+    assert fake.reads == 3 and fake.freed
+
+    snap, mod = audio.snapshot()
+    assert mod
+    hop = audio.hop  # 8 frames/fragment, 3 fragments pushed
+    want_l = 0.001 * np.arange(3 * hop, dtype=np.float32)
+    np.testing.assert_allclose(snap[0, -3 * hop:], want_l, atol=1e-7)
+    np.testing.assert_allclose(snap[1, -3 * hop:], -want_l, atol=1e-7)
+    assert (snap[:, : -3 * hop] == 0).all()
+
+
+def test_pulse_native_mono_mixdown():
+    """channels == 1 mixes both channels into each ring
+    (pulse_input.c:163-168 / setmirror)."""
+    from glava_tpu.runtime.audio import AudioData
+    from glava_tpu.runtime.audio.pulse import PulseBackend
+
+    audio = AudioData(
+        buffer=np.zeros((2, 64), np.float32), sample_sz=32, rate=22050,
+        channels=1, source="fake.monitor",
+    )
+    fake = _FakeLibpulse(audio)
+    b = PulseBackend()
+    b.libpulse = fake
+    b._entry_native(audio)
+    snap, _ = audio.snapshot()
+    # left = x, right = -x -> mono mixdown = 0 everywhere
+    np.testing.assert_allclose(snap, 0.0, atol=1e-7)
+    assert fake.reads == 3
+
+
+def test_pulse_missing_everything_fails_clearly(monkeypatch):
+    import shutil as _shutil
+
+    from glava_tpu.runtime.audio import AudioData
+    from glava_tpu.runtime.audio import pa_simple as pas
+    from glava_tpu.runtime.audio.pulse import PulseBackend
+
+    monkeypatch.setattr(_shutil, "which", lambda *_: None)
+    monkeypatch.setattr(pas, "load_libpulse", lambda: None)
+    b = PulseBackend()
+    audio = AudioData(
+        buffer=np.zeros((2, 64), np.float32), sample_sz=32, rate=22050,
+        channels=2, source="x.monitor",
+    )
+    with pytest.raises(RuntimeError, match="libpulse-simple or `parec`"):
+        b.init(audio)

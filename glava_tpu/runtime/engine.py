@@ -228,6 +228,9 @@ class Engine:
                     self.renderer = Renderer(self.loaded, screen=sr)
                     self._step = self.renderer.jit_step(quantize=True)
 
+                if self.sink.should_close():
+                    break  # presentation target gone (window closed)
+
                 if not self.sink.should_render():
                     _time.sleep(0.05)  # obscured/fullscreen gating
                     continue

@@ -39,6 +39,12 @@ class FrameSink:
     def should_render(self) -> bool:  # visibility gating hook
         return True
 
+    def should_close(self) -> bool:
+        """True when the presentation target is gone (window closed) —
+        the engine exits its loop, like wcb should_close
+        (glx_wcb.c:319-333)."""
+        return False
+
     def close(self) -> None:
         pass
 
@@ -260,6 +266,86 @@ def read_shm_frame(path: str) -> np.ndarray | None:
             m.close()
 
 
+class WindowSink(FrameSink):
+    """Live display window: pipe the y4m stream into a video player.
+
+    GLava's core UX is "run it and see the visualizer"
+    (glx_wcb.c:358, README.md:4). With compute decoupled from
+    presentation, the live view is a player process consuming the
+    YUV4MPEG2 stream on stdin — zero new dependencies when ``ffplay``
+    or ``mpv`` is installed. Closing the player window ends the stream:
+    ``should_close()`` goes true and the engine exits its frame loop,
+    matching the reference's window-close semantics
+    (glx_wcb.c:319-333).
+
+    ``player`` may be a known name ("ffplay", "mpv", "ffmpeg"), a full
+    command string (shlex-split; the y4m stream arrives on stdin), or
+    empty to auto-pick. Override via the ``GLAVA_TPU_PLAYER`` env var.
+    """
+
+    name = "window"
+
+    _KNOWN = {
+        "ffplay": ["ffplay", "-loglevel", "error", "-window_title",
+                   "GLava (glava_tpu)", "-f", "yuv4mpegpipe", "-i", "-"],
+        "mpv": ["mpv", "--really-quiet", "--title=GLava (glava_tpu)",
+                "--profile=low-latency", "--untimed", "-"],
+        "ffmpeg": ["ffmpeg", "-loglevel", "error", "-f", "yuv4mpegpipe",
+                   "-i", "-", "-f", "sdl", "GLava (glava_tpu)"],
+    }
+
+    def __init__(self, player: str = "", fps: int = 60):
+        import os
+        import shlex
+        import shutil
+        import subprocess
+
+        player = player or os.environ.get("GLAVA_TPU_PLAYER", "")
+        if player in self._KNOWN:
+            cmd = self._KNOWN[player]
+        elif player:
+            cmd = shlex.split(player)
+        else:
+            for name in ("ffplay", "mpv", "ffmpeg"):
+                if shutil.which(name):
+                    cmd = self._KNOWN[name]
+                    break
+            else:
+                raise RuntimeError(
+                    "no video player found for --sink window: install "
+                    "ffplay (ffmpeg) or mpv, pass window:<command>, or "
+                    "set GLAVA_TPU_PLAYER"
+                )
+        if shutil.which(cmd[0]) is None:
+            raise RuntimeError(f"player '{cmd[0]}' not found in PATH")
+        self.proc = subprocess.Popen(cmd, stdin=subprocess.PIPE)
+        self._y4m = Y4MSink(self.proc.stdin, fps=fps)
+        self._closed = False
+
+    def submit(self, frame, time_s):
+        if self._closed:
+            return
+        try:
+            self._y4m.submit(frame, time_s)
+        except (BrokenPipeError, OSError):
+            self._closed = True  # player window was closed
+
+    def should_close(self) -> bool:
+        return self._closed or self.proc.poll() is not None
+
+    def close(self):
+        if not self._closed:
+            try:
+                self.proc.stdin.close()
+            except OSError:
+                pass
+            self._closed = True
+        try:
+            self.proc.wait(timeout=2.0)
+        except Exception:
+            self.proc.terminate()
+
+
 class CallbackSink(FrameSink):
     name = "callback"
 
@@ -289,4 +375,6 @@ def make_sink(spec: str, fps: int = 60) -> FrameSink:
         return PngSink(arg or "frame.png")
     if kind == "shm":
         return ShmSink(arg or "/dev/shm/glava_tpu_frame")
+    if kind == "window":
+        return WindowSink(arg, fps=fps)
     raise ValueError(f"unknown sink '{spec}'")

@@ -434,3 +434,90 @@ def test_pulse_missing_everything_fails_clearly(monkeypatch):
     )
     with pytest.raises(RuntimeError, match="libpulse-simple or `parec`"):
         b.init(audio)
+
+
+# -- live display sink (window) against a fake player ----------------------
+
+_FAKE_PLAYER = (
+    "import sys\n"
+    "hdr = sys.stdin.buffer.readline()\n"
+    "assert hdr.startswith(b'YUV4MPEG2')\n"
+    "n = 0\n"
+    "w = h = 0\n"
+    "for tok in hdr.split():\n"
+    "    if tok[:1] == b'W': w = int(tok[1:])\n"
+    "    if tok[:1] == b'H': h = int(tok[1:])\n"
+    "while n < 3:\n"
+    "    line = sys.stdin.buffer.readline()\n"
+    "    if not line: break\n"
+    "    assert line == b'FRAME\\n'\n"
+    "    data = sys.stdin.buffer.read(3 * w * h)\n"
+    "    if len(data) < 3 * w * h: break\n"
+    "    n += 1\n"
+    "open(sys.argv[1], 'w').write(f'{w}x{h}:{n}')\n"
+)
+
+
+def test_window_sink_fake_player(tmp_path):
+    """WindowSink pipes a valid y4m stream into the player process and
+    reports should_close when the window (process) goes away."""
+    import sys
+    import time as _t
+
+    from glava_tpu.runtime.sinks import WindowSink
+
+    out = tmp_path / "seen.txt"
+    script = tmp_path / "player.py"
+    script.write_text(_FAKE_PLAYER)
+    sink = WindowSink(f"{sys.executable} {script} {out}", fps=30)
+    frame = np.zeros((16, 24, 4), np.uint8)
+    frame[..., 0] = 200
+    assert not sink.should_close()
+    # the fake player exits after 3 frames = window closed
+    for _ in range(16):
+        sink.submit(frame, 0.0)
+        if sink.should_close():
+            break
+        _t.sleep(0.02)
+    deadline = _t.monotonic() + 5.0
+    while not sink.should_close() and _t.monotonic() < deadline:
+        sink.submit(frame, 0.0)
+        _t.sleep(0.02)
+    assert sink.should_close()
+    sink.close()
+    assert out.read_text() == "24x16:3"
+
+
+def test_window_sink_missing_player_fails_clearly(monkeypatch):
+    import shutil as _shutil
+
+    from glava_tpu.runtime.sinks import WindowSink
+
+    monkeypatch.setattr(_shutil, "which", lambda *_: None)
+    monkeypatch.delenv("GLAVA_TPU_PLAYER", raising=False)
+    with pytest.raises(RuntimeError, match="no video player"):
+        WindowSink("")
+
+
+def test_engine_exits_on_window_close(tmp_path):
+    """Window-close semantics: the engine frame loop exits when the
+    sink's presentation target is gone (glx_wcb.c:319-333)."""
+    import sys
+
+    from glava_tpu.runtime.engine import Engine, EngineOptions
+    from glava_tpu.runtime.sinks import WindowSink
+
+    out = tmp_path / "seen.txt"
+    script = tmp_path / "player.py"
+    script.write_text(_FAKE_PLAYER)
+    opts = EngineOptions(
+        requests=("setgeometry 0 0 32 16", "setbufsize 1024",
+                  "setsamplesize 256", "setprintframes false",
+                  "setframerate 0"),
+        force_module="bars", audio_backend="synth",
+    )
+    sink = WindowSink(f"{sys.executable} {script} {out}", fps=30)
+    eng = Engine(opts, sink=sink)
+    eng.run(max_seconds=20.0)   # exits via window close, not the timeout
+    assert sink.should_close()
+    assert out.read_text().startswith("32x16:")

@@ -13,6 +13,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from glava_tpu.config.loader import LoadedConfig
@@ -133,10 +134,156 @@ class BatchedRenderer:
         return jax.tree.map(lambda x: jax.device_put(x, s), state)
 
 
+class MixedBatchedRenderer:
+    """Heterogeneous fleet: per-stream module variants in ONE program.
+
+    BASELINE config #4's "per-stream module configs" fully realized:
+    streams may run *different* modules (bars + radial + wave, each
+    with its own knob set) inside a single jitted step. Spectrum
+    chains are deduplicated by (source, transform-chain) across the
+    variants and run once through the shared (fused) pipeline; the
+    raster stage groups streams by their statically-assigned variant,
+    vmaps each variant's pass chain over its own sub-batch, and
+    reassembles the (S, H, W, 4) output. Static grouping beats a
+    vmapped ``lax.switch`` here: under vmap a switch executes every
+    branch for every stream, an M-fold raster overhead, while the
+    assignment never changes after construction.
+
+    All variants must agree on the DSP-shaping config (bufsize,
+    samplesize, rate, averaging, smoothing) — they share one spectrum
+    state; raster knobs/colors/modules are free per variant.
+    """
+
+    _COMPAT_FIELDS = (
+        "bufsize", "samplesize", "sample_rate", "bufscale", "avg_frames",
+        "avg_window", "accel_fft", "smooth_factor", "smooth_pass",
+        "interpolate", "mirror_input", "timecycle",
+    )
+
+    def __init__(self, loadeds: list[LoadedConfig], assign: list[int],
+                 screen: tuple[int, int] | None = None):
+        if not loadeds:
+            raise ValueError("need at least one module variant")
+        if any(not 0 <= a < len(loadeds) for a in assign):
+            raise ValueError("stream assignment out of range")
+        base = loadeds[0].cfg
+        for lc in loadeds[1:]:
+            for f in self._COMPAT_FIELDS:
+                if getattr(lc.cfg, f) != getattr(base, f):
+                    raise ValueError(
+                        f"module variants disagree on '{f}' — spectrum "
+                        "state is shared, so DSP-shaping config must match"
+                    )
+        self.loadeds = loadeds
+        self.assign = list(assign)
+        self.n_streams = len(assign)
+        self.renderers = [Renderer(lc, screen=screen) for lc in loadeds]
+        self.cfg = base
+        self.screen = self.renderers[0].screen
+        for r in self.renderers[1:]:
+            if r.screen != self.screen:
+                raise ValueError("variants must share the frame geometry")
+
+        # dedupe (source, chain) across variants into one union pipeline
+        from glava_tpu.pipeline import AudioPipeline, UniformSpec
+
+        canon: dict[tuple, str] = {}
+        self._variant_tex: list[dict[str, str]] = []
+        for r in self.renderers:
+            vm = {}
+            for u in r.uniforms:
+                key = (u.source, tuple(u.transforms))
+                cname = canon.setdefault(key, f"__u{len(canon)}")
+                vm[u.name] = cname
+            self._variant_tex.append(vm)
+        union = [UniformSpec(cname, src, ch)
+                 for (src, ch), cname in canon.items()]
+        self.pipeline = AudioPipeline(base, union)
+        # static stream grouping per variant
+        self._groups = [
+            tuple(s for s, a in enumerate(self.assign) if a == k)
+            for k in range(len(loadeds))
+        ]
+
+    def init_state(self) -> RenderState:
+        S = self.n_streams
+        return RenderState(
+            chains=self.pipeline.init_state(batch=(S,)),
+            key_start=jnp.zeros((S, 2, self.cfg.bufsize), jnp.float32),
+            key_end=jnp.zeros((S, 2, self.cfg.bufsize), jnp.float32),
+        )
+
+    def step(self, state, audio, modified, time, interp_mod, gravity_g,
+             pipe=None):
+        """(S, H, W, 4) heterogeneous frames in one traced program."""
+        cfg = self.cfg
+        m3 = modified[:, None, None]
+        key_start = jnp.where(m3, state.key_end, state.key_start)
+        key_end = jnp.where(m3, audio, state.key_end)
+        if cfg.interpolate and not cfg.accel_fft:
+            im3 = jnp.minimum(interp_mod, 1.0)[:, None, None]
+            feed = key_start + (key_end - key_start) * im3
+        else:
+            feed = key_end
+        adv = self.pipeline.advance(
+            state.chains, feed[:, 0, :], feed[:, 1, :], gravity_g=gravity_g
+        )
+        chains = self.pipeline.select_updated(adv, state.chains, modified)
+        textures = self.pipeline.textures_from(
+            chains, feed[:, 0, :], feed[:, 1, :]
+        )
+
+        from glava_tpu.render.base import PassInputs
+
+        w, h = self.screen
+        parts = []
+        order = []
+        for k, idxs in enumerate(self._groups):
+            if not idxs:
+                continue
+            rend = self.renderers[k]
+            vm = self._variant_tex[k]
+            rows = jnp.asarray(idxs, jnp.int32)
+            sub_tex = {un: textures[cn][rows] for un, cn in vm.items()}
+            sub_time = time[rows]
+            sub_pipe = (
+                {n: jnp.asarray(v)[rows] for n, v in pipe.items()}
+                if pipe else {}
+            )
+
+            def raster(tex, ti, pi, rend=rend):
+                if pi:
+                    vals = {}
+                    for kk, v in pi.items():
+                        arr = jnp.asarray(v)
+                        vals[kk] = (
+                            tuple(arr[i] for i in range(arr.shape[0]))
+                            if arr.ndim else arr
+                        )
+                    rend.module_env.pipe_values.clear()
+                    rend.module_env.pipe_values.update(vals)
+                frame = rend.module.render(
+                    PassInputs(prev=None, textures=tex, time=ti)
+                )
+                if not rend.cfg.premultiply_alpha:
+                    bg = jnp.asarray(rend.cfg.clear_color, jnp.float32)
+                    a = frame[..., 3:4]
+                    frame = frame * a + bg * (1.0 - a)
+                return frame
+
+            parts.append(jax.vmap(raster)(sub_tex, sub_time, sub_pipe))
+            order.extend(idxs)
+        inv = np.argsort(np.asarray(order))
+        frames = jnp.concatenate(parts, axis=0)[jnp.asarray(inv)]
+        return RenderState(chains, key_start, key_end), frames
+
+    def shard_state(self, state: RenderState, mesh: Mesh) -> RenderState:
+        s = NamedSharding(mesh, P("streams"))
+        return jax.tree.map(lambda x: jax.device_put(x, s), state)
+
+
 def example_batch(br: BatchedRenderer, rng_seed: int = 0):
     """Synthetic per-stream inputs for compile checks and benches."""
-    import numpy as np
-
     S = br.n_streams
     cfg = br.cfg
     rng = np.random.default_rng(rng_seed)

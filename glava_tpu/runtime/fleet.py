@@ -41,6 +41,10 @@ class StreamSpec:
     source: str | None = None
     sink: FrameSink | str = "latest"
     pipe: dict[str, Any] = field(default_factory=dict)  # per-stream uniforms
+    #: optional per-stream module/knob config — streams whose `loaded`
+    #: differs from the engine's run different modules in the same
+    #: jitted step (MixedBatchedRenderer); DSP-shaping config must match
+    loaded: LoadedConfig | None = None
 
 
 class FleetDynamics:
@@ -94,7 +98,25 @@ class FleetEngine:
         self.loaded = loaded
         self.streams = streams
         self.mesh = mesh
-        self.br = BatchedRenderer(loaded, n_streams=len(streams), screen=screen)
+        # heterogeneous fleets: group streams by module-config variant
+        variants: list[LoadedConfig] = [loaded]
+        assign: list[int] = []
+        for s in streams:
+            lc = s.loaded if s.loaded is not None else loaded
+            try:
+                k = next(i for i, v in enumerate(variants) if v is lc)
+            except StopIteration:
+                variants.append(lc)
+                k = len(variants) - 1
+            assign.append(k)
+        if len(variants) == 1:
+            self.br = BatchedRenderer(
+                loaded, n_streams=len(streams), screen=screen
+            )
+        else:
+            from glava_tpu.parallel.batch import MixedBatchedRenderer
+
+            self.br = MixedBatchedRenderer(variants, assign, screen=screen)
         cfg = loaded.cfg
         self.sinks: list[FrameSink] = [
             s.sink if isinstance(s.sink, FrameSink) else make_sink(s.sink)

@@ -93,3 +93,90 @@ def test_fleet_dynamics_gravity_and_interp():
     np.testing.assert_allclose(
         dyn.gravity(4.2), [4.2 / (nominal / 8)] * 2, rtol=1e-6
     )
+
+
+def _loaded_mod(mod, extra=(), geom="0 0 96 64"):
+    return loader.load(
+        cli_requests=(f"setgeometry {geom}", "setprintframes false",
+                      "setbufsize 1024", "setsamplesize 256") + tuple(extra),
+        force_module=mod,
+    )
+
+
+def test_mixed_modules_match_single_module_renderers():
+    """One program serving bars+radial+wave streams produces exactly
+    the frames three single-module batched renderers produce."""
+    import jax
+    import jax.numpy as jnp
+
+    from glava_tpu.parallel.batch import BatchedRenderer, MixedBatchedRenderer
+
+    mods = ["bars", "radial", "wave"]
+    loadeds = [_loaded_mod(m) for m in mods]
+    assign = [0, 1, 2, 1, 0]          # interleaved on purpose
+    S = len(assign)
+    mx = MixedBatchedRenderer(loadeds, assign)
+    singles = [BatchedRenderer(loadeds[assign[s]], n_streams=1)
+               for s in range(S)]
+
+    rng = np.random.default_rng(7)
+    sm = mx.init_state()
+    ss = [b.init_state() for b in singles]
+    g = np.float32(0.05)
+    step_m = jax.jit(mx.step)
+    steps_s = [jax.jit(b.step) for b in singles]
+    for it in range(8):
+        audio = jnp.asarray(
+            rng.standard_normal((S, 2, 1024)).astype(np.float32) * 0.3
+        )
+        mods_mask = jnp.asarray([(it % (s + 1)) == 0 for s in range(S)])
+        sm, fm = step_m(
+            sm, audio, mods_mask, jnp.zeros((S,), jnp.float32),
+            jnp.ones((S,), jnp.float32), jnp.full((S,), g), {},
+        )
+        for s in range(S):
+            k = assign[s]
+            ss[s], fs = steps_s[s](
+                ss[s], audio[s:s + 1], mods_mask[s:s + 1],
+                jnp.zeros((1,), jnp.float32), jnp.ones((1,), jnp.float32),
+                jnp.full((1,), g), {},
+            )
+            np.testing.assert_allclose(
+                np.asarray(fm[s]), np.asarray(fs[0]), atol=5e-5,
+                err_msg=f"stream {s} (module {mods[k]}) diverged at it {it}",
+            )
+    assert (np.asarray(fm)[..., 3] > 0).any()
+
+
+def test_fleet_engine_heterogeneous_modules():
+    """One FleetEngine, three different modules, single jitted step."""
+    # 288x288: big enough for radial's default C_RADIUS (128)
+    shared = _loaded_mod("bars", geom="0 0 288 288")
+    radial = _loaded_mod("radial", geom="0 0 288 288")
+    wave = _loaded_mod("wave", geom="0 0 288 288")
+    streams = [
+        StreamSpec("a", source="synth:400,800"),
+        StreamSpec("b", source="synth:400,800", loaded=radial),
+        StreamSpec("c", source="synth:400,800", loaded=wave),
+    ]
+    f = FleetEngine(shared, streams)
+    from glava_tpu.parallel.batch import MixedBatchedRenderer
+
+    assert isinstance(f.br, MixedBatchedRenderer)
+    f.run(max_frames=20, max_seconds=60.0)
+    frames = [f.tex(i) for i in range(3)]
+    assert all(fr is not None for fr in frames)
+    assert all((fr[..., 3] > 0).any() for fr in frames)
+    assert not np.array_equal(frames[0], frames[1])
+    assert not np.array_equal(frames[1], frames[2])
+
+
+def test_mixed_modules_incompatible_dsp_rejected():
+    import pytest
+
+    from glava_tpu.parallel.batch import MixedBatchedRenderer
+
+    a = _loaded_mod("bars")
+    b = _loaded_mod("wave", extra=("setbufsize 2048",))
+    with pytest.raises(ValueError, match="bufsize"):
+        MixedBatchedRenderer([a, b], [0, 1])

@@ -78,6 +78,13 @@ def _set_opacity(cfg: RenderConfig, mode: str) -> None:
     cfg.opacity = mode
 
 
+def _set_str(attr: str):
+    def setter(cfg: RenderConfig, value: str) -> None:
+        setattr(cfg, attr, value)
+
+    return setter
+
+
 def _set_color(attr: str):
     def handler(cfg: RenderConfig, raw: str) -> None:
         c = parse_color(raw)
@@ -144,6 +151,9 @@ HANDLERS: dict[str, tuple[str, Callable]] = {
     "setbg":               ("s", _set_color("clear_color")),
     "settesteval":         ("s", _set_color("test_eval_color")),
     "setbgf":              ("ffff", _set_bgf),
+    # extension (no reference analogue): wallpaper image used as the
+    # xroot-opacity composite source in place of the X root pixmap
+    "setbgimg":            ("s", _set_str("background_image")),
     "mod":                 ("s", _set_mod),
     "nativeonly":          ("b", _nativeonly),
     "setfloating":         ("b", _set("floating")),

@@ -56,6 +56,11 @@ class RenderConfig:
     premultiply_alpha: bool = True     # derived from opacity (render.c:1038)
     copy_desktop: bool = True          # raw default render.c:924; normalized
                                        # by any `setopacity` (render.c:1042-1045)
+    background_image: str | None = None  # `setbgimg` (extension): the
+    #                                    xroot composite source — plays the
+    #                                    role of the root-pixmap wallpaper
+    #                                    copy (xwin.c:345-472), sampled at
+    #                                    the window geometry
     title: str = "GLava"               # `settitle`
     decorated: bool = True             # `setdecorated`
     floating: bool = False             # `setfloating`

@@ -55,6 +55,27 @@ class Renderer:
             channels=1 if cfg.mirror_input else 2,
         )
         self.module = build_module(self.loaded.module, mctx, overrides)
+        # xroot opacity: composite over the supplied wallpaper image,
+        # sampled at the window geometry — the capability equivalent of
+        # the reference's root-pixmap copy (xwin.c:345-472)
+        self._bg_image = None
+        if cfg.copy_desktop and cfg.background_image \
+                and not cfg.premultiply_alpha:
+            from glava_tpu.runtime.sinks import read_png
+
+            img = read_png(cfg.background_image).astype(np.float32) / 255.0
+            gx, gy = cfg.geometry[0], cfg.geometry[1]
+            w, h = self.screen
+            canvas = np.broadcast_to(
+                np.asarray(cfg.clear_color, np.float32), (h, w, 4)
+            ).copy()
+            ih, iw = img.shape[:2]
+            y0, y1 = max(gy, 0), min(gy + h, ih)
+            x0, x1 = max(gx, 0), min(gx + w, iw)
+            if y1 > y0 and x1 > x0:
+                canvas[y0 - gy:y1 - gy, x0 - gx:x1 - gx] = img[y0:y1, x0:x1]
+            canvas[..., 3] = 1.0  # the root pixmap is opaque
+            self._bg_image = jnp.asarray(canvas[::-1].copy())  # bottom-up
 
     # -- state -------------------------------------------------------------
 
@@ -125,10 +146,12 @@ class Renderer:
         )
         if not cfg.premultiply_alpha:
             # xroot/none opacity: the final draw blends src-alpha over
-            # the cleared background (render.c:1468-1469, 1700, 2028);
-            # the desktop pixmap of xroot mode has no TPU meaning, so
-            # both modes composite over `setbg`.
-            bg = jnp.asarray(cfg.clear_color, jnp.float32)
+            # the background (render.c:1468-1469, 1700, 2028). xroot
+            # mode composites over a `setbgimg` wallpaper when supplied
+            # (the root-pixmap-copy capability, xwin.c:345-472),
+            # falling back to the `setbg` clear color.
+            bg = (self._bg_image if self._bg_image is not None
+                  else jnp.asarray(cfg.clear_color, jnp.float32))
             a = frame[..., 3:4]
             frame = frame * a + bg * (1.0 - a)
         return RenderState(chains, key_start, key_end), frame

@@ -166,6 +166,89 @@ def write_png(path: str | Path, frame: np.ndarray) -> None:
     Path(path).write_bytes(data)
 
 
+def read_png(path: str | Path) -> np.ndarray:
+    """Minimal PNG reader: 8-bit RGB/RGBA/gray, non-interlaced.
+
+    Returns (H, W, 4) uint8, top-down row order. Covers the wallpaper
+    images used as the xroot composite source (renderer.py) and
+    round-trips :func:`write_png` output.
+    """
+    data = Path(path).read_bytes()
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError(f"{path}: not a PNG file")
+    pos = 8
+    w = h = None
+    bit_depth = color_type = interlace = None
+    idat = []
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        ctype = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + length]
+        pos += 12 + length
+        if ctype == b"IHDR":
+            w, h, bit_depth, color_type, _comp, _filt, interlace = \
+                struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+    if w is None:
+        raise ValueError(f"{path}: missing IHDR")
+    if bit_depth != 8 or interlace != 0:
+        raise ValueError(
+            f"{path}: only 8-bit non-interlaced PNGs supported "
+            f"(depth={bit_depth}, interlace={interlace})"
+        )
+    nchan = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    if nchan is None:
+        raise ValueError(f"{path}: unsupported color type {color_type}")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * nchan
+    out = np.empty((h, stride), np.uint8)
+    prev = np.zeros((stride,), np.uint8)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        row = np.frombuffer(raw, np.uint8, stride, pos + 1).copy()
+        pos += 1 + stride
+        if ftype == 1:    # Sub
+            for i in range(nchan, stride):
+                row[i] = (int(row[i]) + int(row[i - nchan])) & 0xFF
+        elif ftype == 2:  # Up
+            row = ((row.astype(np.int32) + prev) & 0xFF).astype(np.uint8)
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = int(row[i - nchan]) if i >= nchan else 0
+                row[i] = (int(row[i]) + ((a + int(prev[i])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = int(row[i - nchan]) if i >= nchan else 0
+                b = int(prev[i])
+                c = int(prev[i - nchan]) if i >= nchan else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (int(row[i]) + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"{path}: unknown filter {ftype}")
+        out[y] = row
+        prev = row
+    px = out.reshape(h, w, nchan)
+    rgba = np.empty((h, w, 4), np.uint8)
+    if nchan == 1:
+        rgba[..., :3] = px
+        rgba[..., 3] = 255
+    elif nchan == 2:
+        rgba[..., :3] = px[..., :1]
+        rgba[..., 3] = px[..., 1]
+    elif nchan == 3:
+        rgba[..., :3] = px
+        rgba[..., 3] = 255
+    else:
+        rgba[...] = px
+    return rgba
+
+
 class PngSink(FrameSink):
     name = "png"
 

@@ -521,3 +521,96 @@ def test_engine_exits_on_window_close(tmp_path):
     eng.run(max_seconds=20.0)   # exits via window close, not the timeout
     assert sink.should_close()
     assert out.read_text().startswith("32x16:")
+
+
+def test_read_png_roundtrip(tmp_path):
+    rng = np.random.default_rng(11)
+    frame = rng.integers(0, 256, (17, 23, 4), dtype=np.uint8)
+    p = tmp_path / "rt.png"
+    sinks.write_png(p, frame)          # writer takes bottom-up frames
+    back = sinks.read_png(p)           # reader returns top-down
+    np.testing.assert_array_equal(back, frame[::-1])
+
+
+def test_read_png_filtered(tmp_path):
+    """Exercise Sub/Up/Average/Paeth unfiltering (wallpapers from real
+    encoders use them; our writer only emits filter 0)."""
+    import struct as _struct
+    import zlib as _zlib
+
+    rng = np.random.default_rng(12)
+    img = rng.integers(0, 256, (6, 8, 3), dtype=np.uint8)
+    # encode manually with a different filter per row
+    stride = 8 * 3
+    rows = []
+    prev = np.zeros((stride,), np.int32)
+    for y in range(6):
+        cur = img[y].reshape(-1).astype(np.int32)
+        f = y % 5
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            left = np.concatenate([np.zeros(3, np.int32), cur[:-3]])
+            enc = (cur - left) % 256
+        elif f == 2:
+            enc = (cur - prev) % 256
+        elif f == 3:
+            left = np.concatenate([np.zeros(3, np.int32), cur[:-3]])
+            enc = (cur - ((left + prev) >> 1)) % 256
+        else:
+            left = np.concatenate([np.zeros(3, np.int32), cur[:-3]])
+            ul = np.concatenate([np.zeros(3, np.int32), prev[:-3]])
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, prev, ul))
+            enc = (cur - pred) % 256
+        rows.append(bytes([f]) + enc.astype(np.uint8).tobytes())
+        prev = cur
+    raw = b"".join(rows)
+
+    def chunk(t, d):
+        c = t + d
+        return _struct.pack(">I", len(d)) + c + _struct.pack(
+            ">I", _zlib.crc32(c))
+
+    data = (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", _struct.pack(">IIBBBBB", 8, 6, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", _zlib.compress(raw)) + chunk(b"IEND", b""))
+    p = tmp_path / "filt.png"
+    p.write_bytes(data)
+    back = sinks.read_png(p)
+    np.testing.assert_array_equal(back[..., :3], img)
+    assert (back[..., 3] == 255).all()
+
+
+def test_xroot_composites_over_bg_image(tmp_path):
+    """setopacity xroot + setbgimg: undrawn pixels show the wallpaper
+    sampled at the window geometry (the xwin_copyglbg capability)."""
+    from glava_tpu.renderer import Renderer
+    import jax.numpy as jnp
+
+    # 64x48 wallpaper with a recognizable gradient
+    wall = np.zeros((48, 64, 4), np.uint8)
+    wall[..., 0] = np.arange(64, dtype=np.uint8)[None, :] * 3
+    wall[..., 1] = np.arange(48, dtype=np.uint8)[:, None] * 5
+    wall[..., 3] = 255
+    wp = tmp_path / "wall.png"
+    sinks.write_png(wp, wall[::-1])  # writer flips; store top-down `wall`
+
+    lc = loader.load(
+        cli_requests=("setgeometry 8 6 32 16", "setbufsize 1024",
+                      "setsamplesize 256", "setprintframes false",
+                      'setopacity "xroot"', f'setbgimg "{wp}"'),
+        force_module="bars",
+    )
+    r = Renderer(lc)
+    state = r.init_state()
+    step = r.jit_step()
+    snap = jnp.zeros((2, lc.cfg.bufsize), jnp.float32)  # silence: no bars
+    _, frame = step(state, snap, True, np.float32(0.0), np.float32(1.0),
+                    np.float32(0.05), {})
+    got = np.asarray(frame)[::-1]  # top-down
+    want = wall[6:6 + 16, 8:8 + 32].astype(np.float32) / 255.0
+    want[..., 3] = 1.0
+    np.testing.assert_allclose(got, want, atol=2e-3)

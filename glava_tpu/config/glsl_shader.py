@@ -32,12 +32,12 @@ are static, lowered to masked `lax.while_loop` otherwise), `while` and
 `do`-`while` loops (per-pixel masked iteration with `break`/
 `continue`), fixed-size arrays (declarations, `TYPE[](...)`
 constructors, dynamic indexing), user-defined functions (inlined, early
-`return` via masking), `discard` (alpha-zero masking), and `#if`
-conditionals. NOT supported (use a Python module instead,
-docs/examples/vu_meter.py): function-like macros, derivatives
-(dFdx/dFdy), and `return` lexically inside a data-dependent loop
-(break out and return after). Unsupported constructs raise a clear
-error at load time.
+`return` via masking), function-like macros (expanded by the
+preprocessor, e.g. radial's APPLY_FRAG), `discard` (alpha-zero
+masking), and `#if` conditionals. NOT supported (use a Python module
+instead, docs/examples/vu_meter.py): derivatives (dFdx/dFdy) and
+`return` lexically inside a data-dependent loop (break out and return
+after). Unsupported constructs raise a clear error at load time.
 """
 
 from __future__ import annotations

@@ -614,3 +614,22 @@ def test_xroot_composites_over_bg_image(tmp_path):
     want = wall[6:6 + 16, 8:8 + 32].astype(np.float32) / 255.0
     want[..., 3] = 1.0
     np.testing.assert_allclose(got, want, atol=2e-3)
+
+
+def test_obs_host_example(tmp_path):
+    """The packaged OBS-equivalent consumer artifact stays runnable
+    (docs/examples/obs_host.py; lifecycle of glava-obs/entry.c)."""
+    import runpy
+    import sys
+
+    out = tmp_path / "sheet.png"
+    argv = sys.argv
+    sys.argv = ["obs_host.py", str(out)]
+    try:
+        runpy.run_path("docs/examples/obs_host.py", run_name="__main__")
+    finally:
+        sys.argv = argv
+    img = sinks.read_png(out)
+    assert img.shape[0] == 360 and img.shape[1] == 1920
+    # the visualizer composited something over the dark canvas
+    assert (img[..., :3].max(axis=-1) > 40).any()

@@ -20,8 +20,8 @@ import os
 import time
 from pathlib import Path
 
-DEFAULT_TILE = 16  # measured best for the incremental kernel on v5e
-_CANDIDATES = (8, 16, 32)
+DEFAULT_TILE = 16  # measured best for the ring-history kernel on v5e
+_CANDIDATES = (4, 8, 16, 32)
 
 _cache: dict | None = None
 
@@ -71,9 +71,14 @@ def best_batch_tile(n: int, frames: int, learn: bool = False) -> int:
 
 
 def learn_batch_tile(n: int, frames: int, batch: int = 128,
-                     iters: int = 100) -> dict:
+                     scan_len: int = 64) -> dict:
     """Benchmark candidate tiles (wisdom-style: warmup + timed loop,
-    glfft_wisdom.hpp:135-146) and return the winner record."""
+    glfft_wisdom.hpp:135-146) and return the winner record.
+
+    Timing protocol: updates are scan-amortized, completion is forced
+    by fetching a scalar probe (``jax.block_until_ready`` can return
+    early on the axon runtime), and per-update time is a two-point
+    slope that cancels the probe-fetch RTT."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -88,23 +93,43 @@ def learn_batch_tile(n: int, frames: int, batch: int = 128,
     results = {}
     for bt in _CANDIDATES:
         try:
-            fn = jax.jit(
-                build_fused_update_inc(n, frames, wts, batch_tile=bt),
-                donate_argnums=(1, 2, 3),
+            fn = build_fused_update_inc(n, frames, wts, batch_tile=bt)
+
+            def multi(grav, hist, ssum, pcm, fn=fn):
+                def body(c, k):
+                    g, h, s = c
+                    g, h, s = fn(
+                        pcm, g, h, s,
+                        jnp.mod(k, frames) * jnp.ones((batch,), jnp.int32),
+                        10.2, 0.3, 0.05,
+                    )
+                    return (g, h, s), None
+                (g, h, s), _ = jax.lax.scan(
+                    body, (grav, hist, ssum), jnp.arange(scan_len)
+                )
+                return g, h, s, s.ravel()[0]
+
+            f = jax.jit(multi, donate_argnums=(0, 1, 2))
+            z = lambda *sh: jnp.zeros(sh, jnp.float32)
+            grav, hist, ssum, probe = f(
+                z(batch, 2, m), z(batch, frames, 2, m), z(batch, 2, m), pcm
             )
-            grav = jnp.zeros((batch, 2, m), jnp.float32)
-            hist = jnp.zeros((batch, frames, 2, m), jnp.float32)
-            ssum = jnp.zeros((batch, 2, m), jnp.float32)
-            grav, hist, ssum = fn(pcm, grav, hist, ssum, 0, 10.2, 0.3, 0.05)
-            jax.block_until_ready(ssum)
-            best = float("inf")
-            for _ in range(3):  # best-of-3: remote dispatch jitter
+            float(probe)  # force compile + first execution
+
+            def run(k):
+                nonlocal grav, hist, ssum
                 t0 = time.perf_counter()
-                for it in range(iters):
-                    grav, hist, ssum = fn(pcm, grav, hist, ssum,
-                                          it % frames, 10.2, 0.3, 0.05)
-                jax.block_until_ready(ssum)
-                best = min(best, (time.perf_counter() - t0) / iters)
+                for _ in range(k):
+                    grav, hist, ssum, probe = f(
+                        grav, hist, z(batch, 2, m), pcm
+                    )
+                float(probe)
+                return time.perf_counter() - t0
+
+            best = float("inf")
+            for _ in range(2):
+                t1, t2 = run(3), run(9)
+                best = min(best, (t2 - t1) / 6 / scan_len)
             results[bt] = best
         except Exception:
             continue

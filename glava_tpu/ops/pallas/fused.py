@@ -25,6 +25,14 @@ update instead of one per stage. Data layout notes:
 
 State dtype is float32 and results match the unfused path to ~1e-6
 (texture clamp semantics included).
+
+Status note (round 2): with honest timing (scalar-probe completion;
+`jax.block_until_ready` can return early on the axon runtime), the
+plain XLA transform chain outperforms these kernels ~2x at the shipped
+sizes — XLA schedules the FFT matmuls across the full batch while a
+Pallas grid serializes VMEM-sized tiles. The kernels remain available
+via ``GLAVA_TPU_FUSED=1`` and are numerically pinned by tests; the
+pipeline default is the XLA path (pipeline.py).
 """
 
 from __future__ import annotations
@@ -304,6 +312,184 @@ def split_planes(inter: jax.Array) -> jax.Array:
     """(B, 2m) interleaved -> (B, 2, m) planes."""
     B, n = inter.shape
     return jnp.stack([inter[:, 0::2], inter[:, 1::2]], axis=1)
+
+
+@lru_cache(maxsize=None)
+def build_fused_update_ring(
+    n: int,
+    frames: int,
+    avg_weights: tuple[float, ...],
+    batch_tile: int = 16,
+    texture_clamp: bool = True,
+    fast_math: bool = False,
+    interpret: bool = False,
+):
+    """Fully-vectorized ring-history fused update (production path).
+
+    Same semantics and interface as :func:`build_fused_update_inc`
+    (per-row ring slots, **age-mapped** weights — the reference binds
+    its averaging FBOs newest-first, render.c:2252-2256), but the
+    history streams through VMEM as ordinary pipelined blocks instead
+    of manual per-row DMAs: the slot write is a masked select per
+    frame plane and the age rotation is a vectorized compare against a
+    (B, 1, 1) slot input. No scalar loops, no DMA latency chains —
+    Mosaic double-buffers the history stream and overlaps it with the
+    FFT matmuls.
+
+    Interface: ``fn(pcm, grav, hist, sum, slot, fft_scale, fft_cutoff,
+    g) -> (grav', hist', sum')`` — ``sum`` is only an aliasing donor.
+    """
+    (m, m1, m2, w1r, w1i, w2r, w2i, tr, ti, boost_re, boost_im) = _constants(n)
+    F = frames
+    wts = tuple(float(w) for w in avg_weights)
+    assert len(wts) == F
+    window = win.pcm_window(n)
+    _prec = (jax.lax.Precision.DEFAULT if fast_math
+             else jax.lax.Precision.HIGHEST)
+
+    def kernel(slotv_ref, scale_ref, cutoff_ref, g_ref,
+               ar_ref, ai_ref, grav_ref, hist_ref,
+               w1r_ref, w1i_ref, w2r_ref, w2i_ref, tr_ref, ti_ref,
+               bre_ref, bim_ref,
+               avg_ref, grav_out, hist_out):
+        B = ar_ref.shape[0]
+
+        def dg(a, b):
+            return jax.lax.dot_general(
+                a, b, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=_prec,
+            )
+
+        ar, ai = ar_ref[:], ai_ref[:]
+        # stage 1 on the MXU: contraction K = m1 = 128, full tiles
+        br = dg(ar, w1r_ref[:]) - dg(ai, w1i_ref[:])
+        bi = dg(ai, w1r_ref[:]) + dg(ar, w1i_ref[:])
+        cr = br * tr_ref[:] - bi * ti_ref[:]
+        ci = br * ti_ref[:] + bi * tr_ref[:]
+        # stage 2 on the VPU: a K=N=m2 (16 for the shipped bufsize)
+        # matmul runs the MXU at ~1.5% utilization and dominated the
+        # kernel; instead unroll the m2-point DFT as scalar-constant
+        # FMAs over (B, k1) lane-aligned planes. The DFT matrix entries
+        # are compile-time immediates.
+        w2r_c = np.cos(
+            -2.0 * np.pi
+            * np.outer(np.arange(m2), np.arange(m2)) / m2
+        )
+        w2i_c = np.sin(
+            -2.0 * np.pi
+            * np.outer(np.arange(m2), np.arange(m2)) / m2
+        )
+        rows_r = []
+        rows_i = []
+        for k2 in range(m2):
+            acc_r = jnp.zeros((B, 1, m1), jnp.float32)
+            acc_i = jnp.zeros((B, 1, m1), jnp.float32)
+            for n2 in range(m2):
+                wr = float(w2r_c[n2, k2])
+                wi = float(w2i_c[n2, k2])
+                crn = cr[:, n2:n2 + 1, :]
+                cin = ci[:, n2:n2 + 1, :]
+                acc_r = acc_r + wr * crn - wi * cin
+                acc_i = acc_i + wi * crn + wr * cin
+            rows_r.append(acc_r)
+            rows_i.append(acc_i)
+        # X[k1 + m1*k2]: (B, k2, k1) with k1 minor = lane-aligned
+        xr = jnp.concatenate(rows_r, axis=1).reshape(B, m)
+        xi = jnp.concatenate(rows_i, axis=1).reshape(B, m)
+        fs2 = scale_ref[:][:, 0]
+        fc2 = cutoff_ref[:][:, 0]
+        mr = jnp.log(jnp.abs(xr) + 1.0) / 3.0
+        mi = jnp.log(jnp.abs(xi) + 1.0) / 3.0
+        mr = mr * jnp.maximum(bre_ref[:] * fs2 + (1.0 - fc2), 1.0)
+        mi = mi * jnp.maximum(bim_ref[:] * fs2 + (1.0 - fc2), 1.0)
+        spec = jnp.stack([mr, mi], axis=1)
+        if texture_clamp:
+            spec = jnp.clip(spec, 0.0, 1.0)
+
+        grav = jnp.maximum(grav_ref[:], spec) - g_ref[:]
+        if texture_clamp:
+            grav = jnp.clip(grav, 0.0, 1.0)
+        grav_out[:] = grav
+
+        slotv = slotv_ref[:]  # (B, 1, 1) f32 per-row ring slot
+        acc = jnp.zeros((B, 2, m), jnp.float32)
+        for f in range(F):
+            new_f = jnp.where(slotv == float(f), grav, hist_ref[:, f])
+            hist_out[:, f] = new_f
+            # age of slot f is (slot - f) mod F; weight-by-age
+            w_f = jnp.zeros((B, 1, 1), jnp.float32)
+            for a in range(F):
+                w_f = jnp.where(slotv == float((a + f) % F),
+                                jnp.float32(wts[a]), w_f)
+            acc = acc + w_f * new_f
+        avg_ref[:] = acc
+
+    def fn(pcm, grav, hist, ssum, slot, fft_scale, fft_cutoff, g):
+        Btot = pcm.shape[0]
+        bt = min(batch_tile, Btot)
+        while Btot % bt:
+            bt //= 2
+        x = pcm * jnp.asarray(window)
+        ar = x[..., 0::2].reshape(Btot, m1, m2)
+        ai = x[..., 1::2].reshape(Btot, m1, m2)
+        grid = (Btot // bt,)
+        vm = pltpu.VMEM
+        bspec = lambda blk, imap: pl.BlockSpec(blk, imap, memory_space=vm)
+        const = lambda shp: pl.BlockSpec(
+            shp, lambda i: (0,) * len(shp), memory_space=vm
+        )
+        avg, grav2, hist2 = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                bspec((bt, 1, 1), lambda i: (i, 0, 0)),
+                bspec((bt, 1, 1), lambda i: (i, 0, 0)),
+                bspec((bt, 1, 1), lambda i: (i, 0, 0)),
+                bspec((bt, 1, 1), lambda i: (i, 0, 0)),
+                bspec((bt, m1, m2), lambda i: (i, 0, 0)),
+                bspec((bt, m1, m2), lambda i: (i, 0, 0)),
+                bspec((bt, 2, m), lambda i: (i, 0, 0)),
+                bspec((bt, F, 2, m), lambda i: (i, 0, 0, 0)),
+                const((m1, m1)),
+                const((m1, m1)),
+                const((m2, m2)),
+                const((m2, m2)),
+                const((m2, m1)),
+                const((m2, m1)),
+                const((m,)),
+                const((m,)),
+            ],
+            out_specs=[
+                bspec((bt, 2, m), lambda i: (i, 0, 0)),
+                bspec((bt, 2, m), lambda i: (i, 0, 0)),
+                bspec((bt, F, 2, m), lambda i: (i, 0, 0, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((Btot, 2, m), jnp.float32),
+                jax.ShapeDtypeStruct((Btot, 2, m), jnp.float32),
+                jax.ShapeDtypeStruct((Btot, F, 2, m), jnp.float32),
+            ],
+            # no input_output_aliases: every output plane is fully
+            # written, and inside lax.scan aliasing would force XLA to
+            # copy the (B, F, 2, m) history every iteration to satisfy
+            # in-place semantics against ping-ponged loop buffers
+            cost_estimate=pl.CostEstimate(
+                flops=Btot * (8 * m * (m1 + m2) + 2 * m * F),
+                bytes_accessed=4 * Btot * (n + 4 * m * F + 8 * m),
+                transcendentals=Btot * n,
+            ),
+            interpret=interpret,
+        )(
+            _slotvec(slot, Btot).astype(jnp.float32).reshape(Btot, 1, 1),
+            _rowvec(fft_scale, Btot),
+            _rowvec(fft_cutoff, Btot),
+            _rowvec(g, Btot),
+            ar, ai, grav, hist,
+            w1r, w1i, w2r, w2i, tr, ti, boost_re, boost_im,
+        )
+        return grav2, hist2, avg
+
+    return fn
 
 
 @lru_cache(maxsize=None)

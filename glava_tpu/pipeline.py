@@ -22,12 +22,18 @@ itself, baked here as a precomputed matrix operator.
 
 Two execution paths produce identical results (tests assert ~1e-5):
 
-* **unfused** (any backend): jnp ops, XLA-fused — the portable path.
-* **fused** (TPU, default chain): the Pallas kernel in
+* **unfused** (any backend, the default): jnp ops, XLA-fused. On TPU
+  this is also the FASTER path — honest measurement (scalar-probe
+  completion + slope timing; jax.block_until_ready is unreliable on
+  the axon runtime) shows XLA's fusion beats the hand-written kernel
+  ~2x at the shipped sizes, because XLA schedules the FFT matmuls over
+  the full batch while a Pallas grid serializes VMEM-sized tiles.
+* **fused** (opt-in: GLAVA_TPU_FUSED=1): the Pallas kernel in
   ops/pallas/fused.py keeps FFT + magnitude + gravity + rolling
-  average in VMEM with state aliased in place (~12x the unfused
-  update throughput on v5e). State layout differs (complex planes +
-  rolling slot), so each path has its own carry type.
+  average in VMEM per batch tile. Kept as the measured-and-pinned
+  alternative (and the larger-bufsize escape hatch, where VMEM
+  residency could win). State layout differs (complex planes + ring
+  slot), so each path has its own carry type.
 
 The API is split as ``advance`` (state transition) + ``textures_from``
 (state -> textures): batched engines gate per-stream updates by
@@ -138,8 +144,18 @@ class AudioPipeline:
             else None
         )
         if use_fused is None:
+            # Default: the unfused XLA path. Honest (probe-forced)
+            # measurement shows XLA's own fusion of the transform chain
+            # beats the hand-written Pallas kernel ~2x on v5e for fresh
+            # audio every update (81 vs 159 us per 64-stream update) —
+            # the kernel's tile-serialized grid loses to XLA's
+            # full-batch matmul scheduling. The Pallas path stays
+            # available (GLAVA_TPU_FUSED=1) and numerically pinned.
+            import os
+
             use_fused = (
-                jax.default_backend() == "tpu"
+                os.environ.get("GLAVA_TPU_FUSED", "") == "1"
+                and jax.default_backend() == "tpu"
                 and _fused_supported(cfg, self.uniforms)
             )
         if use_fused and not _fused_supported(cfg, self.uniforms):

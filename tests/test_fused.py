@@ -94,7 +94,8 @@ def test_pipeline_fused_vs_unfused_textures():
         )
 
 
-def test_fused_per_stream_slot_counters():
+@pytest.mark.parametrize("builder", ["inc", "ring"])
+def test_fused_per_stream_slot_counters(builder):
     """Streams updating on independent clocks (staggered `modified`
     masks) keep exact per-stream averaging ages on the fused path —
     parity with the unfused path, whose history is per-row by
@@ -102,6 +103,8 @@ def test_fused_per_stream_slot_counters():
     from glava_tpu.config import loader
     from glava_tpu.parallel.batch import BatchedRenderer
 
+    build = (fused.build_fused_update_inc if builder == "inc"
+             else fused.build_fused_update_ring)
     lc = loader.load(
         cli_requests=("setgeometry 0 0 48 32", "setbufsize 1024",
                       "setsamplesize 256", "setprintframes false"),
@@ -110,7 +113,7 @@ def test_fused_per_stream_slot_counters():
     S = 4
     bf = BatchedRenderer(lc, n_streams=S)
     bf.renderer.pipeline.use_fused = True
-    bf.renderer.pipeline._fused = fused.build_fused_update_inc(
+    bf.renderer.pipeline._fused = build(
         bf.renderer.pipeline.sz, lc.cfg.avg_frames,
         tuple(float(x) for x in np.asarray(bf.renderer.pipeline.avg_weights)),
         batch_tile=4, interpret=True,

@@ -92,6 +92,10 @@ class FusedChainState(NamedTuple):
 
 
 _FUSED_KEY = "__fused__"
+# unfused path: ALL fft uniforms ride one stacked ChainState under this
+# key, with a trailing uniform axis before the chain dims
+# ((*batch, U, ...)) — one XLA subgraph, U-fold larger matmul M dims
+_XLA_KEY = "__xla__"
 
 
 _KNOWN_TRANSFORMS = {"window", "fft", "wrange", "avg", "gravity", "smooth"}
@@ -196,8 +200,9 @@ class AudioPipeline:
                 count=jnp.zeros((B,), jnp.int32),
             )
             return state
-        for u in self._fft_uniforms:
-            state[u.name] = transforms.chain_init(self.sz, F, batch)
+        if self._fft_uniforms:
+            U = len(self._fft_uniforms)
+            state[_XLA_KEY] = transforms.chain_init(self.sz, F, batch + (U,))
         return state
 
     # -- parameter defaults ------------------------------------------------
@@ -236,18 +241,30 @@ class AudioPipeline:
                 state, sources, fft_scale, fft_cutoff, gravity_g
             )
 
+        if not self._fft_uniforms:
+            return dict(state)
+        # one stacked update for every fft uniform: (*batch, U, n) pcm
+        # against the (*batch, U, ...) chain state — a single XLA
+        # subgraph whose FFT matmuls span all uniforms at once
+        pcm = jnp.stack(
+            [sources[u.source] for u in self._fft_uniforms], axis=-2
+        )
+
+        def expand(p):
+            arr = jnp.asarray(p)
+            return arr[..., None] if arr.ndim else arr  # (S,) -> (S, 1)
+
+        st, _ = transforms.fft_update(
+            state[_XLA_KEY],
+            pcm,
+            fft_scale=expand(fft_scale),
+            fft_cutoff=expand(fft_cutoff),
+            gravity_g=expand(gravity_g),
+            avg_weights=self.avg_weights,
+            texture_clamp=cfg.accel_fft,
+        )
         new_state = dict(state)
-        for u in self._fft_uniforms:
-            st, _ = transforms.fft_update(
-                state[u.name],
-                sources[u.source],
-                fft_scale=fft_scale,
-                fft_cutoff=fft_cutoff,
-                gravity_g=gravity_g,
-                avg_weights=self.avg_weights,
-                texture_clamp=cfg.accel_fft,
-            )
-            new_state[u.name] = st
+        new_state[_XLA_KEY] = st
         return new_state
 
     def _advance_fused(self, state, sources, fft_scale, fft_cutoff, gravity_g):
@@ -310,6 +327,15 @@ class AudioPipeline:
             U = len(self._fft_uniforms)
             m = self.sz // 2
             avg_view = state[_FUSED_KEY].avg.reshape(batch + (U, 2, m))
+        if self._fft_uniforms and not self.use_fused:
+            # one weighted history reduction + one presmooth matmul for
+            # ALL fft uniforms: (*batch, U, F, sz) -> (*batch, U, sz)
+            hist = state[_XLA_KEY].history
+            texs = jnp.clip(
+                jnp.sum(hist * w.reshape((-1, 1)), axis=-2), 0.0, 1.0
+            )
+            if self.presmooth is not None:
+                texs = jnp.clip(self.presmooth(texs), 0.0, 1.0)
         for u in self.uniforms:
             if _has_fft(u.transforms):
                 if self.use_fused:
@@ -330,13 +356,7 @@ class AudioPipeline:
                         )
                     textures[u.name] = tex
                     continue
-                tex = jnp.sum(
-                    state[u.name].history * w.reshape((-1, 1)), axis=-2
-                )
-                tex = jnp.clip(tex, 0.0, 1.0)
-                if self.presmooth is not None:
-                    tex = jnp.clip(self.presmooth(tex), 0.0, 1.0)
-                textures[u.name] = tex
+                textures[u.name] = texs[..., fused_idx[u.name], :]
             else:
                 buf = sources[u.source]
                 for t in u.transforms:

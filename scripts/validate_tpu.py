@@ -44,6 +44,11 @@ def main() -> int:
     snap = jnp.asarray(rng.standard_normal((2, lc.cfg.bufsize))
                        .astype(np.float32) * 0.3)
     r1, r2 = Renderer(lc), Renderer(lc)
+    # explicit fused-vs-unfused: the default is now the unfused XLA
+    # path, so force the Pallas kernel on r1 (TPU only)
+    if jax.default_backend() == "tpu":
+        r1.pipeline = AudioPipeline(lc.cfg, r1.pipeline.uniforms,
+                                    use_fused=True)
     r2.pipeline = AudioPipeline(lc.cfg, r2.pipeline.uniforms, use_fused=False)
     s1, s2 = r1.init_state(), r2.init_state()
     f1, f2 = r1.jit_step(), r2.jit_step()
@@ -72,23 +77,34 @@ def main() -> int:
     pipe = br.renderer.pipeline
     ex = example_batch(br)
 
+    # honest protocol: fresh audio per iteration (no loop-invariant
+    # hoisting), completion forced via a scalar probe, slope timing
     def multi(chains, audio, gg):
-        def body(c, _):
-            return pipe.advance(c, audio[:, 0, :], audio[:, 1, :],
+        def body(c, k):
+            a = audio * (1.0 + 1e-3 * k)
+            return pipe.advance(c, a[:, 0, :], a[:, 1, :],
                                 gravity_g=gg), None
 
-        chains, _ = jax.lax.scan(body, chains, None, length=32)
-        return chains
+        chains, _ = jax.lax.scan(body, chains,
+                                 jnp.arange(32, dtype=jnp.float32))
+        probe = jax.tree.leaves(chains)[0].ravel()[0]
+        return chains, probe
 
     f = jax.jit(multi, donate_argnums=(0,))
     chains = pipe.init_state(batch=(16,))
-    chains = f(chains, ex["audio"], ex["gravity_g"])
-    jax.block_until_ready(chains)
-    t0 = time.perf_counter()
-    for _ in range(5):
-        chains = f(chains, ex["audio"], ex["gravity_g"])
-    jax.block_until_ready(chains)
-    rate = 16 * 32 * 5 / (time.perf_counter() - t0)
+    chains, probe = f(chains, ex["audio"], ex["gravity_g"])
+    float(probe)
+
+    def run(k):
+        nonlocal chains
+        t0 = time.perf_counter()
+        for _ in range(k):
+            chains, probe = f(chains, ex["audio"], ex["gravity_g"])
+        float(probe)
+        return time.perf_counter() - t0
+
+    t1, t2 = run(3), run(9)
+    rate = 16 * 32 / ((t2 - t1) / 6)
     print(f"update throughput sample: {rate:,.0f} windows/s")
     print("ALL OK")
     return 0

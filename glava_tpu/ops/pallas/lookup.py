@@ -1,0 +1,101 @@
+"""Fast per-pixel table lookup (Pallas): gather replacement.
+
+XLA lowers a (H, W)-indexed gather from a small 1-D table to something
+pathologically slow on TPU (measured ~15 ms for 2M indices from a 4k
+table at 1080p — it dominates any raster that samples a texture per
+pixel, e.g. the circle module's three smooth_audio fetches,
+circle/1.frag:29-33). Mosaic, however, lowers an equal-shape
+``take_along_axis`` over the 128-lane axis to a native lane shuffle.
+
+This op decomposes an arbitrary lookup ``out = table[idx]`` into
+``idx = 128*hi + lo``:
+
+    out = sum_h [hi == h] * lane_shuffle(table_row_h, lo)
+
+i.e. T/128 lane shuffles + selects per tile, all VPU work. The result
+is bit-exact with the jnp gather (pure data movement).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANES = 128
+
+
+@lru_cache(maxsize=None)
+def _build(L: int, T: int, NT: int, R: int, interpret: bool):
+    """Kernel for (L, NT*R*128) lookups from one shared (T,) table."""
+    H = T // _LANES  # number of 128-wide table rows
+
+    def kernel(tab_ref, idx_ref, out_ref):
+        for l in range(L):
+            idx = idx_ref[l, 0]                      # (R, 128) int32
+            lo = jnp.bitwise_and(idx, _LANES - 1)
+            hi = jnp.right_shift(idx, 7)
+            acc = jnp.zeros((R, _LANES), jnp.float32)
+            for h in range(H):
+                row = tab_ref[0, pl.ds(h * _LANES, _LANES)]   # (128,)
+                g = jnp.take_along_axis(
+                    jnp.broadcast_to(row[None], (R, _LANES)), lo, axis=1
+                )
+                acc = jnp.where(hi == h, g, acc)
+            out_ref[l, 0] = acc
+
+    def fn(table, idx):
+        # table (T,) f32; idx (L, NT, R, 128) int32
+        return pl.pallas_call(
+            kernel,
+            grid=(NT,),
+            in_specs=[
+                pl.BlockSpec((1, T), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((L, 1, R, _LANES), lambda i: (0, i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((L, 1, R, _LANES),
+                                   lambda i: (0, i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((L, NT, R, _LANES), jnp.float32),
+            cost_estimate=pl.CostEstimate(
+                flops=L * NT * R * _LANES * H * 2,
+                bytes_accessed=4 * L * NT * R * _LANES * 2 + 4 * T,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(table.reshape(1, T), idx)
+
+    return fn
+
+
+def build_table_lookup(n_lookups: int, table_size: int, n_points: int,
+                       tile_rows: int = 256, interpret: bool = False):
+    """Returns ``lookup(table (T,), idx (L, P) int32) -> (L, P) f32``
+    with static idx padding baked at build time.
+
+    ``table_size`` is padded up to a multiple of 128 (callers must pad
+    the table the same way); ``n_points`` is padded to a tile multiple
+    internally. Index values must lie in [0, table_size).
+    """
+    T = ((table_size + _LANES - 1) // _LANES) * _LANES
+    tile = tile_rows * _LANES
+    P_pad = ((n_points + tile - 1) // tile) * tile
+    NT = P_pad // tile
+    fn = _build(n_lookups, T, NT, tile_rows, interpret)
+
+    def lookup(table, idx):
+        tab = table.astype(jnp.float32)
+        if tab.shape[-1] != T:
+            tab = jnp.pad(tab, (0, T - tab.shape[-1]))
+        if idx.shape[-1] != P_pad:
+            idx = jnp.pad(idx, ((0, 0), (0, P_pad - idx.shape[-1])))
+        out = fn(tab, idx.reshape(n_lookups, NT, tile_rows, _LANES))
+        return out.reshape(n_lookups, P_pad)[:, :n_points]
+
+    return lookup

@@ -73,15 +73,51 @@ def build(ctx: base.ModuleContext) -> base.ModuleBuild:
     d0_c = jnp.asarray(d0.astype(np.float32))
     active_c = jnp.asarray(active)
 
+    # -- fast texture sampling (TPU): XLA lowers the per-pixel gather
+    # tex[i] pathologically (~15 ms per 2M-index gather at 1080p ->
+    # ~11 fps); the Pallas lane-shuffle lookup is bit-exact and ~45x
+    # faster. Indices are static: i = round(pos*sz) per position, with
+    # the channel select folded in (left -> audio_l table half).
+    import jax
+
+    sz = ctx.sz
+    fast_lookup = None
+    if jax.default_backend() == "tpu":
+        from glava_tpu.ops.pallas.lookup import build_table_lookup
+
+        idx_rows = []
+        for p, l in ((pos0, left0), (posp, leftp), (posm, leftm)):
+            # f32 arithmetic to match the traced sampler bit-for-bit
+            p32 = np.clip(p, 0.0, 1.0).astype(np.float32)
+            i = np.clip(np.round(p32 * np.float32(sz)), 0, sz - 1)
+            comb = i.astype(np.int64) + np.where(l, 0, sz)
+            idx_rows.append(comb.reshape(-1))
+        _comb_idx = jnp.asarray(np.stack(idx_rows).astype(np.int32))
+        _lk = build_table_lookup(3, 2 * sz, w * h)
+        presmooth_op = (None if ctx.cfg.smooth_pass
+                        else smoothing.presmooth_op(sz, ctx.smooth_params))
+
+        def fast_lookup(tl, tr):
+            if presmooth_op is not None:
+                tl, tr = presmooth_op(tl), presmooth_op(tr)
+            table = jnp.concatenate([tl, tr])
+            vals = _lk(table, _comb_idx) * amplify
+            return [v.reshape(h, w) for v in vals]
+
     def pass1(inputs: base.PassInputs) -> jnp.ndarray:
         tl, tr = inputs.textures["audio_l"], inputs.textures["audio_r"]
 
         def smoothv(pos_c, left_c):
             return jnp.where(left_c, sampler(tl, pos_c), sampler(tr, pos_c)) * amplify
 
-        v = smoothv(*masks[0])
-        a0 = smoothv(*masks[1]) - v
-        a1 = smoothv(*masks[2]) - v
+        if fast_lookup is not None:
+            v, vp, vm = fast_lookup(tl, tr)
+            a0 = vp - v
+            a1 = vm - v
+        else:
+            v = smoothv(*masks[0])
+            a0 = smoothv(*masks[1]) - v
+            a1 = smoothv(*masks[2]) - v
         dmax = jnp.maximum(a0, a1)
         dmin = jnp.minimum(a0, a1)
         d = d0_c - v

@@ -172,3 +172,19 @@ def test_autotune_wisdom_roundtrip(tmp_path, monkeypatch):
     autotune._cache = None
     assert autotune.best_batch_tile(4096, 5) == 4
     autotune._cache = None
+
+
+def test_table_lookup_exact():
+    """The Pallas lane-shuffle lookup is bit-exact with the jnp gather
+    (interpret mode; it replaces XLA's pathological per-pixel gather in
+    the circle raster)."""
+    from glava_tpu.ops.pallas.lookup import build_table_lookup
+
+    rng = np.random.default_rng(5)
+    T, L, P = 520, 3, 1000   # deliberately non-multiples of 128
+    tab = jnp.asarray(rng.standard_normal(T).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, T, (L, P)), jnp.int32)
+    lk = build_table_lookup(L, T, P, tile_rows=4, interpret=True)
+    out = np.asarray(lk(tab, idx))
+    want = np.asarray(tab)[np.asarray(idx)]
+    np.testing.assert_array_equal(out, want)

@@ -996,6 +996,24 @@ def _bin(a, b, op):
 # builtin functions bound per-frame
 # ---------------------------------------------------------------------------
 
+def _fetch_1d(tex, i, sz: int):
+    """``tex[i]`` with a TPU fast path: XLA's per-pixel gather from a
+    small 1-D table is pathological (~15 ms for 2M indices at 1080p);
+    the Pallas lane-shuffle lookup (ops/pallas/lookup.py) is bit-exact
+    and ~45x faster. Small/scalar index shapes keep the jnp gather."""
+    import jax
+
+    jnp = _jnp()
+    i = jnp.clip(jnp.asarray(i, jnp.int32), 0, sz - 1)
+    if (jax.default_backend() == "tpu" and i.ndim >= 2
+            and i.size >= (1 << 16)):
+        from glava_tpu.ops.pallas.lookup import build_table_lookup
+
+        lk = build_table_lookup(1, sz, i.size)
+        return lk(tex, i.reshape(1, -1))[0].reshape(i.shape)
+    return tex[i]
+
+
 def make_builtins(prev, sz: int, h: int, w: int, smooth_fetch):
     """Texture/sampling builtins closing over this frame's inputs.
 
@@ -1013,7 +1031,7 @@ def make_builtins(prev, sz: int, h: int, w: int, smooth_fetch):
         x = jnp.asarray(x)
         u = x - jnp.floor(x)
         i = jnp.minimum(jnp.floor(u * sz), sz - 1).astype(jnp.int32)
-        v = tex[i]
+        v = _fetch_1d(tex, i, sz)
         return (v, jnp.zeros_like(v), jnp.zeros_like(v), jnp.ones_like(v))
 
     def texelFetch(tex, idx, _lod=0):
@@ -1031,8 +1049,7 @@ def make_builtins(prev, sz: int, h: int, w: int, smooth_fetch):
             # out-of-bounds texelFetch reads transparent black (the
             # robust-access behavior the GL path exhibits)
             return tuple(jnp.where(inside, out[..., i], 0.0) for i in range(4))
-        i = jnp.clip(jnp.asarray(idx, jnp.int32), 0, sz - 1)
-        v = tex[i]
+        v = _fetch_1d(tex, jnp.asarray(idx, jnp.int32), sz)
         return (v, jnp.zeros_like(v), jnp.zeros_like(v), jnp.ones_like(v))
 
     def ivec2(x, y):

@@ -147,18 +147,20 @@ def _per_pixel_sampler(ctx: base.ModuleContext):
     positions differ from texel centers by < 1/sz (documented
     deviation; the reference default has smooth_pass enabled).
     """
+    from glava_tpu.config.glsl_shader import _fetch_1d
+
     sz = ctx.sz
     if ctx.cfg.smooth_pass:
         def fetch(tex, pos):
-            i = jnp.clip(jnp.round(pos * sz).astype(jnp.int32), 0, sz - 1)
-            return tex[i]
+            i = jnp.round(pos * sz).astype(jnp.int32)
+            return _fetch_1d(tex, i, sz)
         return fetch
     op = smoothing.presmooth_op(sz, ctx.smooth_params)
 
     def fetch(tex, pos):
         pre = op(tex)
-        i = jnp.clip(jnp.round(pos * sz).astype(jnp.int32), 0, sz - 1)
-        return pre[i]
+        i = jnp.round(pos * sz).astype(jnp.int32)
+        return _fetch_1d(pre, i, sz)
 
     return fetch
 

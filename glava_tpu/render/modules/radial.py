@@ -157,7 +157,13 @@ def build(ctx: base.ModuleContext) -> base.ModuleBuild:
     def pass1(inputs: base.PassInputs) -> jnp.ndarray:
         vl = sample(inputs.textures["audio_l"])
         vr = sample(inputs.textures["audio_r"])
-        v = jnp.where(use_left_c, vl[bar_id_c], vr[bar_id_c]) * amplify
+        # same select-sum as the fast path (a (H, W)-indexed gather is
+        # ~20x the whole raster on TPU); bit-identical arithmetic
+        vcat = jnp.concatenate([vl, vr]) * amplify
+        cid = comb_id.astype(jnp.int32)
+        v = jnp.zeros((h, w), jnp.float32)
+        for k in range(2 * n1):
+            v = v + jnp.where(cid == k, vcat[k], 0.0)
 
         frag = jnp.zeros((h, w, 4), jnp.float32)
         # center ring (radial/1.frag:49-56)

@@ -179,6 +179,51 @@ def main() -> None:
     except Exception as e:
         print(f"radial bench skipped: {e}", file=__import__("sys").stderr)
 
+    # ---- circle @1080p (the gather-bound module; exercises the Pallas
+    # lane-shuffle table lookup) -------------------------------------------
+    circle_fps = None
+    try:
+        lc3 = loader.load(
+            cli_requests=("setgeometry 0 0 1920 1080", "setprintframes false"),
+            force_module="circle",
+        )
+        r3 = Renderer(lc3)
+        rng = np.random.default_rng(0)
+        snap3 = jnp.asarray(
+            rng.standard_normal((2, lc3.cfg.bufsize)).astype(np.float32) * 0.3
+        )
+        g3 = jnp.float32(lc3.cfg.gravity_step / lc3.cfg.nominal_ups)
+
+        def circle_frames(state, snap, g):
+            def body(carry, k):
+                s, acc = carry
+                a = snap * (1.0 + 1e-3 * k)
+                s, fr = r3.step(s, a, True, jnp.float32(0.1),
+                                jnp.float32(1.0), g, {})
+                return (s, acc + fr.sum()), None
+
+            (s2, acc), _ = jax.lax.scan(
+                body, (state, jnp.float32(0.0)),
+                jnp.arange(16, dtype=jnp.float32))
+            return s2, acc
+
+        fc = jax.jit(circle_frames, donate_argnums=(0,))
+        st3 = r3.init_state()
+        st3, probe = fc(st3, snap3, g3)
+        float(probe)
+
+        def run_circle(k):
+            nonlocal st3
+            t0 = time.perf_counter()
+            for _ in range(k):
+                st3, probe = fc(st3, snap3, g3)
+            float(probe)
+            return time.perf_counter() - t0
+
+        circle_fps = 16.0 / _slope(run_circle, 3, 9)
+    except Exception as e:
+        print(f"circle bench skipped: {e}", file=__import__("sys").stderr)
+
     # ---- device-side p50 PCM->frame latency (single stream) -------------
     # BASELINE.md targets p50 < 5 ms for the PCM->frame step on the
     # device; scan-amortize KD full steps per dispatch (spectrum chain
@@ -259,6 +304,7 @@ def main() -> None:
             "bars_fps_per_stream_512x256": round(fps_per_stream, 1),
             "total_fps_64streams": round(total_fps, 1),
             "radial_1080p_fps": round(radial_fps, 1) if radial_fps else None,
+            "circle_1080p_fps": round(circle_fps, 1) if circle_fps else None,
             # device-side time per full PCM->frame step (the latency a
             # locally-attached chip would see; the single-dispatch p50
             # below is dominated by this environment's network tunnel)

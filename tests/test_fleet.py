@@ -57,7 +57,9 @@ def test_fleet_on_device_mesh():
         for i in range(8)
     ]
     f = FleetEngine(_loaded(), streams, mesh=mesh)
-    f.run(max_seconds=2.5)
+    # frame-count bound: first-compile time varies when the full suite
+    # shares the process (a pure time bound flakes)
+    f.run(max_frames=10, max_seconds=30.0)
     fr = f.tex(0)
     assert fr is not None and fr.shape == (64, 96, 4)
     assert f.frames_rendered > 3

@@ -29,17 +29,7 @@ import time
 
 import numpy as np
 
-
-def _slope(run, n1: int = 5, n2: int = 15) -> float:
-    """Marginal seconds per timed call via two run lengths; `run(k)`
-    must execute k calls and force completion before returning its
-    wall time. Best-of-2 to shave scheduler noise."""
-    best = float("inf")
-    for _ in range(2):
-        t1 = run(n1)
-        t2 = run(n2)
-        best = min(best, (t2 - t1) / (n2 - n1))
-    return max(best, 1e-9)
+from glava_tpu.utils.timing import slope_time as _slope
 
 
 def main() -> None:

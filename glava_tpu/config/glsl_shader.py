@@ -115,10 +115,17 @@ class ForLoop:
 class WhileLoop:
     """Data-dependent loop: per-pixel masked iteration lowered to
     `lax.while_loop` (pixels retire as their condition goes false or
-    they `break`; the loop exits when every pixel has retired)."""
+    they `break`; the loop exits when every pixel has retired).
+
+    ``epilogue`` statements run after each iteration's body with
+    `continue`d pixels re-activated — the landing point of `continue`.
+    Dynamic-`for` lowers its increment there (a `continue` must still
+    advance the counter) and `do`-`while` lowers its condition check
+    there (GLSL `continue` jumps to the condition)."""
 
     cond: list
     body: list
+    epilogue: list = field(default_factory=list)
     line: int = 0
 
 
@@ -258,8 +265,10 @@ class _StmtParser:
             self.expect(";")
             neg = ([("op", "!"), ("op", "(")] + cond[:-1]
                    + [("op", ")"), ("end", "")])
+            # the condition check lives in the epilogue: GLSL `continue`
+            # inside a do-while jumps to the condition, not past it
             return WhileLoop([("ident", "true"), ("end", "")],
-                             body + [If(neg, [Break()])])
+                             body, epilogue=[If(neg, [Break()])])
         if v in _TYPES:
             # declaration: type [precision] name[size?] [= expr] {, ...}
             while self.peek()[1] in _TYPES:
@@ -561,6 +570,7 @@ class _Exec:
         self._frames: list[dict] = []  # function scopes: name -> (had, old)
         self._fn_stack: list[dict] = []  # per-call return bookkeeping
         self._loop_stack: list[dict] = []  # break/continue bookkeeping
+        self._user_funcs: dict[str, FuncDef] = {}
 
     def call_function(self, fdef: FuncDef, args) -> Any:
         """Execute a helper function inline under the current pixel mask.
@@ -593,6 +603,7 @@ class _Exec:
                     env.variables.pop(name, None)
 
     def bind_functions(self, funcs: dict) -> None:
+        self._user_funcs = dict(funcs)
         for fname, fdef in funcs.items():
             self.env.functions[fname] = (
                 lambda *a, f=fdef: self.call_function(f, a)
@@ -753,7 +764,9 @@ class _Exec:
             except _DynamicBound:
                 # data-dependent bounds: lower to a masked while loop
                 # `for (i = a; i OP b; i += s)` ==
-                # `i = a; while (i OP (b)) { body; i += s; }`
+                # `i = a; while (i OP (b)) { body } /* epilogue: i += s */`
+                # — the increment rides the epilogue so `continue` still
+                # advances the counter (C/GLSL semantics)
                 env.variables[stmt.var] = self._eval(stmt.start)
                 cond = ([("ident", stmt.var), ("op", stmt.cond_op),
                          ("op", "(")] + [t for t in stmt.bound
@@ -762,7 +775,8 @@ class _Exec:
                 inc = Assign(stmt.var, None, "+=",
                              stmt.step if stmt.step is not None
                              else [("num", "1"), ("end", "")])
-                self._while_loop(WhileLoop(cond, list(stmt.body) + [inc]))
+                self._while_loop(WhileLoop(cond, list(stmt.body),
+                                           epilogue=[inc]))
                 return
             if step <= 0:
                 raise ShaderError("for-loop step must be positive")
@@ -845,14 +859,16 @@ class _Exec:
         import jax.numpy as jnp
         from jax import lax
 
-        if _contains_return(stmt.body):
+        if _contains_return(stmt.body) or _contains_return(stmt.epilogue):
             raise ShaderError(
                 "`return` inside a `while`/dynamic-`for` loop is not "
                 "supported — `break` out and return after the loop"
             )
         env = self.env
         h, w = self.h, self.w
-        locals_, assigns = _collect_writes(stmt.body)
+        locals_, assigns = _collect_writes(
+            list(stmt.body) + list(stmt.epilogue), self._user_funcs
+        )
         pre = {n: (n in env.variables, env.variables.get(n))
                for n in (locals_ | assigns)}
         carried = sorted(n for n in (assigns - locals_)
@@ -871,7 +887,14 @@ class _Exec:
         for n in carried:
             env.variables[n] = canon(env.variables[n])
         outer_mask = self.mask
-        fuel_cap = 4 * (h + w) + self._WHILE_FUEL_BASE
+        # hang-proofing: pixels still active at the fuel cap retire
+        # SILENTLY with their current values (a traced loop cannot
+        # raise); shaders needing more iterations can raise the cap
+        # via GLAVA_TPU_WHILE_FUEL
+        import os
+
+        fuel_cap = (int(os.environ.get("GLAVA_TPU_WHILE_FUEL", "0"))
+                    or (4 * (h + w) + self._WHILE_FUEL_BASE))
         carry0 = {
             "_active": outer_mask & self._cond_mask(stmt.cond),
             "_fuel": jnp.asarray(0, jnp.int32),
@@ -889,13 +912,18 @@ class _Exec:
             self.mask = c["_active"]
             try:
                 self.run(stmt.body)
+                # `continue` lands here: continued pixels re-activate
+                # for the epilogue (dynamic-for increment / do-while
+                # condition check) and the next condition evaluation
+                if ctx["continued"] is not None:
+                    self.mask = self.mask | ctx["continued"]
+                    ctx["continued"] = None
+                self.run(stmt.epilogue)
+                if ctx["continued"] is not None:
+                    self.mask = self.mask | ctx["continued"]
             finally:
                 self._loop_stack.pop()
-            completers = self.mask
-            if ctx["continued"] is not None:
-                completers = completers | ctx["continued"]
-            self.mask = completers
-            nxt = completers & self._cond_mask(stmt.cond)
+            nxt = self.mask & self._cond_mask(stmt.cond)
             return {
                 "_active": nxt,
                 "_fuel": c["_fuel"] + 1,
@@ -929,26 +957,66 @@ class _DynamicBound(Exception):
     """Internal: a for-loop bound evaluated to per-pixel data."""
 
 
-def _collect_writes(body) -> tuple[set, set]:
-    """(declared names, assigned names) across a statement tree —
-    function-call bodies excluded (calls manage their own frames)."""
+def _collect_writes(body, funcs: dict | None = None,
+                    _seen: set | None = None) -> tuple[set, set]:
+    """(declared names, assigned names) across a statement tree.
+
+    When ``funcs`` (name -> FuncDef) is given, calls to user functions
+    found in expression token streams contribute the GLOBALS those
+    functions write (their assigns minus their own params/locals,
+    transitively) — a helper like ``void bump() { g += 1; }`` invoked
+    inside a while body mutates ``g`` across iterations, so ``g`` must
+    ride the loop carry."""
+    funcs = funcs or {}
     decls: set = set()
     assigns: set = set()
+    seen_funcs: set = set() if _seen is None else _seen
+
+    def fn_globals(name: str) -> set:
+        if name in seen_funcs:
+            return set()
+        seen_funcs.add(name)
+        fdef = funcs[name]
+        d, a = _collect_writes(fdef.body, funcs, seen_funcs)
+        return a - d - set(fdef.params)
+
+    def scan_tokens(toks):
+        if not toks:
+            return
+        for i, (k, v) in enumerate(toks):
+            if (k == "ident" and v in funcs
+                    and i + 1 < len(toks) and toks[i + 1][1] == "("):
+                assigns.update(fn_globals(v))
 
     def walk(stmts):
         for s in stmts:
             if isinstance(s, Decl):
                 decls.update(n for n, _i, _a in s.names)
+                for _n, init, arr in s.names:
+                    scan_tokens(init)
+                    scan_tokens(arr)
             elif isinstance(s, Assign):
                 assigns.add(s.target)
+                scan_tokens(s.expr)
+                scan_tokens(s.index)
             elif isinstance(s, If):
+                scan_tokens(s.cond)
                 walk(s.then)
                 walk(s.other)
             elif isinstance(s, ForLoop):
                 assigns.add(s.var)
+                scan_tokens(s.start)
+                scan_tokens(s.bound)
+                scan_tokens(s.step)
                 walk(s.body)
             elif isinstance(s, WhileLoop):
+                scan_tokens(s.cond)
                 walk(s.body)
+                walk(s.epilogue)
+            elif isinstance(s, ExprStmt):
+                scan_tokens(s.expr)
+            elif isinstance(s, Return):
+                scan_tokens(s.expr)
 
     walk(body)
     return decls, assigns

@@ -68,6 +68,10 @@ def _load():
         lib.gt_rgba_to_yuv444.argtypes = [
             u8p, ctypes.c_size_t, ctypes.c_size_t, u8p, u8p, u8p,
         ]
+        lib.gt_png_unfilter.restype = ctypes.c_int
+        lib.gt_png_unfilter.argtypes = [
+            u8p, ctypes.c_size_t, ctypes.c_size_t, ctypes.c_size_t, u8p,
+        ]
         _lib = lib
         return _lib
 
@@ -179,3 +183,23 @@ class NativeFifoReader:
             self.stop()
         except Exception:
             pass
+
+
+def png_unfilter(raw: bytes, h: int, stride: int,
+                 nchan: int) -> np.ndarray | None:
+    """Native PNG scanline unfiltering (RFC 2083 filters 0-4); None
+    when the native lib is unavailable. Returns (h, stride) uint8."""
+    lib = _load()
+    if lib is None:
+        return None
+    src = np.frombuffer(raw, np.uint8, h * (stride + 1))
+    src = np.ascontiguousarray(src)
+    out = np.empty((h, stride), np.uint8)
+
+    def p(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+    rc = lib.gt_png_unfilter(p(src), h, stride, nchan, p(out))
+    if rc != 0:
+        raise ValueError(f"unknown PNG filter {rc}")
+    return out

@@ -290,4 +290,60 @@ void gt_rgba_to_yuv444(const uint8_t* rgba, size_t w, size_t h,
     }
 }
 
+// PNG scanline unfiltering (RFC 2083 §6): raw holds h rows of
+// (1 filter byte + stride pixel bytes); out receives h*stride
+// reconstructed bytes. Returns 0 on success, the offending filter
+// type on error. Used by runtime/sinks.read_png for wallpaper-size
+// images (the per-byte loops are pathological in Python).
+int gt_png_unfilter(const uint8_t* raw, size_t h, size_t stride,
+                    size_t nchan, uint8_t* out) {
+    for (size_t y = 0; y < h; ++y) {
+        const uint8_t* src = raw + y * (stride + 1);
+        uint8_t ftype = src[0];
+        const uint8_t* row = src + 1;
+        uint8_t* dst = out + y * stride;
+        const uint8_t* prev = y ? out + (y - 1) * stride : nullptr;
+        switch (ftype) {
+        case 0:
+            for (size_t i = 0; i < stride; ++i) dst[i] = row[i];
+            break;
+        case 1:  // Sub
+            for (size_t i = 0; i < stride; ++i) {
+                uint8_t a = i >= nchan ? dst[i - nchan] : 0;
+                dst[i] = (uint8_t)(row[i] + a);
+            }
+            break;
+        case 2:  // Up
+            for (size_t i = 0; i < stride; ++i) {
+                uint8_t b = prev ? prev[i] : 0;
+                dst[i] = (uint8_t)(row[i] + b);
+            }
+            break;
+        case 3:  // Average
+            for (size_t i = 0; i < stride; ++i) {
+                unsigned a = i >= nchan ? dst[i - nchan] : 0;
+                unsigned b = prev ? prev[i] : 0;
+                dst[i] = (uint8_t)(row[i] + ((a + b) >> 1));
+            }
+            break;
+        case 4:  // Paeth
+            for (size_t i = 0; i < stride; ++i) {
+                int a = i >= nchan ? dst[i - nchan] : 0;
+                int b = prev ? prev[i] : 0;
+                int c = (prev && i >= nchan) ? prev[i - nchan] : 0;
+                int p = a + b - c;
+                int pa = p > a ? p - a : a - p;
+                int pb = p > b ? p - b : b - p;
+                int pc = p > c ? p - c : c - p;
+                int pred = (pa <= pb && pa <= pc) ? a : (pb <= pc ? b : c);
+                dst[i] = (uint8_t)(row[i] + pred);
+            }
+            break;
+        default:
+            return (int)ftype;
+        }
+    }
+    return 0;
+}
+
 }  // extern "C"

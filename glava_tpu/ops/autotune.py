@@ -126,11 +126,9 @@ def learn_batch_tile(n: int, frames: int, batch: int = 128,
                 float(probe)
                 return time.perf_counter() - t0
 
-            best = float("inf")
-            for _ in range(2):
-                t1, t2 = run(3), run(9)
-                best = min(best, (t2 - t1) / 6 / scan_len)
-            results[bt] = best
+            from glava_tpu.utils.timing import slope_time
+
+            results[bt] = slope_time(run, 3, 9) / scan_len
         except Exception:
             continue
     if not results:

@@ -18,10 +18,11 @@ update instead of one per stage. Data layout notes:
   the TPU vector layout);
 * windowing + packed-pair split happen outside the kernel where XLA
   fuses them into the HBM read;
-* the history is a rolling ring indexed by a scalar-prefetched slot —
-  valid because every averaging window the reference uses is symmetric
-  in frame age (util/common.glsl:13-15), so weight-by-slot equals
-  weight-by-age.
+* the history is a rolling ring with PER-ROW slot counters and
+  **age-mapped** weights: the reference binds its averaging FBOs
+  newest-first (render.c:2252-2256), i.e. weights follow frame age.
+  (The round-1 weight-by-slot shortcut was only exact in steady state
+  — window symmetry does not make slot order equal age order.)
 
 State dtype is float32 and results match the unfused path to ~1e-6
 (texture clamp semantics included).
@@ -324,7 +325,11 @@ def build_fused_update_ring(
     fast_math: bool = False,
     interpret: bool = False,
 ):
-    """Fully-vectorized ring-history fused update (production path).
+    """Fully-vectorized ring-history fused update (ALTERNATIVE form;
+    the opt-in Pallas path used by the pipeline is
+    :func:`build_fused_update_inc`, which measured slightly faster —
+    and the default update path is the plain XLA chain, see
+    pipeline.py).
 
     Same semantics and interface as :func:`build_fused_update_inc`
     (per-row ring slots, **age-mapped** weights — the reference binds
@@ -502,7 +507,9 @@ def build_fused_update_inc(
     fast_math: bool = False,
     interpret: bool = False,
 ):
-    """Ring-history variant of the fused update (the production path).
+    """Ring-history variant of the fused update (the kernel the
+    pipeline uses when the opt-in Pallas path is selected via
+    GLAVA_TPU_FUSED=1; the default update path is the XLA chain).
 
     The v1 kernel streams the whole (B, F, 2, m) history through VMEM
     in AND out every update (~4F planes of HBM traffic) even though

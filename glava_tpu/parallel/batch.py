@@ -20,6 +20,19 @@ from glava_tpu.config.loader import LoadedConfig
 from glava_tpu.renderer import Renderer, RenderState
 
 
+def _composite_bg(rend: Renderer, frame: "jax.Array") -> "jax.Array":
+    """xroot/none-opacity background composite, matching the
+    single-stream Renderer.step exactly (render.c:1468-1469, 1700,
+    2028): blend over the `setbgimg` wallpaper when supplied, else the
+    `setbg` clear color. No-op for premultiplied (native) opacity."""
+    if rend.cfg.premultiply_alpha:
+        return frame
+    bg = (rend._bg_image if rend._bg_image is not None
+          else jnp.asarray(rend.cfg.clear_color, jnp.float32))
+    a = frame[..., 3:4]
+    return frame * a + bg * (1.0 - a)
+
+
 @dataclass
 class BatchedRenderer:
     loaded: LoadedConfig
@@ -85,9 +98,10 @@ class BatchedRenderer:
                     )
                 rend.module_env.pipe_values.clear()
                 rend.module_env.pipe_values.update(vals)
-            return rend.module.render(
+            frame = rend.module.render(
                 PassInputs(prev=None, textures=tex, time=ti)
             )
+            return _composite_bg(rend, frame)
 
         frames = jax.vmap(raster)(textures, time, pipe if pipe else {})
         return RenderState(chains, key_start, key_end), frames
@@ -265,11 +279,7 @@ class MixedBatchedRenderer:
                 frame = rend.module.render(
                     PassInputs(prev=None, textures=tex, time=ti)
                 )
-                if not rend.cfg.premultiply_alpha:
-                    bg = jnp.asarray(rend.cfg.clear_color, jnp.float32)
-                    a = frame[..., 3:4]
-                    frame = frame * a + bg * (1.0 - a)
-                return frame
+                return _composite_bg(rend, frame)
 
             parts.append(jax.vmap(raster)(sub_tex, sub_time, sub_pipe))
             order.extend(idxs)

@@ -204,6 +204,20 @@ def read_png(path: str | Path) -> np.ndarray:
         raise ValueError(f"{path}: unsupported color type {color_type}")
     raw = zlib.decompress(b"".join(idat))
     stride = w * nchan
+    if len(raw) < h * (stride + 1):
+        raise ValueError(f"{path}: truncated PNG data")
+    # scanline unfiltering: native C++ when buildable (the per-byte
+    # Sub/Average/Paeth recurrences are pathological in Python at
+    # wallpaper sizes), Python fallback otherwise
+    out = None
+    try:
+        from glava_tpu import native
+
+        out = native.png_unfilter(raw, h, stride, nchan)
+    except Exception:
+        out = None
+    if out is not None:
+        return _expand_rgba(out.reshape(h, w, nchan), nchan)
     out = np.empty((h, stride), np.uint8)
     prev = np.zeros((stride,), np.uint8)
     pos = 0
@@ -233,7 +247,11 @@ def read_png(path: str | Path) -> np.ndarray:
             raise ValueError(f"{path}: unknown filter {ftype}")
         out[y] = row
         prev = row
-    px = out.reshape(h, w, nchan)
+    return _expand_rgba(out.reshape(h, w, nchan), nchan)
+
+
+def _expand_rgba(px: np.ndarray, nchan: int) -> np.ndarray:
+    h, w = px.shape[:2]
     rgba = np.empty((h, w, 4), np.uint8)
     if nchan == 1:
         rgba[..., :3] = px

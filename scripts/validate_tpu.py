@@ -103,8 +103,9 @@ def main() -> int:
         float(probe)
         return time.perf_counter() - t0
 
-    t1, t2 = run(3), run(9)
-    rate = 16 * 32 / ((t2 - t1) / 6)
+    from glava_tpu.utils.timing import slope_time
+
+    rate = 16 * 32 / slope_time(run, 3, 9, repeats=1)
     print(f"update throughput sample: {rate:,.0f} windows/s")
     print("ALL OK")
     return 0

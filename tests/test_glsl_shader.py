@@ -484,3 +484,91 @@ def test_reference_test_module_verbatim_golden(tmp_path):
     _, frame = step(state, snap, True, np.float32(0.0), np.float32(1.0),
                     np.float32(0.05), {})
     assert r.test_evaluate(frame)
+
+
+def test_continue_in_dynamic_for_advances_counter(tmp_path):
+    """`continue` must still run the loop increment (C/GLSL semantics)
+    — the increment rides the while-lowering's epilogue."""
+    mod = tmp_path / "cdf"
+    mod.mkdir()
+    (mod / "1.frag").write_text(
+        "in vec4 gl_FragCoord;\n"
+        "out vec4 fragment;\n"
+        "void main() {\n"
+        "  float q = 0.0;\n"
+        "  float n = gl_FragCoord.y - 0.5 + 3.0;\n"
+        "  for (int i = 0; i < n; i += 1) {\n"
+        "    if (i == 1) continue;\n"
+        "    q += 0.1;\n"
+        "  }\n"
+        "  fragment = vec4(q, 0, 0, 1);\n"
+        "}\n"
+    )
+    (tmp_path / "rc.glsl").write_text(
+        "#request mod cdf\n#request setgeometry 0 0 4 5\n"
+        "#request setbufsize 1024\n#request setsamplesize 256\n"
+        "#request setprintframes false\n"
+    )
+    lc = loader.load(user_dir=tmp_path)
+    f = _render(lc, n=1)
+    # row y: n = y+3 iterations, one continued -> q = 0.1*(y+2)
+    want = 0.1 * (np.arange(5) + 2)
+    np.testing.assert_allclose(f[:, 0, 0], want, atol=1e-6)
+
+
+def test_continue_in_do_while_checks_condition(tmp_path):
+    """GLSL `continue` in do-while jumps to the condition check."""
+    mod = tmp_path / "cdw"
+    mod.mkdir()
+    (mod / "1.frag").write_text(
+        "out vec4 fragment;\n"
+        "void main() {\n"
+        "  float k = 0.0;\n"
+        "  float z = 0.0;\n"
+        "  do {\n"
+        "    k += 1.0;\n"
+        "    if (k == 2.0) continue;\n"
+        "    z += 1.0;\n"
+        "  } while (k < 2.0);\n"
+        "  fragment = vec4(k / 8.0, z / 8.0, 0, 1);\n"
+        "}\n"
+    )
+    (tmp_path / "rc.glsl").write_text(
+        "#request mod cdw\n#request setgeometry 0 0 4 2\n"
+        "#request setbufsize 1024\n#request setsamplesize 256\n"
+        "#request setprintframes false\n"
+    )
+    lc = loader.load(user_dir=tmp_path)
+    f = _render(lc, n=1)
+    np.testing.assert_allclose(f[..., 0], 2.0 / 8.0, atol=1e-6)  # k == 2
+    np.testing.assert_allclose(f[..., 1], 1.0 / 8.0, atol=1e-6)  # z == 1
+
+
+def test_global_write_through_function_in_while(tmp_path):
+    """A helper mutating a global inside a while body must ride the
+    loop carry (previously escaped the trace -> UnexpectedTracerError)."""
+    mod = tmp_path / "gfn"
+    mod.mkdir()
+    (mod / "1.frag").write_text(
+        "in vec4 gl_FragCoord;\n"
+        "out vec4 fragment;\n"
+        "float g = 0.0;\n"
+        "void bump() { g += 0.125; }\n"
+        "void main() {\n"
+        "  float j = 0.0;\n"
+        "  while (j < gl_FragCoord.x) {\n"
+        "    j += 1.0;\n"
+        "    bump();\n"
+        "  }\n"
+        "  fragment = vec4(g, 0, 0, 1);\n"
+        "}\n"
+    )
+    (tmp_path / "rc.glsl").write_text(
+        "#request mod gfn\n#request setgeometry 0 0 6 2\n"
+        "#request setbufsize 1024\n#request setsamplesize 256\n"
+        "#request setprintframes false\n"
+    )
+    lc = loader.load(user_dir=tmp_path)
+    f = _render(lc, n=1)
+    want = 0.125 * (np.arange(6) + 1)   # ceil(x) bumps per pixel
+    np.testing.assert_allclose(f[0, :, 0], want, atol=1e-6)

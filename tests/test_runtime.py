@@ -633,3 +633,56 @@ def test_obs_host_example(tmp_path):
     assert img.shape[0] == 360 and img.shape[1] == 1920
     # the visualizer composited something over the dark canvas
     assert (img[..., :3].max(axis=-1) > 40).any()
+
+
+def test_batched_matches_single_with_xroot_opacity(tmp_path):
+    """The batched raster applies the same background composite as the
+    single-stream step (xroot/none opacity); previously batched frames
+    came out straight-alpha."""
+    import jax.numpy as jnp
+
+    from glava_tpu.renderer import Renderer
+
+    wall = np.zeros((32, 48, 4), np.uint8)
+    wall[..., 0] = 200
+    wall[..., 3] = 255
+    wp = tmp_path / "w.png"
+    sinks.write_png(wp, wall[::-1])
+    lc = loader.load(
+        cli_requests=("setgeometry 0 0 48 32", "setbufsize 1024",
+                      "setsamplesize 256", "setprintframes false",
+                      'setopacity "xroot"', f'setbgimg "{wp}"'),
+        force_module="bars",
+    )
+    r = Renderer(lc)
+    br = BatchedRenderer(lc, n_streams=2)
+    rng = np.random.default_rng(0)
+    snap = jnp.asarray(rng.standard_normal((2, 1024)).astype(np.float32) * 0.3)
+    ss, sb = r.init_state(), br.init_state()
+    step_s = r.jit_step()
+    step_b = jax.jit(br.step)
+    for _ in range(4):
+        ss, fs = step_s(ss, snap, True, np.float32(0.0), np.float32(1.0),
+                        np.float32(0.05), {})
+        sb, fb = step_b(
+            sb, jnp.stack([snap, snap]), jnp.ones(2, bool),
+            jnp.zeros(2, jnp.float32), jnp.ones(2, jnp.float32),
+            jnp.full(2, 0.05, jnp.float32), {},
+        )
+    np.testing.assert_allclose(np.asarray(fb[0]), np.asarray(fs), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(fb[1]), np.asarray(fs), atol=1e-6)
+    # the wallpaper shows through undrawn pixels
+    assert (np.asarray(fs)[..., 0] >= 200 / 255 - 1e-3).any()
+
+
+def test_read_png_python_fallback(tmp_path, monkeypatch):
+    """read_png's pure-Python unfilter path (no native lib) matches."""
+    from glava_tpu import native as native_mod
+
+    rng = np.random.default_rng(13)
+    frame = rng.integers(0, 256, (9, 11, 4), dtype=np.uint8)
+    p = tmp_path / "rt.png"
+    sinks.write_png(p, frame)
+    monkeypatch.setattr(native_mod, "png_unfilter", lambda *a: None)
+    back = sinks.read_png(p)
+    np.testing.assert_array_equal(back, frame[::-1])

@@ -182,3 +182,29 @@ def test_mixed_modules_incompatible_dsp_rejected():
     b = _loaded_mod("wave", extra=("setbufsize 2048",))
     with pytest.raises(ValueError, match="bufsize"):
         MixedBatchedRenderer([a, b], [0, 1])
+
+
+def test_mixed_fleet_on_device_mesh():
+    """Heterogeneous modules + mesh sharding compose: a mixed fleet
+    shards streams over the mesh data axis in one program."""
+    import jax
+
+    from glava_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(jax.devices()[:8], rows=1)
+    shared = _loaded_mod("bars", geom="0 0 288 288")
+    wave = _loaded_mod("wave", geom="0 0 288 288")
+    streams = [
+        StreamSpec(f"s{i}", source="synth:400,800",
+                   loaded=(wave if i % 2 else None))
+        for i in range(8)
+    ]
+    f = FleetEngine(shared, streams, mesh=mesh)
+    from glava_tpu.parallel.batch import MixedBatchedRenderer
+
+    assert isinstance(f.br, MixedBatchedRenderer)
+    f.run(max_frames=10, max_seconds=60.0)
+    a, b = f.tex(0), f.tex(1)
+    assert a is not None and b is not None
+    assert (a[..., 3] > 0).any() and (b[..., 3] > 0).any()
+    assert not np.array_equal(a, b)  # different modules

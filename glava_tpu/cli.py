@@ -101,6 +101,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="stop after N seconds")
     p.add_argument("--size", default=None, metavar="WxH",
                    help="output size override")
+    p.add_argument("--offline", action="store_true",
+                   help="render a recorded track faster than realtime "
+                        "(requires -a wav with setsource; frames follow "
+                        "the exact realtime schedule)")
+    p.add_argument("--fps", type=float, default=60.0,
+                   help="output frame rate for --offline (default 60)")
     return p
 
 
@@ -140,7 +146,30 @@ def main(argv: list[str] | None = None) -> int:
         test_mode=args.run_tests,
         verbose=args.verbose,
     )
-    sink = make_sink(args.sink)
+    sink = make_sink(args.sink, fps=int(args.fps))
+
+    if args.offline:
+        if backend != "wav":
+            print("--offline requires `-a wav` with setsource",
+                  file=sys.stderr)
+            return 2
+        from glava_tpu.config import loader
+        from glava_tpu.runtime.offline import render_wav
+
+        lc = loader.load(
+            entry=opts.entry, user_dir=opts.user_dir,
+            cli_requests=opts.requests, force_module=opts.force_module,
+            desktop=opts.desktop, wm_name=opts.wm_name,
+        )
+        if not lc.cfg.audio_source or lc.cfg.audio_source == "auto":
+            print("--offline needs `setsource \"/path.wav\"`",
+                  file=sys.stderr)
+            return 2
+        n = render_wav(lc, lc.cfg.audio_source, sink, fps=args.fps,
+                       screen=screen, verbose=True)
+        sink.close()
+        return 0 if n > 0 else 1
+
     engine = Engine(opts, sink=sink,
                     pipe_stream=sys.stdin if pipe_binds else None)
 

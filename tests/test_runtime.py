@@ -686,3 +686,39 @@ def test_read_png_python_fallback(tmp_path, monkeypatch):
     monkeypatch.setattr(native_mod, "png_unfilter", lambda *a: None)
     back = sinks.read_png(p)
     np.testing.assert_array_equal(back, frame[::-1])
+
+
+def test_offline_render_deterministic(tmp_path):
+    """Offline rendering follows the exact realtime schedule and is
+    deterministic for a given track + config."""
+    import wave as _wave
+
+    from glava_tpu.runtime.offline import render_wav
+
+    rate = 22050
+    t = np.arange(rate) / rate  # 1 second
+    sig = (0.4 * np.sin(2 * np.pi * 523 * t) * 32767).astype("<i2")
+    wav = tmp_path / "tone.wav"
+    with _wave.open(str(wav), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(sig.tobytes())
+
+    lc = loader.load(
+        cli_requests=("setgeometry 0 0 64 48", "setbufsize 1024",
+                      "setsamplesize 256", "setprintframes false"),
+        force_module="bars",
+    )
+
+    def run():
+        got = []
+        render_wav(lc, str(wav), sinks.CallbackSink(
+            lambda f, t: got.append(f.copy())), fps=24.0, chunk=16)
+        return got
+
+    a, b = run(), run()
+    assert len(a) == 24  # 1 s at 24 fps
+    assert any((f[..., 3] > 0).any() for f in a[6:])  # bars drawn
+    for fa, fb in zip(a, b):
+        np.testing.assert_array_equal(fa, fb)

@@ -188,3 +188,52 @@ def test_table_lookup_exact():
     out = np.asarray(lk(tab, idx))
     want = np.asarray(tab)[np.asarray(idx)]
     np.testing.assert_array_equal(out, want)
+
+
+@pytest.mark.parametrize("clamp", [True, False])
+def test_ring_state_matches_shift_oracle(clamp):
+    """The pipeline's ring-history state (one-slot writes, age-mapped
+    weights) matches the shift-history formulation transcribed from the
+    reference (transforms.fft_update) — including warmup, per-stream
+    staggered clocks, and both GL_R16-clamp modes."""
+    import jax
+
+    from glava_tpu.config.state import RenderConfig
+    from glava_tpu.pipeline import AudioPipeline
+
+    n, F, S = 1024, 5, 3
+    cfg = RenderConfig(bufsize=n, samplesize=256, avg_frames=F,
+                       accel_fft=clamp, smooth_pass=False)
+    uniforms = [
+        UniformSpec("audio_l", "audio_l", ("window", "fft", "gravity", "avg")),
+        UniformSpec("audio_r", "audio_r", ("window", "fft", "gravity", "avg")),
+    ]
+    pipe = AudioPipeline(cfg, uniforms, use_fused=False)
+    w = jnp.asarray(windows.avg_weights(F, cfg.avg_window, clamp))
+
+    rng = np.random.default_rng(9)
+    st = pipe.init_state(batch=(S,))
+    oracle = [transforms.chain_init(n, F, batch=(2,)) for _ in range(S)]
+    want_tex = [None] * S
+    for it in range(9):
+        audio = jnp.asarray(
+            rng.standard_normal((S, 2, n)).astype(np.float32) * 0.3
+        )
+        modified = jnp.asarray([(it % (s + 1)) == 0 for s in range(S)])
+        adv = pipe.advance(st, audio[:, 0], audio[:, 1], gravity_g=0.05)
+        st = pipe.select_updated(adv, st, modified)
+        for s in range(S):
+            if bool(modified[s]):
+                oracle[s], want_tex[s] = transforms.fft_update(
+                    oracle[s], audio[s], fft_scale=cfg.fft_scale,
+                    fft_cutoff=cfg.fft_cutoff, gravity_g=0.05,
+                    avg_weights=w, texture_clamp=clamp,
+                )
+    tex = pipe.textures_from(st, audio[:, 0], audio[:, 1])
+    got = np.stack([np.asarray(tex["audio_l"]), np.asarray(tex["audio_r"])],
+                   axis=1)   # (S, 2, n)
+    for s in range(S):
+        np.testing.assert_allclose(
+            got[s], np.clip(np.asarray(want_tex[s]), 0.0, 1.0), atol=2e-6,
+            err_msg=f"stream {s} (clamp={clamp})",
+        )

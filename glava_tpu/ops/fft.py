@@ -42,15 +42,29 @@ import numpy as np
 _MAX_DIRECT = 256  # single-matmul DFT cutoff; above this use four-step
 
 
-def _mm(a, b):
-    """f32-exact matmul.
+def _fft_precision():
+    """FFT matmul precision policy.
 
     TPU MXUs take bf16 inputs at default precision; HIGHEST requests
-    the multi-pass bf16 decomposition that recovers full f32 accuracy —
-    required for spectrum parity with the reference's CPU FFT.
+    the 6-pass bf16 decomposition that recovers full f32 accuracy —
+    required for spectrum parity with the reference's CPU FFT (oracle
+    tests pin ~1e-5). GLAVA_TPU_FAST_MATH=1 opts into the 3-pass
+    decomposition instead: ~30% faster full updates (measured 88 ->
+    66 us per 64-stream update on v5e) at ~3e-4 texture error —
+    visually indistinguishable (golden tolerance is 2e-3) but not
+    oracle-exact.
     """
+    import os
+
+    if os.environ.get("GLAVA_TPU_FAST_MATH", "") == "1":
+        return jax.lax.DotAlgorithmPreset.BF16_BF16_F32_X3
+    return jax.lax.Precision.HIGHEST
+
+
+def _mm(a, b):
+    """Accuracy-policy matmul (see _fft_precision)."""
     return jnp.matmul(
-        a, b, precision=jax.lax.Precision.HIGHEST,
+        a, b, precision=_fft_precision(),
         preferred_element_type=jnp.float32,
     )
 

@@ -6,7 +6,8 @@ Measures the full spectrum-update path (window + packed FFT + log-mag
 for a 64-stream batch at the reference's shipped config (bufsize 4096,
 rc.glsl:190). One "window" = one stream-update (both channels).
 
-Measurement protocol (important on this environment):
+Measurement protocol (important on this environment; centralized in
+glava_tpu/utils/timing.py):
 
 * Dispatches amortize with ``lax.scan`` (the TPU tunnel has a
   per-dispatch floor that would otherwise dominate device numbers).
@@ -14,9 +15,11 @@ Measurement protocol (important on this environment):
   can return before execution (and even before compilation) completes.
   Every timed region ends by fetching a scalar probe that the jitted
   function returns, which forces real completion.
-* Per-iteration time comes from a two-point slope
-  ((t(n2) - t(n1)) / (n2 - n1)), cancelling the constant probe-fetch
-  RTT and enqueue overheads.
+* Every scan iteration sees FRESH audio (else XLA hoists the FFT out
+  of the loop) and every frame is reduced into the scan carry (else
+  rasters are dead code).
+* Per-iteration time is a two-point slope, cancelling the constant
+  probe-fetch RTT and enqueue overheads.
 
 Prints the primary metric as one JSON line:
 target >= 10,000 windows/sec/chip (BASELINE.md).
@@ -29,7 +32,7 @@ import time
 
 import numpy as np
 
-from glava_tpu.utils.timing import slope_time as _slope
+from glava_tpu.utils.timing import probed_slope
 
 
 def main() -> None:
@@ -52,10 +55,6 @@ def main() -> None:
     ex = example_batch(br)
 
     # ---- windows/sec/chip: scan-amortized spectrum updates ---------------
-    # Every iteration sees FRESH audio (the production condition): with
-    # loop-invariant audio XLA hoists the FFT out of the scan and the
-    # "throughput" becomes fiction. State is carried, so no iteration
-    # can be dead-code-eliminated.
     def multi_update(chains, audio, g):
         def body(c, k):
             a = audio * (1.0 + 1e-3 * k)
@@ -66,31 +65,23 @@ def main() -> None:
                                  jnp.arange(K, dtype=jnp.float32))
         tex = pipe.textures_from(chains, audio[:, 0, :], audio[:, 1, :])
         probe = sum(t.ravel()[0] for t in tex.values())
-        return chains, tex, probe
+        return chains, probe
 
     f = jax.jit(multi_update, donate_argnums=(0,))
     chains = pipe.init_state(batch=(S,))
-    chains, tex, probe = f(chains, ex["audio"], ex["gravity_g"])
+    chains, probe = f(chains, ex["audio"], ex["gravity_g"])
     float(probe)  # forces compile + first execution
 
-    def run_updates(k):
+    def upd_once():
         nonlocal chains
-        t0 = time.perf_counter()
-        for _ in range(k):
-            chains, _tex, probe = f(chains, ex["audio"], ex["gravity_g"])
-        float(probe)
-        return time.perf_counter() - t0
+        chains, probe = f(chains, ex["audio"], ex["gravity_g"])
+        return probe
 
-    per_call = _slope(run_updates)
-    windows_per_sec = S * K / per_call
+    windows_per_sec = S * K / probed_slope(upd_once)
 
     # ---- frames/sec/stream: full step incl. raster -----------------------
     KF = 16
 
-    # fresh audio per frame + a full frame reduction accumulated in the
-    # carry: every iteration's raster must actually be computed (a
-    # discarded frame would be dead code, a single-pixel probe would
-    # let XLA rasterize one pixel)
     def multi_frames(state, audio, mod, tim, im, g):
         def body(carry, k):
             s, acc = carry
@@ -101,124 +92,79 @@ def main() -> None:
         (state, acc), _ = jax.lax.scan(
             body, (state, jnp.float32(0.0)),
             jnp.arange(KF, dtype=jnp.float32))
-        return state, acc, acc
+        return state, acc
 
     f2 = jax.jit(multi_frames, donate_argnums=(0,))
     st = br.init_state()
-    st, _acc, probe = f2(st, ex["audio"], ex["modified"], ex["time"],
-                         ex["interp_mod"], ex["gravity_g"])
+    st, probe = f2(st, ex["audio"], ex["modified"], ex["time"],
+                   ex["interp_mod"], ex["gravity_g"])
     float(probe)
 
-    def run_frames(k):
+    def frames_once():
         nonlocal st
-        t0 = time.perf_counter()
-        for _ in range(k):
-            st, _acc, probe = f2(st, ex["audio"], ex["modified"], ex["time"],
-                                 ex["interp_mod"], ex["gravity_g"])
-        float(probe)
-        return time.perf_counter() - t0
+        st, probe = f2(st, ex["audio"], ex["modified"], ex["time"],
+                       ex["interp_mod"], ex["gravity_g"])
+        return probe
 
-    per_frame = _slope(run_frames) / KF
+    per_frame = probed_slope(frames_once) / KF
     fps_per_stream = 1.0 / per_frame
     total_fps = S / per_frame
 
-    # ---- BASELINE config #2: radial @1080p, 44.1 kHz ----------------------
-    # Optional sections never break the headline JSON line the driver
-    # consumes.
-    radial_fps = None
-    try:
-        lc2 = loader.load(
-            cli_requests=("setgeometry 0 0 1920 1080", "setsamplerate 44100",
-                          "setprintframes false"),
-            force_module="radial",
-        )
-        r2 = Renderer(lc2)
-        rng = np.random.default_rng(0)
-        snap2 = jnp.asarray(
-            rng.standard_normal((2, lc2.cfg.bufsize)).astype(np.float32) * 0.3
-        )
-        g2 = jnp.float32(lc2.cfg.gravity_step / lc2.cfg.nominal_ups)
+    # ---- single-stream 1080p module sections ------------------------------
+    # (radial = BASELINE config #2; circle exercises the Pallas
+    # lane-shuffle lookup). Optional sections never break the headline
+    # JSON line the driver consumes.
+    def module_fps_1080p(module: str, extra: tuple = ()) -> float | None:
+        try:
+            lcm = loader.load(
+                cli_requests=("setgeometry 0 0 1920 1080",
+                              "setprintframes false") + extra,
+                force_module=module,
+            )
+            rm = Renderer(lcm)
+            rng = np.random.default_rng(0)
+            snap = jnp.asarray(
+                rng.standard_normal((2, lcm.cfg.bufsize)).astype(np.float32)
+                * 0.3
+            )
+            g = jnp.float32(lcm.cfg.gravity_step / lcm.cfg.nominal_ups)
 
-        def radial_frames(state, snap, g):
-            def body(carry, k):
-                s, acc = carry
-                a = snap * (1.0 + 1e-3 * k)
-                s, fr = r2.step(s, a, True, jnp.float32(0.1),
-                                jnp.float32(1.0), g, {})
-                return (s, acc + fr.sum()), None
+            def mod_frames(state, snap, g):
+                def body(carry, k):
+                    s, acc = carry
+                    a = snap * (1.0 + 1e-3 * k)
+                    s, fr = rm.step(s, a, True, jnp.float32(0.1),
+                                    jnp.float32(1.0), g, {})
+                    return (s, acc + fr.sum()), None
 
-            (s2, acc), _ = jax.lax.scan(
-                body, (state, jnp.float32(0.0)),
-                jnp.arange(16, dtype=jnp.float32))
-            return s2, acc, acc
+                (s2, acc), _ = jax.lax.scan(
+                    body, (state, jnp.float32(0.0)),
+                    jnp.arange(16, dtype=jnp.float32))
+                return s2, acc
 
-        fr_fn = jax.jit(radial_frames, donate_argnums=(0,))
-        st2 = r2.init_state()
-        st2, _a2, probe = fr_fn(st2, snap2, g2)
-        float(probe)
-
-        def run_radial(k):
-            nonlocal st2
-            t0 = time.perf_counter()
-            for _ in range(k):
-                st2, _a2, probe = fr_fn(st2, snap2, g2)
+            fm = jax.jit(mod_frames, donate_argnums=(0,))
+            stm = rm.init_state()
+            stm, probe = fm(stm, snap, g)
             float(probe)
-            return time.perf_counter() - t0
 
-        radial_fps = 16.0 / _slope(run_radial)
-    except Exception as e:
-        print(f"radial bench skipped: {e}", file=__import__("sys").stderr)
+            def mod_once():
+                nonlocal stm
+                stm, probe = fm(stm, snap, g)
+                return probe
 
-    # ---- circle @1080p (the gather-bound module; exercises the Pallas
-    # lane-shuffle table lookup) -------------------------------------------
-    circle_fps = None
-    try:
-        lc3 = loader.load(
-            cli_requests=("setgeometry 0 0 1920 1080", "setprintframes false"),
-            force_module="circle",
-        )
-        r3 = Renderer(lc3)
-        rng = np.random.default_rng(0)
-        snap3 = jnp.asarray(
-            rng.standard_normal((2, lc3.cfg.bufsize)).astype(np.float32) * 0.3
-        )
-        g3 = jnp.float32(lc3.cfg.gravity_step / lc3.cfg.nominal_ups)
+            return 16.0 / probed_slope(mod_once, 3, 9)
+        except Exception as e:
+            print(f"{module} bench skipped: {e}",
+                  file=__import__("sys").stderr)
+            return None
 
-        def circle_frames(state, snap, g):
-            def body(carry, k):
-                s, acc = carry
-                a = snap * (1.0 + 1e-3 * k)
-                s, fr = r3.step(s, a, True, jnp.float32(0.1),
-                                jnp.float32(1.0), g, {})
-                return (s, acc + fr.sum()), None
-
-            (s2, acc), _ = jax.lax.scan(
-                body, (state, jnp.float32(0.0)),
-                jnp.arange(16, dtype=jnp.float32))
-            return s2, acc
-
-        fc = jax.jit(circle_frames, donate_argnums=(0,))
-        st3 = r3.init_state()
-        st3, probe = fc(st3, snap3, g3)
-        float(probe)
-
-        def run_circle(k):
-            nonlocal st3
-            t0 = time.perf_counter()
-            for _ in range(k):
-                st3, probe = fc(st3, snap3, g3)
-            float(probe)
-            return time.perf_counter() - t0
-
-        circle_fps = 16.0 / _slope(run_circle, 3, 9)
-    except Exception as e:
-        print(f"circle bench skipped: {e}", file=__import__("sys").stderr)
+    radial_fps = module_fps_1080p("radial", ("setsamplerate 44100",))
+    circle_fps = module_fps_1080p("circle")
 
     # ---- device-side p50 PCM->frame latency (single stream) -------------
     # BASELINE.md targets p50 < 5 ms for the PCM->frame step on the
-    # device; scan-amortize KD full steps per dispatch (spectrum chain
-    # + raster), force completion via the probe, and take the median of
-    # per-dispatch slopes.
+    # device; scan-amortize KD full steps per dispatch and take the
+    # median of per-dispatch slopes.
     device_p50_ms = None
     try:
         rd = Renderer(lc)
@@ -237,22 +183,20 @@ def main() -> None:
             (state, acc), _ = jax.lax.scan(
                 body, (state, jnp.float32(0.0)),
                 jnp.arange(KD, dtype=jnp.float32))
-            return state, acc, acc
+            return state, acc
 
         fd = jax.jit(dev_steps, donate_argnums=(0,))
         std = rd.init_state()
-        std, _ad, probe = fd(std, snapd, gd)
+        std, probe = fd(std, snapd, gd)
         float(probe)
 
-        def run_dev(k):
+        def dev_once():
             nonlocal std
-            t0 = time.perf_counter()
-            for _ in range(k):
-                std, _ad, probe = fd(std, snapd, gd)
-            float(probe)
-            return time.perf_counter() - t0
+            std, probe = fd(std, snapd, gd)
+            return probe
 
-        samples = [_slope(run_dev, 3, 9) / KD for _ in range(7)]
+        samples = [probed_slope(dev_once, 3, 9, repeats=1) / KD
+                   for _ in range(7)]
         device_p50_ms = float(np.median(samples) * 1e3)
     except Exception as e:
         print(f"device-p50 bench skipped: {e}", file=__import__("sys").stderr)

@@ -146,7 +146,7 @@ def main(argv: list[str] | None = None) -> int:
         test_mode=args.run_tests,
         verbose=args.verbose,
     )
-    sink = make_sink(args.sink, fps=int(args.fps))
+    sink = make_sink(args.sink, fps=args.fps)
 
     if args.offline:
         if backend != "wav":

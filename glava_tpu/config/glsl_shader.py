@@ -866,9 +866,10 @@ class _Exec:
             )
         env = self.env
         h, w = self.h, self.w
-        locals_, assigns = _collect_writes(
-            list(stmt.body) + list(stmt.epilogue), self._user_funcs
-        )
+        # pass the loop NODE so its condition tokens are scanned too —
+        # a global-writing helper called in the condition must also
+        # ride the carry (the condition re-evaluates inside body_fn)
+        locals_, assigns = _collect_writes([stmt], self._user_funcs)
         pre = {n: (n in env.variables, env.variables.get(n))
                for n in (locals_ | assigns)}
         carried = sorted(n for n in (assigns - locals_)
@@ -893,8 +894,19 @@ class _Exec:
         # via GLAVA_TPU_WHILE_FUEL
         import os
 
-        fuel_cap = (int(os.environ.get("GLAVA_TPU_WHILE_FUEL", "0"))
-                    or (4 * (h + w) + self._WHILE_FUEL_BASE))
+        fuel_env = os.environ.get("GLAVA_TPU_WHILE_FUEL", "").strip()
+        if fuel_env:
+            try:
+                fuel_cap = int(fuel_env)
+                if fuel_cap <= 0:
+                    raise ValueError
+            except ValueError:
+                raise ShaderError(
+                    f"GLAVA_TPU_WHILE_FUEL must be a positive integer, "
+                    f"got {fuel_env!r}"
+                ) from None
+        else:
+            fuel_cap = 4 * (h + w) + self._WHILE_FUEL_BASE
         carry0 = {
             "_active": outer_mask & self._cond_mask(stmt.cond),
             "_fuel": jnp.asarray(0, jnp.int32),

@@ -116,19 +116,14 @@ def learn_batch_tile(n: int, frames: int, batch: int = 128,
             )
             float(probe)  # force compile + first execution
 
-            def run(k):
+            def step_once():
                 nonlocal grav, hist, ssum
-                t0 = time.perf_counter()
-                for _ in range(k):
-                    grav, hist, ssum, probe = f(
-                        grav, hist, z(batch, 2, m), pcm
-                    )
-                float(probe)
-                return time.perf_counter() - t0
+                grav, hist, ssum, probe = f(grav, hist, z(batch, 2, m), pcm)
+                return probe
 
-            from glava_tpu.utils.timing import slope_time
+            from glava_tpu.utils.timing import probed_slope
 
-            results[bt] = slope_time(run, 3, 9) / scan_len
+            results[bt] = probed_slope(step_once, 3, 9) / scan_len
         except Exception:
             continue
     if not results:

@@ -134,13 +134,18 @@ def build(ctx: base.ModuleContext) -> base.ModuleBuild:
         alpha): assemble the frame from per-channel scalar fields with
         no gathers and 3 packed input planes — ~6x less HBM traffic
         than frame blending at 1080p."""
+        import jax
+
         vl = sample(inputs.textures["audio_l"])
         vr = sample(inputs.textures["audio_r"])
-        vcat = jnp.concatenate([vl, vr]) * amplify
-        cid = comb_id.astype(jnp.int32)
-        v = jnp.zeros((h, w), jnp.float32)
-        for k in range(2 * n1):
-            v = v + jnp.where(cid == k, vcat[k], 0.0)
+        if jax.default_backend() == "tpu":
+            vcat = jnp.concatenate([vl, vr]) * amplify
+            cid = comb_id.astype(jnp.int32)
+            v = jnp.zeros((h, w), jnp.float32)
+            for k in range(2 * n1):
+                v = v + jnp.where(cid == k, vcat[k], 0.0)
+        else:  # CPU/GPU gathers are fine (bit-identical result)
+            v = jnp.where(use_left_c, vl[bar_id_c], vr[bar_id_c]) * amplify
         body = (alias_enc >= 0.0) & (bar_d_c <= v)
 
         # ring layer as premultiplied scalar fields (constant rgb)
@@ -155,15 +160,22 @@ def build(ctx: base.ModuleContext) -> base.ModuleBuild:
         return jnp.stack(chans, axis=-1).astype(jnp.float32)
 
     def pass1(inputs: base.PassInputs) -> jnp.ndarray:
+        import jax
+
         vl = sample(inputs.textures["audio_l"])
         vr = sample(inputs.textures["audio_r"])
-        # same select-sum as the fast path (a (H, W)-indexed gather is
-        # ~20x the whole raster on TPU); bit-identical arithmetic
-        vcat = jnp.concatenate([vl, vr]) * amplify
-        cid = comb_id.astype(jnp.int32)
-        v = jnp.zeros((h, w), jnp.float32)
-        for k in range(2 * n1):
-            v = v + jnp.where(cid == k, vcat[k], 0.0)
+        if jax.default_backend() == "tpu":
+            # same select-sum as the fast path (a (H, W)-indexed gather
+            # is ~20x the whole raster on TPU); bit-identical arithmetic
+            vcat = jnp.concatenate([vl, vr]) * amplify
+            cid = comb_id.astype(jnp.int32)
+            v = jnp.zeros((h, w), jnp.float32)
+            for k in range(2 * n1):
+                v = v + jnp.where(cid == k, vcat[k], 0.0)
+        else:
+            # CPU/GPU backends gather fine; the unrolled select-sum
+            # would be a large regression there
+            v = jnp.where(use_left_c, vl[bar_id_c], vr[bar_id_c]) * amplify
 
         frag = jnp.zeros((h, w, 4), jnp.float32)
         # center ring (radial/1.frag:49-56)

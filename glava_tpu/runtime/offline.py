@@ -85,6 +85,13 @@ def render_wav(loaded: LoadedConfig, wav_path: str, sink: FrameSink,
     hop = max(cfg.samplesize // 4, 1)
     wl = frame_windows(left, cfg.bufsize, hop)
     wr = frame_windows(right, cfg.bufsize, hop)
+    if len(wl) == 0:
+        # track shorter than one hop: render it as one silence-padded
+        # window (the realtime ring would hold mostly zeros too)
+        wl = np.zeros((1, cfg.bufsize), np.float32)
+        wr = np.zeros((1, cfg.bufsize), np.float32)
+        wl[0, -len(left):] = left
+        wr[0, -len(right):] = right
     sched = _schedule(len(left), rate, hop, fps, cfg.timecycle)
     g = np.float32(cfg.gravity_step / sched["ups"])
 

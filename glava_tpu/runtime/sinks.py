@@ -109,16 +109,23 @@ class Y4MSink(FrameSink):
 
     name = "y4m"
 
-    def __init__(self, fh: BinaryIO, fps: int = 60):
+    def __init__(self, fh: BinaryIO, fps: float = 60):
+        from fractions import Fraction
+
         self.fh = fh
-        self.fps = max(int(fps) or 60, 1)
+        # rational frame rate: 29.97 -> 2997:100 etc., so the container
+        # header matches the schedule frames were generated on
+        fr = Fraction(str(fps or 60)).limit_denominator(10000)
+        self.fps_num, self.fps_den = max(fr.numerator, 1), fr.denominator
+        self.fps = float(self.fps_num / self.fps_den)
         self._wrote_header = False
 
     def submit(self, frame, time_s):
         h, w = frame.shape[:2]
         if not self._wrote_header:
             self.fh.write(
-                f"YUV4MPEG2 W{w} H{h} F{self.fps}:1 Ip A1:1 C444\n".encode()
+                f"YUV4MPEG2 W{w} H{h} F{self.fps_num}:{self.fps_den} "
+                f"Ip A1:1 C444\n".encode()
             )
             self._wrote_header = True
         self.fh.write(b"FRAME\n")
@@ -457,7 +464,7 @@ class CallbackSink(FrameSink):
         self.fn(frame, time_s)
 
 
-def make_sink(spec: str, fps: int = 60) -> FrameSink:
+def make_sink(spec: str, fps: float = 60) -> FrameSink:
     """Parse a sink spec: null | latest | raw[:path] | y4m[:path] | png:path."""
     kind, _, arg = spec.partition(":")
     if kind == "null":

@@ -38,6 +38,28 @@ def slope_time(run: Callable[[int], float], n1: int = 5, n2: int = 15,
     return max(best, 1e-9)
 
 
+def probed_slope(step_once: Callable[[], object], n1: int = 5,
+                 n2: int = 15, repeats: int = 2) -> float:
+    """Marginal seconds per call of ``step_once``.
+
+    ``step_once()`` enqueues ONE call of the jitted function under test
+    (threading its own state in a closure) and returns the scalar
+    probe; this helper applies the completion fence (``float(probe)``)
+    and the two-point slope. Callers remain responsible for making the
+    probe depend on every piece of per-iteration work and for feeding
+    fresh inputs per scan iteration (see the module docstring).
+    """
+    def run(k: int) -> float:
+        t0 = time.perf_counter()
+        probe = None
+        for _ in range(k):
+            probe = step_once()
+        float(probe)
+        return time.perf_counter() - t0
+
+    return slope_time(run, n1, n2, repeats)
+
+
 def timed(fn: Callable[[], object]) -> float:
     """Wall seconds for one call (the caller must force completion)."""
     t0 = time.perf_counter()

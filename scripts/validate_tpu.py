@@ -95,17 +95,14 @@ def main() -> int:
     chains, probe = f(chains, ex["audio"], ex["gravity_g"])
     float(probe)
 
-    def run(k):
+    def step_once():
         nonlocal chains
-        t0 = time.perf_counter()
-        for _ in range(k):
-            chains, probe = f(chains, ex["audio"], ex["gravity_g"])
-        float(probe)
-        return time.perf_counter() - t0
+        chains, probe = f(chains, ex["audio"], ex["gravity_g"])
+        return probe
 
-    from glava_tpu.utils.timing import slope_time
+    from glava_tpu.utils.timing import probed_slope
 
-    rate = 16 * 32 / slope_time(run, 3, 9, repeats=1)
+    rate = 16 * 32 / probed_slope(step_once, 3, 9, repeats=1)
     print(f"update throughput sample: {rate:,.0f} windows/s")
     print("ALL OK")
     return 0

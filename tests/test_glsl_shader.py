@@ -572,3 +572,31 @@ def test_global_write_through_function_in_while(tmp_path):
     f = _render(lc, n=1)
     want = 0.125 * (np.arange(6) + 1)   # ceil(x) bumps per pixel
     np.testing.assert_allclose(f[0, :, 0], want, atol=1e-6)
+
+
+def test_global_write_through_function_in_while_condition(tmp_path):
+    """A helper mutating a global called from the while CONDITION must
+    also ride the loop carry (the condition re-evaluates inside the
+    traced loop body)."""
+    mod = tmp_path / "gcond"
+    mod.mkdir()
+    (mod / "1.frag").write_text(
+        "in vec4 gl_FragCoord;\n"
+        "out vec4 fragment;\n"
+        "float g = 0.0;\n"
+        "float nextv() { g += 1.0; return g; }\n"
+        "void main() {\n"
+        "  while (nextv() < gl_FragCoord.x) { }\n"
+        "  fragment = vec4(g / 8.0, 0, 0, 1);\n"
+        "}\n"
+    )
+    (tmp_path / "rc.glsl").write_text(
+        "#request mod gcond\n#request setgeometry 0 0 6 2\n"
+        "#request setbufsize 1024\n#request setsamplesize 256\n"
+        "#request setprintframes false\n"
+    )
+    lc = loader.load(user_dir=tmp_path)
+    f = _render(lc, n=1)
+    # pixel x: loop runs until nextv() >= x; g ends at ceil(x) = col+1
+    want = (np.arange(6) + 1) / 8.0
+    np.testing.assert_allclose(f[0, :, 0], want, atol=1e-6)

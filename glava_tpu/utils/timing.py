@@ -59,9 +59,3 @@ def probed_slope(step_once: Callable[[], object], n1: int = 5,
 
     return slope_time(run, n1, n2, repeats)
 
-
-def timed(fn: Callable[[], object]) -> float:
-    """Wall seconds for one call (the caller must force completion)."""
-    t0 = time.perf_counter()
-    fn()
-    return time.perf_counter() - t0

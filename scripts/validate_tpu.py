@@ -7,7 +7,6 @@ failure. CPU fallback works too (slower paths, unfused pipeline).
 """
 
 import sys
-import time
 
 sys.path.insert(0, ".")
 

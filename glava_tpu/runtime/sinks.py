@@ -454,6 +454,73 @@ class WindowSink(FrameSink):
             self.proc.terminate()
 
 
+class AsyncSink(FrameSink):
+    """Decouple a slow consumer from the render loop.
+
+    Frames are handed to a writer thread through a small latest-wins
+    queue: when the consumer can't keep up (blocked pipe, slow disk)
+    the OLDEST pending frame is dropped and rendering never stalls —
+    the serving analogue of the reference's mailbox-style swap (the
+    renderer never blocks on a slow compositor). Wrap any sink:
+    ``--sink async:y4m:out.y4m``.
+    """
+
+    name = "async"
+
+    def __init__(self, inner: FrameSink, depth: int = 2):
+        import queue
+
+        self.inner = inner
+        self._q: "queue.Queue" = queue.Queue(maxsize=max(depth, 1))
+        self._queue_mod = queue
+        self.dropped = 0
+        self._stop = False
+        self._exc: BaseException | None = None
+        self._t = threading.Thread(target=self._writer, daemon=True,
+                                   name="sink-writer")
+        self._t.start()
+
+    def _writer(self):
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            try:
+                self.inner.submit(*item)
+            except BaseException as e:  # surfaced via should_close
+                self._exc = e
+                return
+
+    def submit(self, frame, time_s):
+        if self._stop or self._exc is not None:
+            return
+        while True:
+            try:
+                self._q.put_nowait((frame, time_s))
+                return
+            except self._queue_mod.Full:
+                try:
+                    self._q.get_nowait()  # drop the oldest pending frame
+                    self.dropped += 1
+                except self._queue_mod.Empty:
+                    continue
+
+    def should_render(self) -> bool:
+        return self.inner.should_render()
+
+    def should_close(self) -> bool:
+        return self._exc is not None or self.inner.should_close()
+
+    def close(self):
+        self._stop = True
+        try:
+            self._q.put(None, timeout=5.0)
+        except self._queue_mod.Full:
+            pass  # writer died; nothing is draining
+        self._t.join(timeout=5.0)
+        self.inner.close()
+
+
 class CallbackSink(FrameSink):
     name = "callback"
 
@@ -467,6 +534,8 @@ class CallbackSink(FrameSink):
 def make_sink(spec: str, fps: float = 60) -> FrameSink:
     """Parse a sink spec: null | latest | raw[:path] | y4m[:path] | png:path."""
     kind, _, arg = spec.partition(":")
+    if kind == "async":
+        return AsyncSink(make_sink(arg or "latest", fps=fps))
     if kind == "null":
         return NullSink()
     if kind == "latest":

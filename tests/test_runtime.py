@@ -722,3 +722,38 @@ def test_offline_render_deterministic(tmp_path):
     assert any((f[..., 3] > 0).any() for f in a[6:])  # bars drawn
     for fa, fb in zip(a, b):
         np.testing.assert_array_equal(fa, fb)
+
+
+def test_async_sink_never_blocks_and_drops_oldest():
+    """AsyncSink decouples slow consumers: the render side never
+    blocks; under backpressure the oldest pending frames drop."""
+    import time as _t
+
+    seen = []
+
+    class SlowSink(sinks.FrameSink):
+        def submit(self, frame, time_s):
+            _t.sleep(0.05)
+            seen.append(int(frame[0, 0, 0]))
+
+    s = sinks.AsyncSink(SlowSink(), depth=2)
+    t0 = _t.monotonic()
+    for i in range(30):
+        f = np.full((4, 4, 4), i, np.uint8)
+        s.submit(f, 0.0)
+    took = _t.monotonic() - t0
+    assert took < 0.5, f"render side blocked for {took:.2f}s"
+    s.close()
+    assert s.dropped > 0
+    assert seen, "consumer received frames"
+    assert seen == sorted(seen), "frames delivered in order"
+    assert seen[-1] == 29, "the newest frame is never dropped"
+
+
+def test_async_sink_spec():
+    s = sinks.make_sink("async:null")
+    assert isinstance(s, sinks.AsyncSink)
+    assert isinstance(s.inner, sinks.NullSink)
+    s.submit(np.zeros((2, 2, 4), np.uint8), 0.0)
+    s.close()
+    assert s.inner.count >= 0

@@ -139,13 +139,13 @@ class Engine:
 
     def wait(self, timeout: float | None = 30.0) -> np.ndarray:
         """Block until the first frame exists (glava_wait, glava.c:243)."""
-        if isinstance(self.sink, LatestFrameSink):
+        if hasattr(self.sink, "wait"):
             return self.sink.wait(timeout)
         raise RuntimeError("wait() needs a LatestFrameSink")
 
     def tex(self) -> np.ndarray | None:
         """Newest frame (glava_tex, glava.c:258-261)."""
-        if isinstance(self.sink, LatestFrameSink):
+        if hasattr(self.sink, "latest"):
             return self.sink.latest()
         return None
 

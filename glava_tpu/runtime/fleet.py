@@ -262,7 +262,7 @@ class FleetEngine:
 
     def tex(self, stream: int) -> np.ndarray | None:
         s = self.sinks[stream]
-        return s.latest() if isinstance(s, LatestFrameSink) else None
+        return s.latest() if hasattr(s, "latest") else None
 
     def terminate(self) -> None:
         self.alive = False

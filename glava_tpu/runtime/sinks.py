@@ -21,6 +21,7 @@ flip to top-down.
 
 from __future__ import annotations
 
+import queue as _queue
 import struct
 import threading
 import zlib
@@ -468,11 +469,8 @@ class AsyncSink(FrameSink):
     name = "async"
 
     def __init__(self, inner: FrameSink, depth: int = 2):
-        import queue
-
         self.inner = inner
-        self._q: "queue.Queue" = queue.Queue(maxsize=max(depth, 1))
-        self._queue_mod = queue
+        self._q: _queue.Queue = _queue.Queue(maxsize=max(depth, 1))
         self.dropped = 0
         self._stop = False
         self._exc: BaseException | None = None
@@ -492,18 +490,30 @@ class AsyncSink(FrameSink):
                 return
 
     def submit(self, frame, time_s):
-        if self._stop or self._exc is not None:
+        if self._exc is not None:
+            # fail fast on the render thread, like the unwrapped sink
+            # would have (the writer already died on this error)
+            raise RuntimeError(
+                f"async sink consumer failed: {self._exc}"
+            ) from self._exc
+        if self._stop:
             return
         while True:
             try:
                 self._q.put_nowait((frame, time_s))
                 return
-            except self._queue_mod.Full:
+            except _queue.Full:
                 try:
-                    self._q.get_nowait()  # drop the oldest pending frame
-                    self.dropped += 1
-                except self._queue_mod.Empty:
+                    old = self._q.get_nowait()
+                except _queue.Empty:
                     continue
+                if old is None:
+                    # raced with close(): restore the shutdown sentinel
+                    # and drop THIS frame instead
+                    self._q.put_nowait(None)
+                    self.dropped += 1
+                    return
+                self.dropped += 1  # dropped the oldest pending frame
 
     def should_render(self) -> bool:
         return self.inner.should_render()
@@ -511,13 +521,32 @@ class AsyncSink(FrameSink):
     def should_close(self) -> bool:
         return self._exc is not None or self.inner.should_close()
 
+    def wait(self, timeout: float | None = None):
+        """Delegate to a wrapped LatestFrameSink (embedding handle)."""
+        if not hasattr(self.inner, "wait"):
+            raise RuntimeError("wait() needs a latest-frame inner sink")
+        return self.inner.wait(timeout)
+
+    def latest(self):
+        return self.inner.latest() if hasattr(self.inner, "latest") else None
+
     def close(self):
         self._stop = True
-        try:
-            self._q.put(None, timeout=5.0)
-        except self._queue_mod.Full:
-            pass  # writer died; nothing is draining
-        self._t.join(timeout=5.0)
+        if self._t.is_alive():
+            try:
+                self._q.put(None, timeout=5.0)
+            except _queue.Full:
+                pass  # writer died; nothing is draining
+        self._t.join(timeout=10.0)
+        if self._t.is_alive():
+            # consumer is wedged inside inner.submit(); closing inner
+            # under it would corrupt the stream — leave it to process
+            # teardown (daemon thread) and say so
+            import sys
+
+            print("async sink: consumer did not drain within 10s; "
+                  "leaving it to process teardown", file=sys.stderr)
+            return
         self.inner.close()
 
 

@@ -755,5 +755,5 @@ def test_async_sink_spec():
     assert isinstance(s, sinks.AsyncSink)
     assert isinstance(s.inner, sinks.NullSink)
     s.submit(np.zeros((2, 2, 4), np.uint8), 0.0)
-    s.close()
-    assert s.inner.count >= 0
+    s.close()   # drains the queue before closing the inner sink
+    assert s.inner.count == 1

@@ -561,7 +561,8 @@ class CallbackSink(FrameSink):
 
 
 def make_sink(spec: str, fps: float = 60) -> FrameSink:
-    """Parse a sink spec: null | latest | raw[:path] | y4m[:path] | png:path."""
+    """Parse a sink spec: null | latest | raw[:path] | y4m[:path] |
+    png:path | shm[:path] | window[:player] | async:<spec>."""
     kind, _, arg = spec.partition(":")
     if kind == "async":
         return AsyncSink(make_sink(arg or "latest", fps=fps))

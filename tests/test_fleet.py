@@ -208,3 +208,21 @@ def test_mixed_fleet_on_device_mesh():
     assert a is not None and b is not None
     assert (a[..., 3] > 0).any() and (b[..., 3] > 0).any()
     assert not np.array_equal(a, b)  # different modules
+
+
+def test_fleet_serve_example(tmp_path):
+    """The packaged fleet-serving example stays runnable."""
+    import runpy
+    import sys
+
+    out = tmp_path / "sheet.png"
+    argv = sys.argv
+    sys.argv = ["fleet_serve.py", str(out)]
+    try:
+        runpy.run_path("docs/examples/fleet_serve.py", run_name="__main__")
+    finally:
+        sys.argv = argv
+    from glava_tpu.runtime.sinks import read_png
+
+    img = read_png(out)
+    assert img.shape == (288, 288 * 3, 4)

@@ -101,7 +101,7 @@ def main() -> int:
 
     from glava_tpu.utils.timing import probed_slope
 
-    rate = 16 * 32 / probed_slope(step_once, 3, 9, repeats=1)
+    rate = 16 * 32 / probed_slope(step_once, 3, 9)
     print(f"update throughput sample: {rate:,.0f} windows/s")
     print("ALL OK")
     return 0

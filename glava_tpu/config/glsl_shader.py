@@ -1114,12 +1114,83 @@ def make_builtins(prev, sz: int, h: int, w: int, smooth_fetch):
         v = _fetch_1d(tex, i, sz)
         return (v, jnp.zeros_like(v), jnp.zeros_like(v), jnp.ones_like(v))
 
+    def _axis_pattern(vals, n):
+        """Classify a constant index vector along one axis.
+
+        Returns ('shift', d) for ``arange + d`` (out-of-range reads are
+        transparent black, matching robust texelFetch), or
+        ('clamp0', d) for ``max(arange + d, 0)`` — the pattern float
+        coordinates produce under GLSL's truncate-toward-zero int cast
+        (e.g. ``ivec2(gl_FragCoord.x - 1, ...)``: int(-0.5) == 0), or
+        None."""
+        base = np.arange(n, dtype=np.int64)
+        v = vals.astype(np.int64)
+        d = int(v[n // 2]) - (n // 2)
+        if np.array_equal(v, base + d):
+            return ("shift", d)
+        if d < 0 and np.array_equal(v, np.maximum(base + d, 0)):
+            return ("clamp0", d)
+        return None
+
+    def _prev_const_shift(xi, yi):
+        """Per-axis patterns when the fetch is the pixel grid offset by
+        constants — identity fetches (every premultiply/post pass) and
+        neighbor taps (outline/highlight passes). gl_FragCoord enters
+        the interpreter as a CONCRETE numpy constant, so coordinate
+        index math stays inspectable; a 2-D gather is pathologically
+        slow on TPU for what is a copy/shift."""
+        import jax.core
+
+        if isinstance(xi, jax.core.Tracer) or isinstance(yi, jax.core.Tracer):
+            return None
+        xn = np.broadcast_to(np.asarray(xi), (h, w))
+        yn = np.broadcast_to(np.asarray(yi), (h, w))
+        # separable: x depends only on the column, y only on the row
+        if not (np.array_equal(xn, np.broadcast_to(xn[0:1, :], (h, w)))
+                and np.array_equal(yn, np.broadcast_to(yn[:, 0:1], (h, w)))):
+            return None
+        px = _axis_pattern(xn[0, :], w)
+        py = _axis_pattern(yn[:, 0], h)
+        if px is None or py is None:
+            return None
+        return px, py
+
+    def _apply_axis(arr, pat, axis, n):
+        kind, d = pat
+        if d == 0:
+            return arr
+        idx = [slice(None)] * arr.ndim
+        if kind == "clamp0":  # out[c] = arr[max(c + d, 0)], d < 0
+            idx[axis] = slice(0, 1)
+            edge = jnp.concatenate([arr[tuple(idx)]] * (-d), axis=axis)
+            idx[axis] = slice(0, n + d)
+            return jnp.concatenate([edge, arr[tuple(idx)]], axis=axis)
+        # pure shift: out[c] = arr[c + d], out-of-range reads 0
+        pad_shape = list(arr.shape)
+        pad_shape[axis] = abs(d)
+        zeros = jnp.zeros(pad_shape, arr.dtype)
+        if d > 0:
+            idx[axis] = slice(d, n)
+            return jnp.concatenate([arr[tuple(idx)], zeros], axis=axis)
+        idx[axis] = slice(0, n + d)
+        return jnp.concatenate([zeros, arr[tuple(idx)]], axis=axis)
+
+    def _shifted_prev(px, py):
+        out = _apply_axis(prev, py, 0, h)
+        out = _apply_axis(out, px, 1, w)
+        return tuple(out[..., i] for i in range(4))
+
     def texelFetch(tex, idx, _lod=0):
         if isinstance(tex, str) and tex == "prev":
             if prev is None:
                 raise ShaderError("`prev` sampled but this is the first pass")
             if not isinstance(idx, tuple) or len(idx) != 2:
                 raise ShaderError("texelFetch on prev needs ivec2")
+            # detect BEFORE any jnp conversion: inside a trace jnp ops
+            # return tracers even on concrete inputs
+            shift = _prev_const_shift(idx[0], idx[1])
+            if shift is not None:
+                return _shifted_prev(*shift)
             xi = jnp.asarray(idx[0], jnp.int32)
             yi = jnp.asarray(idx[1], jnp.int32)
             inside = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
@@ -1133,6 +1204,13 @@ def make_builtins(prev, sz: int, h: int, w: int, smooth_fetch):
         return (v, jnp.zeros_like(v), jnp.zeros_like(v), jnp.ones_like(v))
 
     def ivec2(x, y):
+        import jax.core
+
+        if not (isinstance(x, jax.core.Tracer)
+                or isinstance(y, jax.core.Tracer)):
+            # constant coordinates stay numpy so downstream fast paths
+            # (constant-shift prev fetches) can inspect them
+            return (np.asarray(x, np.int32), np.asarray(y, np.int32))
         return (jnp.asarray(x, jnp.int32), jnp.asarray(y, jnp.int32))
 
     def smooth_audio(tex, _sz, idx):

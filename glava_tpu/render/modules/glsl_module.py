@@ -144,8 +144,13 @@ def _build(name: str, files: list[Path], ctx: base.ModuleContext,
         parsed.uniforms = uniforms
 
         xs, ys = base.frag_coords(w, h, parsed.pixel_center_integer)
-        x2d = jnp.asarray(xs.astype(np.float32))[None, :]
-        y2d = jnp.asarray(ys.astype(np.float32))[:, None]
+        # numpy (NOT jnp): inside a jit trace every jnp op returns a
+        # tracer even on closed-over constants, which would defeat the
+        # constant-shift texelFetch(prev) fast path and constant-fold
+        # opportunities. Plain operators keep numpy arrays numpy; they
+        # become traced only when meeting actual traced data.
+        x2d = xs.astype(np.float32)[None, :]
+        y2d = ys.astype(np.float32)[:, None]
         defines = dict(pctx.defines)
 
         def make_pass(program=program, parsed=parsed, defines=defines,

@@ -158,6 +158,37 @@ def index_store(v, idx, value):
     return GlslArray(out)
 
 
+def _is_jax(x) -> bool:
+    import jax
+
+    return isinstance(x, jax.Array)
+
+
+def _exact1(jf, nf):
+    """jnp/numpy dispatch for BIT-EXACT unary ops (floor/trunc/abs/...):
+    numpy inputs stay numpy so compile-time-constant math (e.g. the
+    interpreter's coordinate planes) remains inspectable inside a jit
+    trace — any jnp op there returns a tracer even on constants. Only
+    ops with identical IEEE results both ways dispatch like this;
+    transcendentals always go through jnp (platform approximations
+    differ in ulps and verbatim-shader parity is pinned)."""
+    def g(x):
+        if isinstance(x, (np.ndarray, np.generic)) and not _is_jax(x):
+            return nf(x)
+        return jf(x)
+
+    return g
+
+
+def _exact2(jf, nf):
+    def g(a, b):
+        if not _is_jax(a) and not _is_jax(b):
+            return nf(a, b)
+        return jf(a, b)
+
+    return g
+
+
 def _builtin_funcs() -> dict[str, Callable]:
     jnp = _jnp()
 
@@ -179,6 +210,8 @@ def _builtin_funcs() -> dict[str, Callable]:
     def clamp(x, lo, hi):
         def one(v):
             if _np_like(v) or _np_like(lo) or _np_like(hi):
+                if not (_is_jax(v) or _is_jax(lo) or _is_jax(hi)):
+                    return np.clip(v, lo, hi)
                 return jnp.clip(v, lo, hi)
             return min(max(v, lo), hi)
 
@@ -203,13 +236,15 @@ def _builtin_funcs() -> dict[str, Callable]:
         return ctor
 
     def gmod(a, b):
-        return _map2(lambda x, y: x - y * math.floor(x / y), lambda x, y: x - y * jnp.floor(x / y), a, b)
+        fj = _exact2(lambda x, y: x - y * jnp.floor(x / y),
+                     lambda x, y: x - y * np.floor(x / y))
+        return _map2(lambda x, y: x - y * math.floor(x / y), fj, a, b)
 
     def gmin(a, b):
-        return _map2(min, jnp.minimum, a, b)
+        return _map2(min, _exact2(jnp.minimum, np.minimum), a, b)
 
     def gmax(a, b):
-        return _map2(max, jnp.maximum, a, b)
+        return _map2(max, _exact2(jnp.maximum, np.maximum), a, b)
 
     def gpow(a, b):
         return _map2(lambda x, y: x ** y, jnp.power, a, b)
@@ -220,8 +255,9 @@ def _builtin_funcs() -> dict[str, Callable]:
         return _map2(math.atan2, jnp.arctan2, y, x)
 
     def gstep(edge, x):
-        return _map2(lambda e, v: 0.0 if v < e else 1.0,
-                     lambda e, v: (v >= e).astype(jnp.float32), edge, x)
+        fj = _exact2(lambda e, v: (v >= e).astype(jnp.float32),
+                     lambda e, v: (v >= e).astype(np.float32))
+        return _map2(lambda e, v: 0.0 if v < e else 1.0, fj, edge, x)
 
     def gsmoothstep(e0, e1, x):
         def core(a, b, v):
@@ -240,12 +276,15 @@ def _builtin_funcs() -> dict[str, Callable]:
         "vec4": _vecn(4),
         "min": gmin,
         "max": gmax,
-        "abs": lift1(abs, jnp.abs),
-        "sign": lift1(lambda x: (x > 0) - (x < 0), jnp.sign),
-        "floor": lift1(math.floor, jnp.floor),
-        "ceil": lift1(math.ceil, jnp.ceil),
-        "round": lift1(round, jnp.round),
-        "fract": lift1(lambda x: x - math.floor(x), lambda x: x - jnp.floor(x)),
+        "abs": lift1(abs, _exact1(jnp.abs, np.abs)),
+        "sign": lift1(lambda x: (x > 0) - (x < 0),
+                      _exact1(jnp.sign, np.sign)),
+        "floor": lift1(math.floor, _exact1(jnp.floor, np.floor)),
+        "ceil": lift1(math.ceil, _exact1(jnp.ceil, np.ceil)),
+        "round": lift1(round, _exact1(jnp.round, np.round)),
+        "fract": lift1(lambda x: x - math.floor(x),
+                       _exact1(lambda x: x - jnp.floor(x),
+                               lambda x: x - np.floor(x))),
         "mod": gmod,
         "pow": gpow,
         "sqrt": lift1(math.sqrt, jnp.sqrt),
@@ -258,7 +297,8 @@ def _builtin_funcs() -> dict[str, Callable]:
         "step": gstep,
         "smoothstep": gsmoothstep,
         "float": lift1(float, lambda x: x),
-        "int": lift1(lambda x: float(int(x)), jnp.trunc),
+        "int": lift1(lambda x: float(int(x)),
+                     _exact1(jnp.trunc, np.trunc)),
     }
 
 

@@ -1161,11 +1161,16 @@ def make_builtins(prev, sz: int, h: int, w: int, smooth_fetch):
             return arr
         idx = [slice(None)] * arr.ndim
         if kind == "clamp0":  # out[c] = arr[max(c + d, 0)], d < 0
+            if d <= -n:  # every index clamps to 0
+                idx[axis] = slice(0, 1)
+                return jnp.concatenate([arr[tuple(idx)]] * n, axis=axis)
             idx[axis] = slice(0, 1)
             edge = jnp.concatenate([arr[tuple(idx)]] * (-d), axis=axis)
             idx[axis] = slice(0, n + d)
             return jnp.concatenate([edge, arr[tuple(idx)]], axis=axis)
         # pure shift: out[c] = arr[c + d], out-of-range reads 0
+        if abs(d) >= n:  # everything out of range
+            return jnp.zeros_like(arr)
         pad_shape = list(arr.shape)
         pad_shape[axis] = abs(d)
         zeros = jnp.zeros(pad_shape, arr.dtype)

@@ -600,3 +600,65 @@ def test_global_write_through_function_in_while_condition(tmp_path):
     # pixel x: loop runs until nextv() >= x; g ends at ceil(x) = col+1
     want = (np.arange(6) + 1) / 8.0
     np.testing.assert_allclose(f[0, :, 0], want, atol=1e-6)
+
+
+def test_prev_fetch_shift_fast_path_matches_gather(tmp_path):
+    """The constant-shift texelFetch(prev) fast path equals the gather
+    semantics for every offset class: identity, +/-1 neighbor taps,
+    large offsets, and whole-frame out-of-range — including the
+    truncate-toward-zero clamp of negative float coordinates and the
+    `int(gl_FragCoord.x)` idiom (numpy-preserving builtins)."""
+    import itertools
+
+    import jax.numpy as jnp
+
+    from glava_tpu.config import glsl_expr
+    from glava_tpu.config.glsl_shader import _Exec, make_builtins, parse_shader
+
+    h, w = 7, 11
+    rng = np.random.default_rng(21)
+    prev = jnp.asarray(rng.random((h, w, 4)).astype(np.float32))
+    xs = (np.arange(w) + 0.5).astype(np.float32)[None, :]
+    ys = (np.arange(h) + 0.5).astype(np.float32)[:, None]
+
+    def run(dx, dy, use_int):
+        coord = ("int(gl_FragCoord.x) + ({dx}), int(gl_FragCoord.y) + ({dy})"
+                 if use_int else
+                 "gl_FragCoord.x + ({dx}), gl_FragCoord.y + ({dy})"
+                 ).format(dx=dx, dy=dy)
+        src = ("void main() { fragment = texelFetch(tex, ivec2(%s), 0); }"
+               % coord)
+        prog = parse_shader(src)
+        env = glsl_expr.Env(variables={
+            "gl_FragCoord": (xs, ys, 0.0, 1.0),
+            "tex": "prev",
+            "fragment": (0.0, 0.0, 0.0, 0.0),
+        })
+        env.functions.update(make_builtins(prev, 16, h, w, None))
+        ex = _Exec(env, h, w)
+        ex.run(prog.body)
+        return np.asarray(glsl_expr.to_rgba(env.variables["fragment"]))
+
+    def oracle(dx, dy, use_int):
+        # reference semantics: truncate-toward-zero int cast, then
+        # robust texelFetch (OOB -> transparent black)
+        if use_int:
+            xi = np.trunc(np.trunc(xs) + dx).astype(np.int64)
+            yi = np.trunc(np.trunc(ys) + dy).astype(np.int64)
+        else:
+            xi = np.trunc(xs + dx).astype(np.int64)
+            yi = np.trunc(ys + dy).astype(np.int64)
+        xi = np.broadcast_to(xi, (h, w))
+        yi = np.broadcast_to(yi, (h, w))
+        inside = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+        out = np.asarray(prev)[np.clip(yi, 0, h - 1), np.clip(xi, 0, w - 1)]
+        return np.where(inside[..., None], out, 0.0)
+
+    offs = (-(w + 3), -h, -2, -1, 0, 1, 2, h, w + 3)
+    for dx, dy in itertools.product(offs, repeat=2):
+        for use_int in (False, True):
+            got = run(dx, dy, use_int)
+            want = oracle(dx, dy, use_int)
+            np.testing.assert_array_equal(
+                got, want, err_msg=f"dx={dx} dy={dy} int={use_int}"
+            )

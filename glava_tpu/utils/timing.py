@@ -22,6 +22,14 @@ import time
 from typing import Callable
 
 
+def _slope_or_avg(t1: float, t2: float, n1: int, n2: int) -> float:
+    """Marginal per-call time; when scheduler jitter makes the slope
+    non-positive (t2 <= t1), fall back to the conservative average so
+    callers never see absurd rates."""
+    s = (t2 - t1) / (n2 - n1)
+    return s if s > 0 else t2 / n2
+
+
 def slope_time(run: Callable[[int], float], n1: int = 5, n2: int = 15,
                repeats: int = 2) -> float:
     """Marginal seconds per call: best-of-``repeats`` two-point slope.
@@ -34,8 +42,8 @@ def slope_time(run: Callable[[int], float], n1: int = 5, n2: int = 15,
     for _ in range(repeats):
         t1 = run(n1)
         t2 = run(n2)
-        best = min(best, (t2 - t1) / (n2 - n1))
-    return max(best, 1e-9)
+        best = min(best, _slope_or_avg(t1, t2, n1, n2))
+    return best
 
 
 def probed_slope(step_once: Callable[[], object], n1: int = 5,
@@ -58,4 +66,5 @@ def probed_slope(step_once: Callable[[], object], n1: int = 5,
         return time.perf_counter() - t0
 
     return slope_time(run, n1, n2, repeats)
+
 

@@ -756,8 +756,14 @@ class _Exec:
         had = stmt.var in env.variables
         old = env.variables.get(stmt.var)
         try:
+            # evaluate the init expression exactly ONCE (it may have
+            # side effects, e.g. a call mutating a global); only the
+            # bound/step classification may raise _DynamicBound
+            start_v = self._eval(stmt.start)
             try:
-                i = concrete(stmt.start, "start")
+                if _np_like_val(start_v):
+                    raise _DynamicBound("start")
+                i = float(start_v)
                 bound = concrete(stmt.bound, "bound")
                 step = (concrete(stmt.step, "step")
                         if stmt.step is not None else 1.0)
@@ -767,7 +773,7 @@ class _Exec:
                 # `i = a; while (i OP (b)) { body } /* epilogue: i += s */`
                 # — the increment rides the epilogue so `continue` still
                 # advances the counter (C/GLSL semantics)
-                env.variables[stmt.var] = self._eval(stmt.start)
+                env.variables[stmt.var] = start_v
                 cond = ([("ident", stmt.var), ("op", stmt.cond_op),
                          ("op", "(")] + [t for t in stmt.bound
                                          if t[0] != "end"]

@@ -102,7 +102,12 @@ def build_fused_update(
     """
     (m, m1, m2, w1r, w1i, w2r, w2i, tr, ti, boost_re, boost_im) = _constants(n)
     F = frames
-    wts = tuple(float(w) for w in avg_weights)
+    # avg_weights arrive POSITIONAL oldest-first (windows.avg_weights
+    # convention, = avg_apply's history axis); this kernel's ring math
+    # indexes weights by AGE (w[(slot - s) mod F], age 0 = newest), so
+    # reverse. With the true asymmetric (shifted-macro) curves the
+    # order is observable — symmetric transcriptions used to mask it.
+    wts = tuple(float(w) for w in avg_weights)[::-1]
     assert len(wts) == F
     window = win.pcm_window(n)
     # fast_math trades exact f32 FFT matmuls for single-pass bf16 MXU
@@ -346,7 +351,12 @@ def build_fused_update_ring(
     """
     (m, m1, m2, w1r, w1i, w2r, w2i, tr, ti, boost_re, boost_im) = _constants(n)
     F = frames
-    wts = tuple(float(w) for w in avg_weights)
+    # avg_weights arrive POSITIONAL oldest-first (windows.avg_weights
+    # convention, = avg_apply's history axis); this kernel's ring math
+    # indexes weights by AGE (w[(slot - s) mod F], age 0 = newest), so
+    # reverse. With the true asymmetric (shifted-macro) curves the
+    # order is observable — symmetric transcriptions used to mask it.
+    wts = tuple(float(w) for w in avg_weights)[::-1]
     assert len(wts) == F
     window = win.pcm_window(n)
     _prec = (jax.lax.Precision.DEFAULT if fast_math
@@ -540,7 +550,12 @@ def build_fused_update_inc(
     """
     (m, m1, m2, w1r, w1i, w2r, w2i, tr, ti, boost_re, boost_im) = _constants(n)
     F = frames
-    wts = tuple(float(w) for w in avg_weights)
+    # avg_weights arrive POSITIONAL oldest-first (windows.avg_weights
+    # convention, = avg_apply's history axis); this kernel's ring math
+    # indexes weights by AGE (w[(slot - s) mod F], age 0 = newest), so
+    # reverse. With the true asymmetric (shifted-macro) curves the
+    # order is observable — symmetric transcriptions used to mask it.
+    wts = tuple(float(w) for w in avg_weights)[::-1]
     assert len(wts) == F
     window = win.pcm_window(n)
     _prec = (jax.lax.Precision.DEFAULT if fast_math

@@ -105,15 +105,11 @@ def _smooth_mask(sz: int, ratio: float, distance: float) -> np.ndarray:
 
     Row t covers source indices [floor(e^max(ln t - d, 0)),
     min(ceil(e^(ln t + d)), sz-1)] inclusive (render.c:702-707).
+    Row 0 is empty (log(0) = -inf gives the range [1, 0]).
     """
     asz = int(np.ceil(sz / ratio))
     mask = np.zeros((asz, sz), dtype=np.float32)
-    for t in range(asz):
-        if t == 0:
-            # log(0) = -inf: smin = e^0 = 1, smax = ceil(0) = 0 -> empty
-            # range; the reference divides 0 by 0 here (NaN). We emit 0
-            # instead of NaN — the only intentional deviation.
-            continue
+    for t in range(1, asz):
         db = np.log(float(t))
         smin = int(np.floor(np.exp(max(db - distance, 0.0))))
         smax = min(int(np.ceil(np.exp(db + distance))), sz - 1)
@@ -123,20 +119,43 @@ def _smooth_mask(sz: int, ratio: float, distance: float) -> np.ndarray:
 
 
 def smooth_transform(x: jax.Array, ratio: float, distance: float) -> jax.Array:
-    """Log-scale neighborhood average of the leading ceil(sz/ratio) bins.
+    """Log-scale neighborhood average of the leading ceil(sz/ratio) bins
+    — SEQUENTIAL and IN-PLACE, exactly as the reference runs it.
 
-    Zero-valued source samples are excluded from the average
-    (``if (b[s])`` render.c:710); untouched tail bins pass through.
+    render.c:694-718 overwrites ``b[t]`` while later rows still read
+    ``b[s]`` for ``s <= t`` (the window's lower edge trails t by the
+    e^-distance factor), so already-smoothed values feed later
+    neighborhoods; zero samples are skipped (``if (b[s])``), and an
+    all-zero neighborhood divides 0/0, producing a NaN that propagates
+    through every later window containing it (NaN passes the zero
+    check). Differentially verified against the reference's own
+    compiled transform (tests/test_refdsp_differential.py). Final
+    NaNs are mapped to 0 — the one documented deviation
+    (docs/PARITY.md).
+
+    Lowered as a ``lax.scan`` over the asz rows with the carry being
+    the buffer itself; each step is a masked reduction over sz lanes.
+    This is the deprecated CPU 'smooth' transform, not the shipped
+    smooth.glsl resampler — parity outweighs throughput here.
     """
     sz = x.shape[-1]
     mask = jnp.asarray(_smooth_mask(sz, float(ratio), float(distance)))
     asz = mask.shape[0]
-    nz = (x != 0.0).astype(x.dtype)
-    hi = jax.lax.Precision.HIGHEST
-    num = jnp.einsum("ts,...s->...t", mask, x * nz, precision=hi)
-    den = jnp.einsum("ts,...s->...t", mask, nz, precision=hi)
-    head = jnp.where(den > 0, num / jnp.where(den > 0, den, 1.0), 0.0)
-    return jnp.concatenate([head, x[..., asz:]], axis=-1)
+
+    def step(buf, row_t):
+        row, t = row_t
+        # where-selection, NOT mask multiplication: carried NaNs must
+        # poison sums only when inside the window (0 * NaN is NaN, so
+        # a product-mask would leak them everywhere). A NaN *inside*
+        # the window passes the nonzero check like in C (NaN != 0).
+        hit = (row > 0) & (buf != 0.0)
+        num = jnp.sum(jnp.where(hit, buf, 0.0), axis=-1)
+        den = jnp.sum(hit.astype(buf.dtype), axis=-1)
+        avg = num / den  # intentional 0/0 -> NaN (reference semantics)
+        return buf.at[..., t].set(avg), None
+
+    buf, _ = jax.lax.scan(step, x, (mask, jnp.arange(asz)))
+    return jnp.nan_to_num(buf, nan=0.0, posinf=jnp.inf, neginf=-jnp.inf)
 
 
 # ---------------------------------------------------------------------------

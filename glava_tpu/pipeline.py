@@ -311,7 +311,10 @@ class AudioPipeline:
             hist = jnp.where(slot_b == f_iota, grav[..., None, :], st.history)
         new_state = dict(state)
         new_state[_XLA_KEY] = RingChainState(
-            gravity=grav, history=hist, count=st.count + 1
+            # store mod F: only slot/age math ever consumes count, and
+            # an unbounded int32 would wrap discontinuously after ~2^31
+            # updates (misweighting one ring period)
+            gravity=grav, history=hist, count=jnp.mod(st.count + 1, F)
         )
         return new_state
 
@@ -343,7 +346,9 @@ class AudioPipeline:
         )
         new_state = dict(state)
         new_state[_FUSED_KEY] = FusedChainState(
-            gravity=grav, history=hist, avg=ssum, count=st.count + 1,
+            # mod frames: see the RingChainState counter note above
+            gravity=grav, history=hist, avg=ssum,
+            count=jnp.mod(st.count + 1, frames),
         )
         return new_state
 
@@ -379,12 +384,16 @@ class AudioPipeline:
             # one age-weighted ring reduction + one presmooth matmul
             # for ALL fft uniforms: (*batch, U, F, sz) -> (*batch, U, sz).
             # slot f holds the frame of age (newest_slot - f) mod F;
-            # weights follow AGE (render.c:2252-2256 binds newest-first)
+            # the GPU-path shader weights frames by AGE
+            # (render.c:2252-2256 binds newest-first) while avg_weights
+            # is POSITIONAL oldest-first (index F-1-age): flip while
+            # rotating. Observable now that the true (shifted) curves
+            # are asymmetric.
             st: RingChainState = state[_XLA_KEY]
             F = self.cfg.avg_frames
             newest = jnp.mod(st.count - 1, F)
             ages = jnp.mod(newest[..., None] - jnp.arange(F), F)
-            w_rot = w[ages]                       # (*batch, F) tiny gather
+            w_rot = w[(F - 1) - ages]             # (*batch, F) tiny gather
             w_b = w_rot.reshape(w_rot.shape[:-1] + (1, F, 1))
             texs = jnp.clip(
                 jnp.sum(st.history * w_b, axis=-2), 0.0, 1.0

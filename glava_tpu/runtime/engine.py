@@ -141,7 +141,10 @@ class Engine:
         """Block until the first frame exists (glava_wait, glava.c:243)."""
         if hasattr(self.sink, "wait"):
             return self.sink.wait(timeout)
-        raise RuntimeError("wait() needs a LatestFrameSink")
+        raise RuntimeError(
+            "wait() needs a sink exposing wait() (e.g. 'latest' or "
+            "'async:latest')"
+        )
 
     def tex(self) -> np.ndarray | None:
         """Newest frame (glava_tex, glava.c:258-261)."""

@@ -63,7 +63,8 @@ class FleetDynamics:
         self.ups = np.zeros((n_streams,), np.float64)
 
     def frame(self, mods: np.ndarray, fps: float):
-        """Advance one frame: (interp_mod, gravity_g), both (S,) f32."""
+        """Advance one frame: returns the (S,) f32 interpolation mod
+        (gravity decay comes from the separate :meth:`gravity`)."""
         self.kcounter = np.where(mods, 0, self.kcounter + 1)
         uratio = np.minimum(self.ur / max(fps or self.fr, 1.0), 1.0)
         interp = np.minimum(

@@ -15,8 +15,12 @@ TWOPI = 2.0 * np.pi
 
 
 def pcm_window(n: int) -> np.ndarray:
+    """render.c:794 ``window(i, s->sz - 1)`` AS COMPILED: the macro's
+    unparenthesized ``sz`` parameter makes the ``- 1`` a radian phase
+    shift on the whole quotient, denominator n (verified against the
+    reference's own compiled code, tests/test_refdsp_differential.py)."""
     i = np.arange(n, dtype=np.float64)
-    return 0.53836 - 0.46164 * np.cos(TWOPI * i / (n - 1))
+    return 0.53836 - 0.46164 * np.cos(TWOPI * i / n - 1.0)
 
 
 def packed_fft_reference(x: np.ndarray) -> np.ndarray:
@@ -56,23 +60,28 @@ def average_sequence(frames: np.ndarray, nframes: int, use_window: bool,
                      accel: bool = False) -> np.ndarray:
     """transform_average (render.c:738-771) over a frame sequence.
 
-    accel=True uses the GPU-path weights (average_pass.frag):
-    `window` curve, disabled at 2 frames, `window_shallow` at 3.
+    accel=True uses the GPU-path weights (average_pass.frag): `window`
+    curve via the unhygienic `window(I, _AVG_FRAMES - 1)` macro call
+    (shifted -1 rad, denominator F), disabled at 2 frames; the
+    window_shallow 3-frame selection in the shader is dead code. The
+    shader indexes by AGE (t0 = newest, render.c:2252-2256) so the
+    curve is reversed onto this oracle's oldest-first history axis.
+    accel=False is the CPU `window_frame(f, avg_frames - 1)` macro
+    call, same shifted expansion, applied unconditionally; its
+    `bufs[f*sz]` history is oldest-first already (render.c:751-766).
     """
     sz = frames.shape[-1]
     hist = np.zeros((nframes, sz), dtype=np.float64)
     f = np.arange(nframes, dtype=np.float64)
-    if not use_window or nframes == 1:
+    if not use_window:
         w = np.ones(nframes)
     elif accel:
         if nframes == 2:
             w = np.ones(nframes)
-        elif nframes == 3:
-            w = 0.7 - 0.3 * np.cos(TWOPI * f / (nframes - 1))
         else:
-            w = 0.53836 - 0.46164 * np.cos(TWOPI * f / (nframes - 1))
+            w = (0.53836 - 0.46164 * np.cos(TWOPI * f / nframes - 1.0))[::-1]
     else:
-        w = 0.6 - 0.4 * np.cos(TWOPI * f / (nframes - 1))
+        w = 0.6 - 0.4 * np.cos(TWOPI * f / nframes - 1.0)
     out = np.empty_like(frames, dtype=np.float64)
     for i, b in enumerate(frames):
         hist = np.concatenate([hist[1:], b[None]], axis=0)
@@ -81,25 +90,34 @@ def average_sequence(frames: np.ndarray, nframes: int, use_window: bool,
 
 
 def smooth_transform(b: np.ndarray, ratio: float, distance: float) -> np.ndarray:
-    """transform_smooth (render.c:694-718), NaN-at-0 replaced by 0."""
+    """transform_smooth (render.c:694-718) — SEQUENTIAL and IN-PLACE.
+
+    The reference writes ``b[t] = avg`` while later rows still read
+    ``b[s]`` for ``s <= t`` (smin = floor(t*e^-distance) can trail t),
+    so already-smoothed values feed subsequent neighborhoods, and a
+    0/0 neighborhood produces NaN which then PROPAGATES through every
+    window that includes it (``if (b[s])`` is true for NaN). Verified
+    against the reference's own compiled code
+    (tests/test_refdsp_differential.py::test_smooth_differential).
+    Final NaNs are mapped to 0 — the one documented deviation.
+    """
     b = np.asarray(b, dtype=np.float64).copy()
     sz = b.shape[-1]
     asz = int(np.ceil(sz / ratio))
-    out = b.copy()
     for t in range(asz):
         if t == 0:
-            out[t] = 0.0
-            continue
-        db = np.log(float(t))
+            db = -np.inf  # log(0); yields the empty [1, 0] range below
+        else:
+            db = np.log(float(t))
         smin = int(np.floor(np.exp(max(db - distance, 0.0))))
         smax = min(int(np.ceil(np.exp(db + distance))), sz - 1)
         acc, count = 0.0, 0
         for s in range(smin, smax + 1):
-            if b[s] != 0.0:
+            if b[s] != 0.0:  # NaN compares unequal -> included
                 acc += b[s]
                 count += 1
-        out[t] = acc / count if count else 0.0
-    return out
+        b[t] = acc / count if count else np.nan
+    return np.nan_to_num(b, nan=0.0)
 
 
 def scale_audio(idx: float, srange: float, sscale: float) -> float:

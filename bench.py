@@ -35,6 +35,16 @@ import numpy as np
 from glava_tpu.utils.timing import probed_slope
 
 
+def _path_wisdom(pipe) -> dict:
+    """The persisted XLA-vs-Pallas choice for the shipped shape."""
+    try:
+        from glava_tpu.ops import autotune
+
+        return autotune.selected_path(pipe.sz, pipe.cfg.avg_frames)
+    except Exception:
+        return {"path": "xla", "source": "default"}
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -235,6 +245,9 @@ def main() -> None:
             "streams": S,
             "bufsize": lc.cfg.bufsize,
             "fused_pallas": pipe.use_fused,
+            # which update path the wisdom selected and the head-to-head
+            # numbers that justified it (ops/autotune.learn_path)
+            "path_wisdom": _path_wisdom(pipe),
             "bars_fps_per_stream_512x256": round(fps_per_stream, 1),
             "total_fps_64streams": round(total_fps, 1),
             "radial_1080p_fps": round(radial_fps, 1) if radial_fps else None,

@@ -18,18 +18,20 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--frames", type=int, default=5)
     p.add_argument("--batch", type=int, default=128)
     p.add_argument("--tune", action="store_true",
-                   help="learn + persist the best batch tile (wisdom)")
+                   help="learn + persist the wisdom that governs the "
+                        "live pipeline: best Pallas batch tile AND the "
+                        "XLA-vs-Pallas path choice")
+    p.add_argument("--streams", type=int, default=64,
+                   help="stream count for the path head-to-head")
     args = p.parse_args(argv)
 
     from glava_tpu.ops import autotune
 
     if args.tune:
-        result = autotune.learn_batch_tile(args.bufsize, args.frames,
-                                           batch=args.batch)
-        cache = autotune._load()
-        cache[autotune._key(args.bufsize, args.frames)] = result
-        autotune._save(cache)
-        print(json.dumps({"tuned": result,
+        # learn_path persists both the tile record and the path record
+        rec = autotune.learn_path(args.bufsize, args.frames,
+                                  streams=args.streams)
+        print(json.dumps({"tuned": rec,
                           "wisdom": str(autotune.wisdom_path())}))
     else:
         result = autotune.learn_batch_tile(args.bufsize, args.frames,

@@ -32,12 +32,18 @@ are static, lowered to masked `lax.while_loop` otherwise), `while` and
 `do`-`while` loops (per-pixel masked iteration with `break`/
 `continue`), fixed-size arrays (declarations, `TYPE[](...)`
 constructors, dynamic indexing), user-defined functions (inlined, early
-`return` via masking), function-like macros (expanded by the
-preprocessor, e.g. radial's APPLY_FRAG), `discard` (alpha-zero
-masking), and `#if` conditionals. NOT supported (use a Python module
-instead, docs/examples/vu_meter.py): derivatives (dFdx/dFdy) and
-`return` lexically inside a data-dependent loop (break out and return
-after). Unsupported constructs raise a clear error at load time.
+`return` via masking), `return` inside data-dependent loops (the
+retirement plane — and, in helper functions, the merged return value —
+rides the `lax.while_loop` carry), function-like macros (expanded by
+the preprocessor, e.g. radial's APPLY_FRAG), `discard` (alpha-zero
+masking), and `#if` conditionals. Data-dependent loops are
+hang-proofed by a fuel cap (GLAVA_TPU_WHILE_FUEL, default
+4*(H+W)+4096):
+exhaustion warns on stderr with the truncated-pixel count and raises
+under GLAVA_TPU_WHILE_FUEL_STRICT=1 (the warning callback can be
+disabled on hot paths with GLAVA_TPU_WHILE_FUEL_WARN=0). NOT supported
+(use a Python module instead, docs/examples/vu_meter.py): derivatives
+(dFdx/dFdy). Unsupported constructs raise a clear error at load time.
 """
 
 from __future__ import annotations
@@ -438,6 +444,9 @@ class FuncDef:
     name: str
     params: list[str]
     body: list
+    # declared return type — used to build a typed zero when a valued
+    # `return` inside a data-dependent loop must ride the loop carry
+    rettype: str = "void"
 
 
 @dataclass
@@ -451,7 +460,7 @@ class ParsedShader:
 
 
 _FUNC_DEF = re.compile(
-    r"\b(?:float|int|bool|void|vec2|vec3|vec4|highp|lowp|mediump)\s+"
+    r"\b(float|int|bool|void|vec2|vec3|vec4|highp|lowp|mediump)\s+"
     r"(\w+)\s*\(([^)]*)\)\s*\{"
 )
 
@@ -481,7 +490,7 @@ def extract_functions(text: str) -> tuple[dict[str, FuncDef], str]:
         if not m:
             out.append(text[i:])
             break
-        if m.group(1) == "main":
+        if m.group(2) == "main":
             out.append(text[i:m.end()])
             i = m.end()
             continue
@@ -494,11 +503,15 @@ def extract_functions(text: str) -> tuple[dict[str, FuncDef], str]:
             elif text[j] == "}":
                 depth -= 1
             j += 1
-        name = m.group(1)
+        name = m.group(2)
         if name not in _BUILTIN_NAMES:
             body_text = "{" + text[m.end():j]
             body = _StmtParser(tokenize(body_text)).parse_block()
-            funcs[name] = FuncDef(name, _param_names(m.group(2)), body)
+            rettype = m.group(1)
+            if rettype in ("highp", "lowp", "mediump"):
+                rettype = "float"
+            funcs[name] = FuncDef(name, _param_names(m.group(3)), body,
+                                  rettype=rettype)
         i = j
     return funcs, "".join(out)
 
@@ -570,6 +583,11 @@ class _Exec:
         self._frames: list[dict] = []  # function scopes: name -> (had, old)
         self._fn_stack: list[dict] = []  # per-call return bookkeeping
         self._loop_stack: list[dict] = []  # break/continue bookkeeping
+        # while-lowering return interception: `return` inside a
+        # data-dependent loop must retire pixels BEYOND the loop, so
+        # each _while_loop body trace pushes {"mask", "fn_depth"} here
+        # and folds the plane into its carry
+        self._ret_stack: list[dict] = []
         self._user_funcs: dict[str, FuncDef] = {}
 
     def call_function(self, fdef: FuncDef, args) -> Any:
@@ -583,7 +601,7 @@ class _Exec:
         env = self.env
         frame: dict = {}
         self._frames.append(frame)
-        self._fn_stack.append({"value": None})
+        self._fn_stack.append({"value": None, "rettype": fdef.rettype})
         entry_mask = self.mask
         try:
             for p, a in zip(fdef.params, args):
@@ -718,6 +736,15 @@ class _Exec:
                     fr["value"] = _merge_masked(self.mask, v, fr["value"])
             elif stmt.expr is not None:
                 raise ShaderError("main() cannot return a value")
+            # inside a data-dependent loop at the same function depth:
+            # record the retirement so it escapes the loop (the
+            # while-lowering subtracts it from the post-loop mask;
+            # nested loops chain it outward level by level)
+            if (self._ret_stack
+                    and self._ret_stack[-1]["fn_depth"]
+                    == len(self._fn_stack)):
+                rc = self._ret_stack[-1]
+                rc["mask"] = rc["mask"] | self.mask
             self.mask = self.mask & False
         elif isinstance(stmt, ExprStmt):
             self._eval(stmt.expr)
@@ -865,11 +892,12 @@ class _Exec:
         import jax.numpy as jnp
         from jax import lax
 
-        if _contains_return(stmt.body) or _contains_return(stmt.epilogue):
-            raise ShaderError(
-                "`return` inside a `while`/dynamic-`for` loop is not "
-                "supported — `break` out and return after the loop"
-            )
+        # a VALUED return inside the loop merges into the enclosing
+        # function's return value, which must then ride the carry
+        fr = self._fn_stack[-1] if self._fn_stack else None
+        carry_val = (fr is not None
+                     and (_contains_return(stmt.body, valued=True)
+                          or _contains_return(stmt.epilogue, valued=True)))
         env = self.env
         h, w = self.h, self.w
         # pass the loop NODE so its condition tokens are scanned too —
@@ -915,9 +943,15 @@ class _Exec:
             fuel_cap = 4 * (h + w) + self._WHILE_FUEL_BASE
         carry0 = {
             "_active": outer_mask & self._cond_mask(stmt.cond),
+            "_returned": jnp.zeros((h, w), bool),
             "_fuel": jnp.asarray(0, jnp.int32),
             "vars": {n: env.variables[n] for n in carried},
         }
+        if carry_val:
+            if fr["value"] is None:
+                fr["value"] = _zero_retval(fr.get("rettype", "float"), h, w)
+            fr["value"] = canon(fr["value"])
+            carry0["_fnval"] = fr["value"]
 
         def cond_fn(c):
             return c["_active"].any() & (c["_fuel"] < fuel_cap)
@@ -925,8 +959,13 @@ class _Exec:
         def body_fn(c):
             for n in carried:
                 env.variables[n] = c["vars"][n]
+            if carry_val:
+                fr["value"] = c["_fnval"]
             ctx = {"broken": None, "continued": None}
             self._loop_stack.append(ctx)
+            rctx = {"mask": jnp.zeros((h, w), bool),
+                    "fn_depth": len(self._fn_stack)}
+            self._ret_stack.append(rctx)
             self.mask = c["_active"]
             try:
                 self.run(stmt.body)
@@ -941,14 +980,31 @@ class _Exec:
                     self.mask = self.mask | ctx["continued"]
             finally:
                 self._loop_stack.pop()
+                self._ret_stack.pop()
             nxt = self.mask & self._cond_mask(stmt.cond)
-            return {
+            out = {
                 "_active": nxt,
+                "_returned": c["_returned"] | rctx["mask"],
                 "_fuel": c["_fuel"] + 1,
                 "vars": {n: canon(env.variables[n]) for n in carried},
             }
+            if carry_val:
+                out["_fnval"] = canon(fr["value"])
+            return out
 
         res = lax.while_loop(cond_fn, body_fn, carry0)
+        # loud fuel-cap exhaustion: pixels still active when the cap
+        # tripped were truncated mid-walk — warn with the count
+        # (raise under GLAVA_TPU_WHILE_FUEL_STRICT=1). Host callback is
+        # skippable with GLAVA_TPU_WHILE_FUEL_WARN=0 for hot paths.
+        if (os.environ.get("GLAVA_TPU_WHILE_FUEL_WARN", "1") != "0"
+                and _callbacks_supported()):
+            import jax
+
+            jax.debug.callback(
+                _fuel_report, jnp.sum(res["_active"]), fuel_cap,
+                os.environ.get("GLAVA_TPU_WHILE_FUEL_STRICT", "") == "1",
+            )
         # loop-local writes vanish; carried writes commit
         for n, (had, old) in pre.items():
             if n in carried:
@@ -959,7 +1015,15 @@ class _Exec:
                 env.variables.pop(n, None)
         for n in carried:
             env.variables[n] = res["vars"][n]
-        self.mask = outer_mask
+        if carry_val:
+            fr["value"] = res["_fnval"]
+        # in-loop `return` retires pixels beyond the loop; chain the
+        # plane into an enclosing while at the same function depth
+        self.mask = outer_mask & ~res["_returned"]
+        if (self._ret_stack
+                and self._ret_stack[-1]["fn_depth"] == len(self._fn_stack)):
+            rc = self._ret_stack[-1]
+            rc["mask"] = rc["mask"] | res["_returned"]
 
     @staticmethod
     def _component(val, swizzle):
@@ -1040,16 +1104,97 @@ def _collect_writes(body, funcs: dict | None = None,
     return decls, assigns
 
 
-def _contains_return(body) -> bool:
+def _contains_return(body, valued: bool = False) -> bool:
+    """Any Return in the tree (``valued=True``: only value-carrying
+    ones). Nested function *bodies* live in their own FuncDefs, so
+    every Return found here belongs to the current function level."""
     for s in body:
-        if isinstance(s, Return):
+        if isinstance(s, Return) and (not valued or s.expr is not None):
             return True
-        if isinstance(s, If) and (_contains_return(s.then)
-                                  or _contains_return(s.other)):
+        if isinstance(s, If) and (_contains_return(s.then, valued)
+                                  or _contains_return(s.other, valued)):
             return True
-        if isinstance(s, (ForLoop, WhileLoop)) and _contains_return(s.body):
+        if isinstance(s, (ForLoop, WhileLoop)) \
+                and (_contains_return(s.body, valued)
+                     or _contains_return(getattr(s, "epilogue", []) or [],
+                                         valued)):
             return True
     return False
+
+
+def _zero_retval(rettype: str, h: int, w: int):
+    """Typed zero for a function return value that must ride a loop
+    carry before any return site has executed (GLSL leaves the value
+    of a never-returning path undefined; zeros match _merge_masked's
+    no-prior default)."""
+    jnp = _jnp()
+    plane = jnp.zeros((h, w), jnp.float32)
+    ncomp = {"vec2": 2, "vec3": 3, "vec4": 4}.get(rettype)
+    return tuple(plane for _ in range(ncomp)) if ncomp else plane
+
+
+_FUEL_WARN_STATE = {"last": 0.0}
+_CALLBACK_SUPPORT: dict[str, bool] = {}
+
+
+def _callbacks_supported() -> bool:
+    """Whether the default backend can run host callbacks at all.
+
+    The axon TPU plugin rejects jax.debug.callback/io_callback with
+    UNIMPLEMENTED at dispatch time, which would break every shader
+    containing a data-dependent loop — probe once with a trivial
+    program and fall back to silent-capping with a one-time notice."""
+    import jax
+
+    key = jax.default_backend()
+    if key in _CALLBACK_SUPPORT:
+        return _CALLBACK_SUPPORT[key]
+    try:
+        def probe(x):
+            jax.debug.callback(lambda v: None, x)
+            return x + 1
+
+        # This probe usually runs while an outer jit is tracing, where
+        # jit applications inline into the trace — ensure_compile_time_eval
+        # forces a real eager dispatch. numpy input (jnp would yield a
+        # tracer); int() forces a real fetch (block_until_ready can
+        # return early on the axon runtime; failures must surface HERE).
+        with jax.ensure_compile_time_eval():
+            int(jax.jit(probe)(np.int32(0)))
+        ok = True
+    except Exception:
+        ok = False
+        import sys
+
+        print(
+            "glava_tpu: host callbacks unsupported on this backend — "
+            "while-loop fuel-cap warnings are disabled (loops still "
+            "retire at the cap; develop/debug user shaders on CPU, "
+            "where warnings and GLAVA_TPU_WHILE_FUEL_STRICT work)",
+            file=sys.stderr,
+        )
+    _CALLBACK_SUPPORT[key] = ok
+    return ok
+
+
+def _fuel_report(count, cap, strict):
+    """Host callback: loud fuel-cap exhaustion (count of truncated
+    pixels). Raises under GLAVA_TPU_WHILE_FUEL_STRICT=1."""
+    c = int(count)
+    if c == 0:
+        return
+    msg = (f"glava_tpu: while-loop fuel cap ({int(cap)}) exhausted with "
+           f"{c} pixel(s) still active — their output is truncated at "
+           f"the last completed iteration; raise GLAVA_TPU_WHILE_FUEL")
+    if strict:
+        raise RuntimeError(msg)
+    import sys
+    import time as _time
+
+    now = _time.monotonic()
+    if now - _FUEL_WARN_STATE["last"] >= 1.0:  # throttle per-frame spam
+        _FUEL_WARN_STATE["last"] = now
+        print(msg, file=sys.stderr)
 
 
 def _merge_masked(mask, new, old):

@@ -3,14 +3,22 @@
 The reference's GLFFT library benchmarks workgroup/vector/shared-memory
 variants per FFT size and serializes the winners to JSON
 (glfft/glfft_wisdom.cpp, learn_optimal_options at glfft_wisdom.hpp:94,
-JSON IO at glfft_wisdom.hpp:119-123). Here the tunable is the fused
-update kernel's batch tile (VMEM residency vs grid parallelism);
-winners persist to ``~/.cache/glava_tpu/wisdom.json`` keyed by device
-kind and problem shape.
+JSON IO at glfft_wisdom.hpp:119-123). Two tunables here, both persisted
+to ``~/.cache/glava_tpu/wisdom.json`` keyed by device kind and problem
+shape:
+
+* the fused Pallas kernel's **batch tile** (VMEM residency vs grid
+  parallelism) — :func:`best_batch_tile`;
+* the **update-path choice** itself — XLA-fused chain vs the
+  hand-written Pallas kernel — measured head-to-head on the pipeline's
+  real update step (:func:`learn_path`) and consulted by
+  ``AudioPipeline.__init__`` via :func:`selected_path`. This mirrors
+  how GLFFT's wisdom governs the pipeline that actually runs
+  (glfft_wisdom.hpp:91-146), not an opt-in variant.
 
 Tuning is opt-in (`learn=True` or the `glava-tpu-bench --tune` flag);
-without a cache entry a safe default is used (bt=8, measured best on
-TPU v5e for the shipped buffer sizes).
+without a cache entry measured defaults are used (XLA path, tile 16 —
+best on TPU v5e for the shipped buffer sizes).
 """
 
 from __future__ import annotations
@@ -133,3 +141,135 @@ def learn_batch_tile(n: int, frames: int, batch: int = 128,
         "us_per_iter": round(results[best] * 1e6, 1),
         "all": {str(k): round(v * 1e6, 1) for k, v in results.items()},
     }
+
+
+# ---------------------------------------------------------------------------
+# Path-selection wisdom: XLA-fused chain vs hand-written Pallas kernel
+# ---------------------------------------------------------------------------
+
+DEFAULT_PATH = "xla"  # round-2 measurement: 81 vs 159 us per 64-stream update
+
+
+def _path_key(n: int, frames: int, streams: int) -> str:
+    import jax
+
+    dev = jax.devices()[0]
+    return f"{dev.device_kind}/path/n{n}/f{frames}/s{streams}"
+
+
+def selected_path(n: int, frames: int, streams: int = 64) -> dict:
+    """Consult the persisted path choice for this shape (no measuring).
+
+    Falls back to any tuned entry for the same (n, frames) at another
+    stream count, then to the measured default. The returned record
+    carries the measurements that justified the choice (for bench
+    reporting)."""
+    cache = _load()
+    rec = cache.get(_path_key(n, frames, streams))
+    if isinstance(rec, dict) and "path" in rec:
+        return rec
+    try:
+        import jax
+
+        dev = jax.devices()[0].device_kind
+        prefix = f"{dev}/path/n{n}/f{frames}/"
+        for k in sorted(cache):
+            if k.startswith(prefix) and isinstance(cache[k], dict) \
+                    and "path" in cache[k]:
+                return cache[k]
+    except Exception:
+        pass
+    return {"path": DEFAULT_PATH, "source": "default"}
+
+
+def learn_path(n: int, frames: int, streams: int = 64,
+               scan_len: int = 32) -> dict:
+    """Measure the REAL pipeline update step (advance + texture
+    materialization, both uniforms, shipped smooth pass) on the XLA
+    chain vs the Pallas fused kernel, pick the winner, persist it.
+
+    The Pallas side first (re)tunes its batch tile so the comparison is
+    against the kernel's best configuration — the same two-stage search
+    GLFFT wisdom runs (options per radix, then the radix plan,
+    glfft.cpp:107-353). Honest protocol throughout: scan-amortized,
+    fresh audio per iteration, scalar-probe completion, two-point
+    slopes (utils/timing.py)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from glava_tpu.config.state import RenderConfig
+    from glava_tpu.pipeline import AudioPipeline, UniformSpec
+    from glava_tpu.utils.timing import probed_slope
+
+    if jax.default_backend() != "tpu":
+        raise RuntimeError(
+            "path wisdom must be learned on the TPU backend "
+            f"(current: {jax.default_backend()})"
+        )
+
+    # stage 1: make sure the Pallas kernel competes at its best tile
+    cache = _load()
+    tile_key = _key(n, frames)
+    cache[tile_key] = learn_batch_tile(n, frames, batch=2 * streams)
+    _save(cache)
+
+    cfg = RenderConfig(bufsize=n, samplesize=max(n // 4, 256),
+                       avg_frames=frames)
+    chain = ("window", "fft", "gravity", "avg")
+    uniforms = [UniformSpec("audio_l", "audio_l", chain),
+                UniformSpec("audio_r", "audio_r", chain)]
+    rng = np.random.default_rng(0)
+    audio = jnp.asarray(
+        rng.standard_normal((streams, 2, n)).astype(np.float32) * 0.3
+    )
+    g = jnp.full((streams,), 0.05, jnp.float32)
+
+    results: dict[str, float] = {}
+    for name, use_fused in (("xla", False), ("pallas", True)):
+        try:
+            pipe = AudioPipeline(cfg, uniforms, use_fused=use_fused)
+
+            def multi(chains, audio, g, pipe=pipe):
+                def body(c, k):
+                    a = audio * (1.0 + 1e-3 * k)
+                    c = pipe.advance(c, a[:, 0, :], a[:, 1, :], gravity_g=g)
+                    return c, None
+
+                chains, _ = jax.lax.scan(
+                    body, chains, jnp.arange(scan_len, dtype=jnp.float32))
+                tex = pipe.textures_from(chains, audio[:, 0, :],
+                                         audio[:, 1, :])
+                probe = sum(t.ravel()[0] for t in tex.values())
+                return chains, probe
+
+            f = jax.jit(multi, donate_argnums=(0,))
+            chains = pipe.init_state(batch=(streams,))
+            chains, probe = f(chains, audio, g)
+            float(probe)  # compile + first real execution
+
+            def once():
+                nonlocal chains
+                chains, probe = f(chains, audio, g)
+                return probe
+
+            results[name] = probed_slope(once, 3, 9) / scan_len
+        except Exception as e:
+            import sys
+
+            print(f"path candidate {name!r} failed: {e}", file=sys.stderr)
+            continue
+
+    if not results:
+        return {"path": DEFAULT_PATH, "source": "default"}
+    best = min(results, key=results.get)
+    rec = {
+        "path": best,
+        "source": "measured",
+        "streams": streams,
+        "us_per_update": {k: round(v * 1e6, 1) for k, v in results.items()},
+        "batch_tile": cache[tile_key].get("batch_tile", DEFAULT_TILE),
+    }
+    cache[_path_key(n, frames, streams)] = rec
+    _save(cache)
+    return rec

@@ -165,20 +165,34 @@ class AudioPipeline:
             else None
         )
         if use_fused is None:
-            # Default: the unfused XLA path. Honest (probe-forced)
-            # measurement shows XLA's own fusion of the transform chain
-            # beats the hand-written Pallas kernel ~2x on v5e for fresh
-            # audio every update (81 vs 159 us per 64-stream update) —
-            # the kernel's tile-serialized grid loses to XLA's
-            # full-batch matmul scheduling. The Pallas path stays
-            # available (GLAVA_TPU_FUSED=1) and numerically pinned.
+            # Default: consult the persisted path wisdom (measured
+            # XLA-vs-Pallas head-to-head on this device kind + shape,
+            # ops/autotune.selected_path — learned by
+            # `glava-tpu-bench --tune`, the GLFFT-wisdom role of
+            # governing the pipeline that actually runs). Without a
+            # wisdom entry the measured default applies: the XLA chain
+            # (round-2 honest measurement, 81 vs 159 us per 64-stream
+            # update on v5e — the kernel's tile-serialized grid loses
+            # to XLA's full-batch matmul scheduling). GLAVA_TPU_FUSED=1
+            # / =0 force-overrides either way.
             import os
 
-            use_fused = (
-                os.environ.get("GLAVA_TPU_FUSED", "") == "1"
-                and jax.default_backend() == "tpu"
+            supported = (
+                jax.default_backend() == "tpu"
                 and _fused_supported(cfg, self.uniforms)
             )
+            env = os.environ.get("GLAVA_TPU_FUSED", "")
+            if env == "1":
+                use_fused = supported
+            elif env == "0" or not supported:
+                use_fused = False
+            else:
+                from glava_tpu.ops import autotune
+
+                use_fused = (
+                    autotune.selected_path(self.sz, cfg.avg_frames)["path"]
+                    == "pallas"
+                )
         if use_fused and not _fused_supported(cfg, self.uniforms):
             raise ValueError("fused path unsupported for this configuration")
         self.use_fused = use_fused

@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Honest-protocol benchmark: VERBATIM reference shaders through the
+GLSL interpreter at 1080p.
+
+Copies the unmodified reference module .frag files
+(/root/reference/shaders/glava) into a user config dir so the
+interpreter compiles them (the native jnp modules are shadowed), then
+measures frames/s with the measurement protocol from CLAUDE.md:
+scan-amortized steps, fresh audio per iteration, per-frame reductions
+in the carry, scalar-probe completion, two-point slopes.
+
+Usage: python scripts/bench_interpreted.py [module ...]
+Modules default to all five (+ graph_aa for the ANTI_ALIAS walk).
+Prints one JSON object {module: fps}.
+"""
+
+import glob
+import json
+import shutil
+import sys
+import tempfile
+from pathlib import Path
+
+sys.path.insert(0, ".")
+
+REF = "/root/reference/shaders/glava"
+
+
+def bench_module(module: str, knobs: str = "", screen=(1920, 1080),
+                 scan_len: int = 8) -> float:
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from glava_tpu.config import loader
+    from glava_tpu.renderer import Renderer
+    from glava_tpu.utils.timing import probed_slope
+
+    with tempfile.TemporaryDirectory() as td:
+        tmp = Path(td)
+        mod = tmp / module
+        mod.mkdir()
+        for f in sorted(glob.glob(f"{REF}/{module}/*.frag")):
+            shutil.copy(f, mod)
+        (tmp / "rc.glsl").write_text(
+            f"#request mod {module}\n"
+            f"#request setgeometry 0 0 {screen[0]} {screen[1]}\n"
+            "#request setbufsize 1024\n#request setsamplesize 256\n"
+            "#request setprintframes false\n"
+        )
+        if knobs:
+            (tmp / f"{module}.glsl").write_text(knobs)
+        lc = loader.load(user_dir=tmp, system_dir=REF)
+        r = Renderer(lc)
+
+    rng = np.random.default_rng(0)
+    snap = jnp.asarray(rng.standard_normal((2, 1024)).astype(np.float32) * 0.3)
+    g = jnp.float32(0.05)
+
+    def frames(state, snap, g):
+        def body(carry, k):
+            s, acc = carry
+            a = snap * (1.0 + 1e-3 * k)
+            s, fr = r.step(s, a, True, jnp.float32(0.0), jnp.float32(1.0),
+                           g, {})
+            return (s, acc + fr.sum()), None
+
+        (state, acc), _ = jax.lax.scan(
+            body, (state, jnp.float32(0.0)),
+            jnp.arange(scan_len, dtype=jnp.float32))
+        return state, acc
+
+    f = jax.jit(frames, donate_argnums=(0,))
+    st = r.init_state()
+    st, probe = f(st, snap, g)
+    float(probe)
+
+    def once():
+        nonlocal st
+        st, probe = f(st, snap, g)
+        return probe
+
+    return scan_len / probed_slope(once, 3, 9)
+
+
+def main() -> None:
+    from glava_tpu.runtime.engine import _enable_compile_cache
+
+    _enable_compile_cache()
+    todo = sys.argv[1:] or ["bars", "radial", "graph", "graph_aa", "wave",
+                            "circle"]
+    out = {}
+    for m in todo:
+        name, knobs = m, ""
+        if m == "graph_aa":
+            name, knobs = "graph", "#define ANTI_ALIAS 1\n"
+        try:
+            out[m] = round(bench_module(name, knobs), 1)
+            print(f"{m}: {out[m]} fps", file=sys.stderr)
+        except Exception as e:
+            out[m] = None
+            print(f"{m}: FAILED {e}", file=sys.stderr)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

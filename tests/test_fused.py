@@ -174,6 +174,40 @@ def test_autotune_wisdom_roundtrip(tmp_path, monkeypatch):
     autotune._cache = None
 
 
+def test_path_wisdom_selection(tmp_path, monkeypatch):
+    """selected_path honors persisted records, falls back across stream
+    counts, and defaults to the measured-default (XLA) otherwise; the
+    record carries the justifying measurements for bench reporting."""
+    from glava_tpu.ops import autotune
+
+    monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path))
+    autotune._cache = None
+    rec = autotune.selected_path(4096, 6)
+    assert rec["path"] == autotune.DEFAULT_PATH
+    assert rec["source"] == "default"
+
+    stored = {"path": "pallas", "source": "measured", "streams": 32,
+              "us_per_update": {"xla": 80.0, "pallas": 70.0},
+              "batch_tile": 8}
+    autotune._cache = {autotune._path_key(4096, 6, 32): stored}
+    autotune._save(autotune._cache)
+    autotune._cache = None
+    # exact-stream hit
+    assert autotune.selected_path(4096, 6, streams=32) == stored
+    # cross-stream fallback for the same (n, frames)
+    assert autotune.selected_path(4096, 6, streams=64) == stored
+    # different shape -> default
+    assert autotune.selected_path(2048, 6)["source"] == "default"
+    autotune._cache = None
+
+
+def test_learn_path_requires_tpu():
+    from glava_tpu.ops import autotune
+
+    with pytest.raises(RuntimeError, match="TPU backend"):
+        autotune.learn_path(1024, 3, streams=2, scan_len=2)
+
+
 def test_table_lookup_exact():
     """The Pallas lane-shuffle lookup is bit-exact with the jnp gather
     (interpret mode; it replaces XLA's pathological per-pixel gather in

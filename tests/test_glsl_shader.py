@@ -662,3 +662,163 @@ def test_prev_fetch_shift_fast_path_matches_gather(tmp_path):
             np.testing.assert_array_equal(
                 got, want, err_msg=f"dx={dx} dy={dy} int={use_int}"
             )
+
+
+def test_return_inside_while_retires_pixels(tmp_path):
+    """`return` lexically inside a data-dependent while loop (the
+    graph-AA-walk-with-early-exit shape, cf. graph/3.frag) retires
+    pixels for the remainder of main — writes after the loop must not
+    touch returned pixels."""
+    mod = tmp_path / "rw"
+    mod.mkdir()
+    (mod / "1.frag").write_text(
+        "in vec4 gl_FragCoord;\n"
+        "out vec4 fragment;\n"
+        "void main() {\n"
+        "  fragment = vec4(0, 0, 0, 1);\n"
+        "  float i = 0.0;\n"
+        "  while (i < gl_FragCoord.x) {\n"
+        "    i += 1.0;\n"
+        "    if (i >= 3.0) {\n"
+        "      fragment = vec4(1, 0, 0, 1);\n"
+        "      return;\n"  # pixels with x >= 3 exit main here
+        "    }\n"
+        "  }\n"
+        "  fragment = vec4(0, 1, 0, 1);\n"
+        "}\n"
+    )
+    (tmp_path / "rc.glsl").write_text(
+        "#request mod rw\n#request setgeometry 0 0 8 2\n"
+        "#request setbufsize 1024\n#request setsamplesize 256\n"
+        "#request setprintframes false\n"
+    )
+    lc = loader.load(user_dir=tmp_path)
+    f = _render(lc, n=1)
+    # gl_FragCoord.x = col + 0.5: col c iterates i = 1..c+1, so the
+    # in-loop return (i >= 3) fires for cols >= 2 (red); cols 0-1
+    # finish the loop (green)
+    np.testing.assert_allclose(f[0, :2, 1], 1.0, atol=1e-6)
+    np.testing.assert_allclose(f[0, :2, 0], 0.0, atol=1e-6)
+    np.testing.assert_allclose(f[0, 2:, 0], 1.0, atol=1e-6)
+    np.testing.assert_allclose(f[0, 2:, 1], 0.0, atol=1e-6)
+
+
+def test_valued_return_inside_while_in_helper(tmp_path):
+    """A helper function whose per-pixel return VALUE is produced
+    inside a data-dependent loop: the merged value rides the loop
+    carry (walk-until-threshold returning the step count)."""
+    mod = tmp_path / "rv"
+    mod.mkdir()
+    (mod / "1.frag").write_text(
+        "in vec4 gl_FragCoord;\n"
+        "out vec4 fragment;\n"
+        "float walk(float limit) {\n"
+        "  float i = 0.0;\n"
+        "  while (i < 100.0) {\n"
+        "    i += 1.0;\n"
+        "    if (i >= limit) return i * 0.1;\n"
+        "  }\n"
+        "  return 9.9;\n"
+        "}\n"
+        "void main() {\n"
+        "  fragment = vec4(walk(gl_FragCoord.x), 0, 0, 1);\n"
+        "}\n"
+    )
+    (tmp_path / "rc.glsl").write_text(
+        "#request mod rv\n#request setgeometry 0 0 6 2\n"
+        "#request setbufsize 1024\n#request setsamplesize 256\n"
+        "#request setprintframes false\n"
+    )
+    lc = loader.load(user_dir=tmp_path)
+    f = _render(lc, n=1)
+    # limit = col + 0.5 -> first i >= limit is ceil(limit) = col + 1
+    want = (np.arange(6) + 1) * 0.1
+    np.testing.assert_allclose(f[0, :, 0], want, atol=1e-6)
+
+
+def test_return_inside_nested_while_chains_outward(tmp_path):
+    """Retirement from a return in an INNER loop propagates through the
+    outer loop and to post-loop code (same function depth chaining)."""
+    mod = tmp_path / "rn"
+    mod.mkdir()
+    (mod / "1.frag").write_text(
+        "in vec4 gl_FragCoord;\n"
+        "out vec4 fragment;\n"
+        "void main() {\n"
+        "  fragment = vec4(0, 0, 0, 1);\n"
+        "  float o = 0.0;\n"
+        "  while (o < gl_FragCoord.x) {\n"
+        "    float i = 0.0;\n"
+        "    while (i < gl_FragCoord.y) {\n"
+        "      i += 1.0;\n"
+        "      if (o + i >= 4.0) { fragment.r = 1.0; return; }\n"
+        "    }\n"
+        "    o += 1.0;\n"
+        "  }\n"
+        "  fragment.g = 1.0;\n"
+        "}\n"
+    )
+    (tmp_path / "rc.glsl").write_text(
+        "#request mod rn\n#request setgeometry 0 0 6 4\n"
+        "#request setbufsize 1024\n#request setsamplesize 256\n"
+        "#request setprintframes false\n"
+    )
+    lc = loader.load(user_dir=tmp_path)
+    f = _render(lc, n=1)
+    # brute-force the same walk in python
+    for row in range(4):
+        for col in range(6):
+            x, y = col + 0.5, row + 0.5
+            o = 0.0
+            returned = False
+            while o < x and not returned:
+                i = 0.0
+                while i < y:
+                    i += 1.0
+                    if o + i >= 4.0:
+                        returned = True
+                        break
+                o += 0.0 if returned else 1.0
+            want = (1.0, 0.0) if returned else (0.0, 1.0)
+            got = (f[row, col, 0], f[row, col, 1])
+            assert got == pytest.approx(want), (row, col)
+
+
+def test_fuel_exhaustion_warns_and_strict_raises(tmp_path, monkeypatch, capfd):
+    """An infinite per-pixel loop retires at the fuel cap with a LOUD
+    one-line warning (count of truncated pixels); under
+    GLAVA_TPU_WHILE_FUEL_STRICT=1 it raises instead."""
+    mod = tmp_path / "fuel"
+    mod.mkdir()
+    (mod / "1.frag").write_text(
+        "in vec4 gl_FragCoord;\n"
+        "out vec4 fragment;\n"
+        "void main() {\n"
+        "  float i = 0.0;\n"
+        "  while (i >= 0.0) { i += 1.0; }\n"
+        "  fragment = vec4(i * 0.1, 0, 0, 1);\n"
+        "}\n"
+    )
+    (tmp_path / "rc.glsl").write_text(
+        "#request mod fuel\n#request setgeometry 0 0 4 2\n"
+        "#request setbufsize 1024\n#request setsamplesize 256\n"
+        "#request setprintframes false\n"
+    )
+    from glava_tpu.config import glsl_shader
+
+    monkeypatch.setenv("GLAVA_TPU_WHILE_FUEL", "7")
+    monkeypatch.setitem(glsl_shader._FUEL_WARN_STATE, "last", 0.0)
+    lc = loader.load(user_dir=tmp_path)
+    import jax
+
+    f = _render(lc, n=1)
+    jax.effects_barrier()  # flush the debug callback
+    err = capfd.readouterr().err
+    assert "fuel cap (7) exhausted with 8 pixel(s)" in err
+    np.testing.assert_allclose(f[0, :, 0], 0.7, atol=0.01)  # truncated value
+
+    monkeypatch.setenv("GLAVA_TPU_WHILE_FUEL_STRICT", "1")
+    lc2 = loader.load(user_dir=tmp_path)
+    with pytest.raises(Exception, match="fuel cap"):
+        _render(lc2, n=1)
+        jax.effects_barrier()

@@ -226,3 +226,40 @@ def test_fleet_serve_example(tmp_path):
 
     img = read_png(out)
     assert img.shape == (288, 288 * 3, 4)
+
+
+def test_row_sharded_raster_no_full_frame_allgather():
+    """The spatially-sharded raster must hold its row sharding end to
+    end: per-device output shards are (S/streams, H/rows, W, 4) and the
+    compiled HLO contains no full-frame all-gather (the small spectrum
+    textures are replicated on purpose; the frame must not be)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    import __graft_entry__ as ge
+    from glava_tpu.config import loader
+    from glava_tpu.parallel.batch import BatchedRenderer, example_batch
+    from glava_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(jax.devices()[:8], rows=2)
+    lc = loader.load(
+        cli_requests=("setgeometry 0 0 256 128", "setbufsize 1024",
+                      "setsamplesize 256", "setprintframes false"),
+        force_module="bars",
+    )
+    br = BatchedRenderer(lc, n_streams=8)
+    step = br.sharded_step(mesh)
+    state = br.shard_state(br.init_state(), mesh)
+    ex = example_batch(br)
+    s = NamedSharding(mesh, P("streams"))
+    args = {k: jax.device_put(v, s) for k, v in ex.items()}
+
+    ge._assert_no_frame_allgather(step, state, args, (8, 128, 256, 4))
+
+    state, frame = step(
+        state, args["audio"], args["modified"], args["time"],
+        args["interp_mod"], args["gravity_g"], {},
+    )
+    shard_shapes = {sh.data.shape for sh in frame.addressable_shards}
+    assert shard_shapes == {(2, 64, 256, 4)}, shard_shapes

@@ -35,6 +35,38 @@ import numpy as np
 from glava_tpu.utils.timing import probed_slope
 
 
+def _chain_flops_per_window(pipe) -> int:
+    """Algorithmic FLOPs of ONE stream-update (both channels) through
+    the shipped chain: window + four-step packed FFT + log-mag/boost +
+    gravity + age-weighted averaging + presmooth resample matmul.
+    Matmul FLOPs are 2*M*N*K; elementwise ops counted once each."""
+    from glava_tpu.ops.fft import _split
+
+    n = pipe.sz
+    m = n // 2
+    m1, m2 = _split(m) if m > 256 else (m, 1)
+    U = 2  # audio_l + audio_r
+    fft = 8 * m * (m1 + m2) + 6 * m if m2 > 1 else 8 * m * m1
+    window = n
+    logmag = 4 * n            # abs, log, div, boost-mul (max folded)
+    gravity = 3 * n           # max, sub, clip
+    F = pipe.cfg.avg_frames
+    avg = 2 * F * n + n       # weighted ring reduction + clip
+    presmooth = 0
+    if pipe.presmooth is not None and pipe.presmooth.matrix is not None:
+        P, band = pipe.presmooth.matrix.shape
+        presmooth = 2 * P * band
+    return U * (window + fft + logmag + gravity + avg + presmooth)
+
+
+_PEAK_BF16 = {
+    # dense bf16 peak FLOP/s per chip (public spec sheets)
+    "TPU v5 lite": 197e12,
+    "TPU v4": 275e12,
+    "TPU v6 lite": 918e12,
+}
+
+
 def _path_wisdom(pipe) -> dict:
     """The persisted XLA-vs-Pallas choice for the shipped shape."""
     try:
@@ -88,6 +120,25 @@ def main() -> None:
         return probe
 
     windows_per_sec = S * K / probed_slope(upd_once)
+
+    # ---- roofline: achieved FLOP/s on the update chain -------------------
+    # Algorithmic (f32) FLOPs; the HIGHEST-precision policy executes
+    # each f32 matmul as a 6-pass bf16 decomposition on the MXU, so
+    # hardware-executed FLOPs are ~6x the algorithmic count for the
+    # matmul share. Both views are reported; the sweep in
+    # scripts/sweep_scaling.py shows where the chip saturates.
+    flops_w = _chain_flops_per_window(pipe)
+    achieved = windows_per_sec * flops_w
+    peak = _PEAK_BF16.get(dev.device_kind)
+    roofline = {
+        "flops_per_window": flops_w,
+        "achieved_gflops_algorithmic": round(achieved / 1e9, 2),
+        "pct_bf16_peak_algorithmic": (
+            round(100.0 * achieved / peak, 4) if peak else None
+        ),
+        "note": ("update chain is bandwidth/latency-bound at these "
+                 "shapes, not MXU-bound; see docs/STATUS.md sweep"),
+    }
 
     # ---- frames/sec/stream: full step incl. raster -----------------------
     KF = 16
@@ -170,6 +221,77 @@ def main() -> None:
 
     radial_fps = module_fps_1080p("radial", ("setsamplerate 44100",))
     circle_fps = module_fps_1080p("circle")
+    graph_fps = module_fps_1080p("graph")    # BASELINE config #3
+    wave_fps = module_fps_1080p("wave")      # BASELINE config #3
+
+    # ---- 64-stream HETEROGENEOUS fleet step (BASELINE config #4) ---------
+    # different modules per stream in ONE jitted step (MixedBatchedRenderer)
+    fleet_fps = None
+    try:
+        from glava_tpu.parallel.batch import MixedBatchedRenderer
+
+        variants = [
+            loader.load(cli_requests=("setgeometry 0 0 512 256",
+                                      "setprintframes false"),
+                        force_module=m)
+            for m in ("bars", "radial", "wave", "circle")
+        ]
+        assign = [i % 4 for i in range(S)]
+        mbr = MixedBatchedRenderer(variants, assign)
+
+        class _Ex:  # example_batch only reads n_streams + cfg
+            n_streams, cfg = S, mbr.cfg
+
+        exm = example_batch(_Ex())
+        KM = 8
+
+        def mixed_frames(state, audio, mod, tim, im, g):
+            def body(carry, k):
+                s, acc = carry
+                a = audio * (1.0 + 1e-3 * k)
+                s, fr = mbr.step(s, a, mod, tim, im, g, {})
+                return (s, acc + fr.sum()), None
+
+            (state, acc), _ = jax.lax.scan(
+                body, (state, jnp.float32(0.0)),
+                jnp.arange(KM, dtype=jnp.float32))
+            return state, acc
+
+        fm = jax.jit(mixed_frames, donate_argnums=(0,))
+        stm = mbr.init_state()
+        stm, probe = fm(stm, exm["audio"], exm["modified"], exm["time"],
+                        exm["interp_mod"], exm["gravity_g"])
+        float(probe)
+
+        def mixed_once():
+            nonlocal stm
+            stm, probe = fm(stm, exm["audio"], exm["modified"], exm["time"],
+                            exm["interp_mod"], exm["gravity_g"])
+            return probe
+
+        per = probed_slope(mixed_once, 3, 9) / KM
+        fleet_fps = {"fps_per_stream": round(1.0 / per, 1),
+                     "total_fps": round(S / per, 1),
+                     "modules": "bars/radial/wave/circle x16 each"}
+    except Exception as e:
+        print(f"heterogeneous fleet bench skipped: {e}",
+              file=__import__("sys").stderr)
+
+    # ---- interpreted-verbatim section (reference bars.frag @1080p) -------
+    interp_fps = None
+    try:
+        import importlib.util as _ilu
+        from pathlib import Path
+
+        spec = _ilu.spec_from_file_location(
+            "bench_interpreted",
+            Path(__file__).parent / "scripts" / "bench_interpreted.py")
+        bi = _ilu.module_from_spec(spec)
+        spec.loader.exec_module(bi)
+        interp_fps = round(bi.bench_module("bars"), 1)
+    except Exception as e:
+        print(f"interpreted bench skipped: {e}",
+              file=__import__("sys").stderr)
 
     # ---- device-side p50 PCM->frame latency (single stream) -------------
     # BASELINE.md targets p50 < 5 ms for the PCM->frame step on the
@@ -248,10 +370,15 @@ def main() -> None:
             # which update path the wisdom selected and the head-to-head
             # numbers that justified it (ops/autotune.learn_path)
             "path_wisdom": _path_wisdom(pipe),
+            "roofline": roofline,
             "bars_fps_per_stream_512x256": round(fps_per_stream, 1),
             "total_fps_64streams": round(total_fps, 1),
             "radial_1080p_fps": round(radial_fps, 1) if radial_fps else None,
             "circle_1080p_fps": round(circle_fps, 1) if circle_fps else None,
+            "graph_1080p_fps": round(graph_fps, 1) if graph_fps else None,
+            "wave_1080p_fps": round(wave_fps, 1) if wave_fps else None,
+            "heterogeneous_fleet_64": fleet_fps,
+            "interpreted_verbatim_bars_1080p_fps": interp_fps,
             # device-side time per full PCM->frame step (the latency a
             # locally-attached chip would see; the single-dispatch p50
             # below is dominated by this environment's network tunnel)

@@ -48,6 +48,7 @@ disabled on hot paths with GLAVA_TPU_WHILE_FUEL_WARN=0). NOT supported
 
 from __future__ import annotations
 
+import os
 import re
 from dataclasses import dataclass, field
 from typing import Any
@@ -1336,6 +1337,63 @@ def make_builtins(prev, sz: int, h: int, w: int, smooth_fetch):
         out = _apply_axis(out, px, 1, w)
         return tuple(out[..., i] for i in range(4))
 
+    # transposed prev for the column-aligned fast path, built at the
+    # OUTER trace level (make_builtins runs in the pass trace): values
+    # created inside one while-body subtrace must never be reused in
+    # another (tracer leak), so nothing jnp is cached per call — XLA
+    # CSEs/hoists the loop-invariant shift+transpose out of the loop.
+    _prevT = (jnp.transpose(prev, (1, 0, 2))
+              if prev is not None else None)
+
+    def _col_aligned_prev(xi, yi):
+        """Fast path for ``texelFetch(prev, ivec2(col + d, y))`` with a
+        TRACED y (the graph anti-alias walk, graph/3.frag:27/55): x is
+        a concrete per-column pattern, so after transposing each source
+        column is a private table indexed along lanes — the Pallas
+        row-wise lookup (ops/pallas/lookup.build_rowwise_lookup) is
+        bit-exact and ~98x the XLA 2-D gather at 1080p (214 us vs
+        21 ms; XLA take_along_axis is just as pathological)."""
+        import jax
+        import jax.core
+
+        if isinstance(xi, jax.core.Tracer) \
+                or not isinstance(yi, jax.core.Tracer):
+            return None
+        # GLAVA_TPU_COL_LOOKUP: "0" disables; "interpret" forces the
+        # kernel in interpret mode off-TPU (parity testing)
+        force = os.environ.get("GLAVA_TPU_COL_LOOKUP", "")
+        on_tpu = jax.default_backend() == "tpu"
+        if force == "0":
+            return None
+        if not (force == "interpret" or (on_tpu and h * w >= (1 << 16))):
+            return None
+        xn = np.broadcast_to(np.asarray(xi), (h, w))
+        if not np.array_equal(xn, np.broadcast_to(xn[0:1, :], (h, w))):
+            return None  # x varies by row: not column-aligned
+        px = _axis_pattern(xn[0, :], w)
+        if px is None:
+            return None
+        from glava_tpu.ops.pallas.lookup import build_rowwise_lookup
+
+        # x shift rides axis 0 of the (w, h, 4) transposed planes
+        # (x OOB semantics: 'shift' reads transparent black, 'clamp0'
+        # replicates column 0 per the int-cast idiom). Derived fresh
+        # per call — it is loop-invariant, so XLA hoists it out of
+        # while bodies, and caching jnp values across body subtraces
+        # would leak tracers.
+        shiftedT = _apply_axis(_prevT, px, 0, w)
+        # tile_rows=128 measured best @1080p (66.9 us/fetch vs 214 at
+        # the 8-row default; 192+ blows up Mosaic compile time)
+        lk = build_rowwise_lookup(w, h, h, tile_rows=128,
+                                  interpret=not on_tpu)
+        yi32 = jnp.broadcast_to(jnp.asarray(yi, jnp.int32), (h, w))
+        inside = (yi32 >= 0) & (yi32 < h)   # y OOB: transparent black
+        idxT = jnp.clip(yi32, 0, h - 1).T
+        return tuple(
+            jnp.where(inside, lk(shiftedT[..., c], idxT).T, 0.0)
+            for c in range(4)
+        )
+
     def texelFetch(tex, idx, _lod=0):
         if isinstance(tex, str) and tex == "prev":
             if prev is None:
@@ -1347,6 +1405,9 @@ def make_builtins(prev, sz: int, h: int, w: int, smooth_fetch):
             shift = _prev_const_shift(idx[0], idx[1])
             if shift is not None:
                 return _shifted_prev(*shift)
+            col = _col_aligned_prev(idx[0], idx[1])
+            if col is not None:
+                return col
             xi = jnp.asarray(idx[0], jnp.int32)
             yi = jnp.asarray(idx[1], jnp.int32)
             inside = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
@@ -1362,12 +1423,17 @@ def make_builtins(prev, sz: int, h: int, w: int, smooth_fetch):
     def ivec2(x, y):
         import jax.core
 
-        if not (isinstance(x, jax.core.Tracer)
-                or isinstance(y, jax.core.Tracer)):
-            # constant coordinates stay numpy so downstream fast paths
-            # (constant-shift prev fetches) can inspect them
-            return (np.asarray(x, np.int32), np.asarray(y, np.int32))
-        return (jnp.asarray(x, jnp.int32), jnp.asarray(y, jnp.int32))
+        def conv(v):
+            # constant coordinates stay numpy PER COMPONENT so
+            # downstream fast paths can inspect them — the shift path
+            # needs both concrete, the column-aligned walk path needs
+            # a concrete x alongside a traced y (jnp.asarray would
+            # turn the concrete half into a tracer inside the trace)
+            if isinstance(v, jax.core.Tracer):
+                return jnp.asarray(v, jnp.int32)
+            return np.asarray(v, np.int32)
+
+        return (conv(x), conv(y))
 
     def smooth_audio(tex, _sz, idx):
         return smooth_fetch(tex, jnp.clip(jnp.asarray(idx), 0.0, 1.0))

@@ -48,6 +48,11 @@ class EngineOptions:
     pipe_binds: tuple[PipeBind, ...] = ()
     test_mode: bool = False
     verbose: bool = False
+    # device frames kept in flight before the host fetches the oldest:
+    # depth d overlaps d device steps with one D2H transfer, trading d
+    # frames of presentation latency for throughput on slow links
+    # (GLAVA_TPU_INFLIGHT overrides; table in docs/STATUS.md)
+    inflight: int = 1
 
 
 _cache_enabled = False
@@ -216,7 +221,16 @@ class Engine:
         t0 = _time.monotonic()
         frame_period = 1.0 / cfg.framerate if cfg.framerate > 0 else 0.0
         next_frame = _time.monotonic()
-        pending = None  # one in-flight frame (device array, timestamp)
+        # N-deep in-flight queue of (device frame, timestamp): the
+        # oldest frame's D2H transfer overlaps up to N newer device
+        # steps (depth 1 = classic double buffering). env override for
+        # measurement sweeps.
+        import collections
+        import os as _os
+
+        depth = max(int(_os.environ.get("GLAVA_TPU_INFLIGHT",
+                                        o.inflight)), 0)
+        pending = collections.deque()
 
         try:
             while self.alive:
@@ -264,11 +278,12 @@ class Engine:
                     np.float32(gravity_g),
                     pipe_arrs,
                 )
-                # One frame stays in flight: the previous frame's D2H
-                # transfer overlaps this frame's device compute.
-                if pending is not None:
-                    self.sink.submit(np.asarray(pending[0]), pending[1])
-                pending = (frame, tnow)
+                # Up to `depth` frames stay in flight: older frames'
+                # D2H transfers overlap newer frames' device compute.
+                pending.append((frame, tnow))
+                while len(pending) > depth:
+                    old = pending.popleft()
+                    self.sink.submit(np.asarray(old[0]), old[1])
                 self.frames_rendered += 1
                 fcount += 1
                 ucount += 1 if modified else 0
@@ -304,8 +319,9 @@ class Engine:
                     fcount = ucount = 0
                     sec_mark = now2
         finally:
-            if pending is not None:
-                self.sink.submit(np.asarray(pending[0]), pending[1])
+            while pending:
+                old = pending.popleft()
+                self.sink.submit(np.asarray(old[0]), old[1])
             self.audio.terminate = True
             audio_thread.join(timeout=2.0)
             self.audio.terminate = False

@@ -208,6 +208,21 @@ def test_learn_path_requires_tpu():
         autotune.learn_path(1024, 3, streams=2, scan_len=2)
 
 
+def test_rowwise_lookup_exact():
+    """Per-row-table lookup (the column-aligned prev-fetch kernel) is
+    bit-exact with the per-row jnp gather (interpret mode)."""
+    from glava_tpu.ops.pallas.lookup import build_rowwise_lookup
+
+    rng = np.random.default_rng(7)
+    N, T, P = 21, 300, 260   # deliberately non-multiples of 8/128
+    tabs = jnp.asarray(rng.standard_normal((N, T)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, T, (N, P)), jnp.int32)
+    lk = build_rowwise_lookup(N, T, P, interpret=True)
+    out = np.asarray(lk(tabs, idx))
+    want = np.take_along_axis(np.asarray(tabs), np.asarray(idx), axis=1)
+    np.testing.assert_array_equal(out, want)
+
+
 def test_table_lookup_exact():
     """The Pallas lane-shuffle lookup is bit-exact with the jnp gather
     (interpret mode; it replaces XLA's pathological per-pixel gather in

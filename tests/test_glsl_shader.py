@@ -822,3 +822,16 @@ def test_fuel_exhaustion_warns_and_strict_raises(tmp_path, monkeypatch, capfd):
     with pytest.raises(Exception, match="fuel cap"):
         _render(lc2, n=1)
         jax.effects_barrier()
+
+
+def test_graph_aa_verbatim_through_col_lookup(tmp_path, monkeypatch):
+    """The graph ANTI_ALIAS walk's column-aligned prev fetches route
+    through the Pallas row-wise lookup (forced in interpret mode here)
+    and still match the native module pixel-for-pixel."""
+    monkeypatch.setenv("GLAVA_TPU_COL_LOOKUP", "interpret")
+    a, b = _compare_verbatim(tmp_path, "graph", (192, 128),
+                             knobs="#define ANTI_ALIAS 1\n")
+    assert (a[..., 3] > 0).any()
+    frac = (np.abs(a - b).max(axis=-1) > 1 / 255).mean()
+    assert frac <= 0.02, f"{frac:.4%} pixels deviate"
+    assert ((a[..., 3] > 0) & (a[..., 3] < 0.99)).mean() > 0.005

@@ -41,9 +41,10 @@ hang-proofed by a fuel cap (GLAVA_TPU_WHILE_FUEL, default
 4*(H+W)+4096):
 exhaustion warns on stderr with the truncated-pixel count and raises
 under GLAVA_TPU_WHILE_FUEL_STRICT=1 (the warning callback can be
-disabled on hot paths with GLAVA_TPU_WHILE_FUEL_WARN=0). NOT supported
-(use a Python module instead, docs/examples/vu_meter.py): derivatives
-(dFdx/dFdy). Unsupported constructs raise a clear error at load time.
+disabled on hot paths with GLAVA_TPU_WHILE_FUEL_WARN=0), and
+screen-space derivatives (dFdx/dFdy/fwidth, coarse 2x2-quad
+semantics). Unsupported constructs raise a clear error at load time
+(fall back to a Python module, docs/examples/vu_meter.py).
 """
 
 from __future__ import annotations
@@ -1444,10 +1445,54 @@ def make_builtins(prev, sz: int, h: int, w: int, smooth_fetch):
         c = smooth_audio(tex, _sz, jnp.minimum(idx + pixel, 1.0))
         return (a + b + c) / 3.0
 
+    # screen-space derivatives with GL's 2x2-quad semantics: within
+    # each aligned pixel quad both fragments of a pair see the SAME
+    # difference (coarse derivatives; what real hardware computes for
+    # dFdx/dFdy on this fullscreen quad)
+    def _quad_diff(v, axis):
+        def one(p):
+            p = jnp.broadcast_to(jnp.asarray(p, jnp.float32), (h, w))
+            n = p.shape[axis] - p.shape[axis] % 2
+            sl = [slice(None)] * 2
+            sl[axis] = slice(0, n)
+            even = [slice(None)] * 2
+            even[axis] = slice(0, n, 2)
+            odd = [slice(None)] * 2
+            odd[axis] = slice(1, n, 2)
+            d = p[tuple(odd)] - p[tuple(even)]
+            d = jnp.repeat(d, 2, axis=axis)
+            if p.shape[axis] % 2:  # odd edge: replicate last pair diff
+                last = [slice(None)] * 2
+                last[axis] = slice(-1, None)
+                d = jnp.concatenate([d, d[tuple(last)]], axis=axis)
+            return d
+
+        if isinstance(v, tuple):
+            return tuple(one(c) for c in v)
+        return one(v)
+
+    def dFdx(v):
+        return _quad_diff(v, 1)
+
+    def dFdy(v):
+        return _quad_diff(v, 0)
+
+    def fwidth(v):
+        def absadd(a, b):
+            return jnp.abs(a) + jnp.abs(b)
+
+        dx, dy = dFdx(v), dFdy(v)
+        if isinstance(v, tuple):
+            return tuple(absadd(a, b) for a, b in zip(dx, dy))
+        return absadd(dx, dy)
+
     return {
         "texture": texture,
         "texelFetch": texelFetch,
         "ivec2": ivec2,
         "smooth_audio": smooth_audio,
         "smooth_audio_adj": smooth_audio_adj,
+        "dFdx": dFdx,
+        "dFdy": dFdy,
+        "fwidth": fwidth,
     }

@@ -27,8 +27,12 @@ import json
 import os
 from pathlib import Path
 
-DEFAULT_TILE = 16  # measured best for the ring-history kernel on v5e
-_CANDIDATES = (4, 8, 16, 32)
+DEFAULT_TILE = 16       # measured best for the ring-history kernel on v5e
+DEFAULT_MEGACORE = True  # ~1% at best (DMA-bound kernel) but never worse
+# (batch_tile, megacore-parallel grid) search space; bt=32 exceeds this
+# environment's remote-compile limits and is skipped gracefully
+_CANDIDATES = tuple((bt, mc) for bt in (4, 8, 16, 32)
+                    for mc in (False, True))
 
 _cache: dict | None = None
 
@@ -64,17 +68,22 @@ def _key(n: int, frames: int) -> str:
     return f"{dev.device_kind}/fused_update_inc/n{n}/f{frames}"
 
 
-def best_batch_tile(n: int, frames: int, learn: bool = False) -> int:
+def best_batch_tile(n: int, frames: int,
+                    learn: bool = False) -> tuple[int, bool]:
+    """(batch_tile, megacore) for the fused kernel at this shape."""
     cache = _load()
     key = _key(n, frames)
     if key in cache:
-        return int(cache[key]["batch_tile"])
+        rec = cache[key]
+        return (int(rec["batch_tile"]),
+                bool(rec.get("megacore", DEFAULT_MEGACORE)))
     if not learn:
-        return DEFAULT_TILE
+        return DEFAULT_TILE, DEFAULT_MEGACORE
     result = learn_batch_tile(n, frames)
     cache[key] = result
     _save(cache)
-    return int(result["batch_tile"])
+    return (int(result["batch_tile"]),
+            bool(result.get("megacore", DEFAULT_MEGACORE)))
 
 
 def learn_batch_tile(n: int, frames: int, batch: int = 128,
@@ -98,9 +107,10 @@ def learn_batch_tile(n: int, frames: int, batch: int = 128,
     pcm = jnp.asarray(rng.standard_normal((batch, n)).astype(np.float32) * 0.3)
     m = n // 2
     results = {}
-    for bt in _CANDIDATES:
+    for bt, mega in _CANDIDATES:
         try:
-            fn = build_fused_update_inc(n, frames, wts, batch_tile=bt)
+            fn = build_fused_update_inc(n, frames, wts, batch_tile=bt,
+                                        megacore=mega)
 
             def multi(grav, hist, ssum, pcm, fn=fn):
                 def body(c, k):
@@ -130,16 +140,19 @@ def learn_batch_tile(n: int, frames: int, batch: int = 128,
 
             from glava_tpu.utils.timing import probed_slope
 
-            results[bt] = probed_slope(step_once, 3, 9) / scan_len
+            results[(bt, mega)] = probed_slope(step_once, 3, 9) / scan_len
         except Exception:
             continue
     if not results:
-        return {"batch_tile": DEFAULT_TILE, "us_per_iter": None}
+        return {"batch_tile": DEFAULT_TILE, "megacore": DEFAULT_MEGACORE,
+                "us_per_iter": None}
     best = min(results, key=results.get)
     return {
-        "batch_tile": best,
+        "batch_tile": best[0],
+        "megacore": best[1],
         "us_per_iter": round(results[best] * 1e6, 1),
-        "all": {str(k): round(v * 1e6, 1) for k, v in results.items()},
+        "all": {f"bt{k[0]}_mc{int(k[1])}": round(v * 1e6, 1)
+                for k, v in results.items()},
     }
 
 

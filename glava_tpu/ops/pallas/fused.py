@@ -516,6 +516,7 @@ def build_fused_update_inc(
     texture_clamp: bool = True,
     fast_math: bool = False,
     interpret: bool = False,
+    megacore: bool = False,
 ):
     """Ring-history variant of the fused update (the kernel the
     pipeline uses when the opt-in Pallas path is selected via
@@ -721,7 +722,13 @@ def build_fused_update_inc(
                 jax.ShapeDtypeStruct((Btot, 2, m), jnp.float32),
             ],
             input_output_aliases={6: 0, 7: 1, 8: 2},
-            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            # megacore: batch tiles are disjoint (per-row DMAs + aliased
+            # HBM history rows), so the grid may split across the two
+            # TensorCores
+            compiler_params=pltpu.CompilerParams(
+                has_side_effects=True,
+                dimension_semantics=(("parallel",) if megacore else None),
+            ),
             cost_estimate=pl.CostEstimate(
                 flops=Btot * (8 * m * (m1 + m2) + 2 * m * F),
                 bytes_accessed=4 * Btot * (n + 2 * m * (F + 1) + 8 * m),

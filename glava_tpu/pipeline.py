@@ -203,11 +203,13 @@ class AudioPipeline:
             from glava_tpu.ops.pallas.fused import build_fused_update_inc
             from glava_tpu.ops.autotune import best_batch_tile
 
+            tile, megacore = best_batch_tile(self.sz, cfg.avg_frames)
             self._fused = build_fused_update_inc(
                 self.sz,
                 cfg.avg_frames,
                 tuple(float(w) for w in np.asarray(self.avg_weights)),
-                batch_tile=best_batch_tile(self.sz, cfg.avg_frames),
+                batch_tile=tile,
+                megacore=megacore,
                 fast_math=os.environ.get("GLAVA_TPU_FAST_MATH", "") == "1",
             )
         else:

@@ -164,13 +164,14 @@ def test_autotune_wisdom_roundtrip(tmp_path, monkeypatch):
 
     monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path))
     autotune._cache = None
-    assert autotune.best_batch_tile(4096, 5) == autotune.DEFAULT_TILE
+    assert autotune.best_batch_tile(4096, 5) == (
+        autotune.DEFAULT_TILE, autotune.DEFAULT_MEGACORE)
     # seed a wisdom entry and check it is honored
     key = autotune._key(4096, 5)
     autotune._cache = {key: {"batch_tile": 4}}
     autotune._save(autotune._cache)
     autotune._cache = None
-    assert autotune.best_batch_tile(4096, 5) == 4
+    assert autotune.best_batch_tile(4096, 5) == (4, autotune.DEFAULT_MEGACORE)
     autotune._cache = None
 
 

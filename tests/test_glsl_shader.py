@@ -835,3 +835,35 @@ def test_graph_aa_verbatim_through_col_lookup(tmp_path, monkeypatch):
     frac = (np.abs(a - b).max(axis=-1) > 1 / 255).mean()
     assert frac <= 0.02, f"{frac:.4%} pixels deviate"
     assert ((a[..., 3] > 0) & (a[..., 3] < 0.99)).mean() > 0.005
+
+
+def test_dfdx_dfdy_fwidth_quad_semantics(tmp_path):
+    """Screen-space derivatives use GL's coarse 2x2-quad rule: both
+    fragments of a pixel pair see the same odd-even difference."""
+    mod = tmp_path / "dd"
+    mod.mkdir()
+    (mod / "1.frag").write_text(
+        "in vec4 gl_FragCoord;\n"
+        "out vec4 fragment;\n"
+        "void main() {\n"
+        "  float v = gl_FragCoord.x * gl_FragCoord.x * 0.004\n"
+        "          + gl_FragCoord.y * 0.05;\n"
+        "  fragment = vec4(dFdx(v), dFdy(v), fwidth(v) * 0.5, 1);\n"
+        "}\n"
+    )
+    (tmp_path / "rc.glsl").write_text(
+        "#request mod dd\n#request setgeometry 0 0 8 4\n"
+        "#request setbufsize 1024\n#request setsamplesize 256\n"
+        "#request setprintframes false\n"
+    )
+    lc = loader.load(user_dir=tmp_path)
+    f = _render(lc, n=1)
+    x = np.arange(8) + 0.5
+    y = (np.arange(4) + 0.5)[:, None]
+    v = x * x * 0.004 + y * 0.05
+    ddx = np.repeat(v[:, 1::2] - v[:, 0::2], 2, axis=1)   # quad pairs
+    ddy = np.repeat(v[1::2, :] - v[0::2, :], 2, axis=0)
+    np.testing.assert_allclose(f[..., 0], ddx, atol=1e-5)
+    np.testing.assert_allclose(f[..., 1], ddy, atol=1e-5)
+    np.testing.assert_allclose(f[..., 2], (np.abs(ddx) + np.abs(ddy)) / 2,
+                               atol=1e-5)

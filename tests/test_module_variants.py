@@ -117,3 +117,58 @@ def test_graph_antialias_inverted(tmp_path):
     # inverted graph hangs from the top: content in the upper half
     assert (f[f.shape[0] // 2:, :, 3] > 0).any()
     assert ((f[..., 3] > 0) & (f[..., 3] < 1)).any()  # feathered pixels
+
+
+# ---------------------------------------------------------------------------
+# Interpreter-vs-native PARITY over the documented knob matrix: each
+# module's verbatim reference .frag files run through the GLSL
+# interpreter with the knob override and must match the native jnp
+# module pixel-for-pixel (tolerances as in test_glsl_shader's verbatim
+# suite). Every knob documented in bars.glsl / radial.glsl / graph.glsl
+# is exercised at a non-default value at least once.
+# ---------------------------------------------------------------------------
+
+PARITY_MATRIX = [
+    # bars.glsl knobs
+    ("bars", (128, 96), 0.002, "#define BAR_WIDTH 3\n#define BAR_GAP 2\n"),
+    ("bars", (128, 96), 0.002,
+     "#define BAR_OUTLINE_WIDTH 2\n#define AMPLIFY 200\n"),
+    ("bars", (128, 96), 0.002, "#define USE_ALPHA 1\n"),
+    ("bars", (128, 96), 0.002, "#define DIRECTION 1\n#define INVERT 1\n"),
+    ("bars", (96, 128), 0.002, "#define FLIP 1\n#define MIRROR_YX 1\n"),
+    ("bars", (128, 96), 0.002, "#define GRADIENT 40\n#define C_LINE 2\n"),
+    ("bars", (128, 96), 0.002,
+     "#define DISABLE_MONO 1\n#define COLOR #ff3344\n"),
+    # radial.glsl knobs
+    ("radial", (200, 200), 0.002,
+     "#define C_RADIUS 40\n#define NBARS 96\n#define BAR_WIDTH 3.0\n"),
+    ("radial", (200, 200), 0.002, "#define ROTATE 0.5\n#define INVERT 1\n"),
+    ("radial", (200, 200), 0.002,
+     "#define BAR_OUTLINE_WIDTH 2\n#define AMPLIFY 200\n"),
+    ("radial", (200, 200), 0.002,
+     "#define CENTER_OFFSET_X 10\n#define CENTER_OFFSET_Y -8\n"
+     "#define C_LINE 1\n"),
+    ("radial", (200, 200), 0.002,
+     "#define BAR_ALIAS_FACTOR 2.0\n#define C_ALIAS_FACTOR 1.0\n"
+     "#define GRADIENT 50\n"),
+    # graph.glsl knobs
+    ("graph", (128, 96), 0.02, "#define VSCALE 200\n#define DIRECTION -1\n"),
+    ("graph", (128, 96), 0.02,
+     "#define DRAW_OUTLINE 1\n#define DRAW_HIGHLIGHT 0\n"),
+    ("graph", (128, 96), 0.02,
+     "#define JOIN_CHANNELS 1\n#define GRADIENT 40\n"),
+    ("graph", (128, 96), 0.02, "#define INVERT 1\n#define ANTI_ALIAS 1\n"),
+]
+
+
+@pytest.mark.parametrize(
+    "module,screen,px_tol,knobs", PARITY_MATRIX,
+    ids=[f"{m}-{k.split()[1]}" for m, _, __, k in PARITY_MATRIX])
+def test_knob_variant_matches_verbatim_shader(tmp_path, module, screen,
+                                              px_tol, knobs):
+    from tests.test_glsl_shader import _compare_verbatim
+
+    a, b = _compare_verbatim(tmp_path, module, screen, knobs=knobs)
+    assert (a[..., 3] > 0).any(), "variant drew nothing"
+    frac = (np.abs(a - b).max(axis=-1) > 1 / 255).mean()
+    assert frac <= px_tol, f"{frac:.4%} pixels deviate"

@@ -175,3 +175,79 @@ def build_rowwise_lookup(n_rows: int, table_size: int, n_points: int,
         return fn(tabs, idx)[:n_rows, :n_points]
 
     return lookup
+
+
+@lru_cache(maxsize=None)
+def _build_rowwise_mc(N: int, T: int, P: int, R: int, C: int,
+                      interpret: bool):
+    """Multi-channel per-row tables sharing ONE index plane:
+    out[c][i, j] = tabs[c][i, idx[i, j]] — the index decode (lo/hi
+    split and the per-chunk selection masks) is computed once for all
+    C channels instead of once per channel."""
+    H = T // _LANES
+
+    def kernel(*refs):
+        tab_refs, idx_ref, out_refs = refs[:C], refs[C], refs[C + 1:]
+        idx = idx_ref[...]                            # (R, 128) int32
+        lo = jnp.bitwise_and(idx, _LANES - 1)
+        hi = jnp.right_shift(idx, 7)
+        accs = [jnp.zeros(idx.shape, jnp.float32) for _ in range(C)]
+        for h in range(H):
+            m = hi == h
+            for c in range(C):
+                rows = tab_refs[c][:, h * _LANES:(h + 1) * _LANES]
+                g = jnp.take_along_axis(rows, lo, axis=1)
+                accs[c] = jnp.where(m, g, accs[c])
+        for c in range(C):
+            out_refs[c][...] = accs[c]
+
+    def fn(tabs, idx):
+        # tabs: C arrays (N, T) f32; idx (N, P) int32
+        tab_spec = pl.BlockSpec((R, T), lambda i, j: (i, 0),
+                                memory_space=pltpu.VMEM)
+        pt_spec = pl.BlockSpec((R, _LANES), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kernel,
+            grid=(N // R, P // _LANES),
+            in_specs=[tab_spec] * C + [pt_spec],
+            out_specs=[pt_spec] * C,
+            out_shape=[jax.ShapeDtypeStruct((N, P), jnp.float32)] * C,
+            cost_estimate=pl.CostEstimate(
+                flops=N * P * H * 2 * C,
+                bytes_accessed=4 * N * (C * T + (1 + C) * P),
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(*tabs, idx)
+
+    return fn
+
+
+def build_rowwise_lookup_mc(n_rows: int, table_size: int, n_points: int,
+                            channels: int, tile_rows: int = 8,
+                            interpret: bool = False):
+    """Returns ``lookup(tabs tuple of C (N, T), idx (N, P) int32) ->
+    tuple of C (N, P) f32`` — the multi-channel form of
+    :func:`build_rowwise_lookup` (one shared index decode; used for
+    RGBA texture fetches at a data-dependent row plane)."""
+    T = ((table_size + _LANES - 1) // _LANES) * _LANES
+    P = ((n_points + _LANES - 1) // _LANES) * _LANES
+    R = tile_rows
+    N = ((n_rows + R - 1) // R) * R
+    fn = _build_rowwise_mc(N, T, P, R, channels, interpret)
+
+    def lookup(tabs, idx):
+        padded = []
+        for t in tabs:
+            t = t.astype(jnp.float32)
+            if t.shape != (N, T):
+                t = jnp.pad(t, ((0, N - t.shape[0]), (0, T - t.shape[1])))
+            padded.append(t)
+        if idx.shape != (N, P):
+            idx = jnp.pad(idx, ((0, N - idx.shape[0]),
+                                (0, P - idx.shape[1])))
+        outs = fn(tuple(padded), idx)
+        return tuple(o[:n_rows, :n_points] for o in outs)
+
+    return lookup

@@ -867,3 +867,119 @@ def test_dfdx_dfdy_fwidth_quad_semantics(tmp_path):
     np.testing.assert_allclose(f[..., 1], ddy, atol=1e-5)
     np.testing.assert_allclose(f[..., 2], (np.abs(ddx) + np.abs(ddy)) / 2,
                                atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Uniform-step walk fast path: while loops stepping a row-coordinate
+# variable by a constant lower their column-aligned prev fetches to
+# vertical dynamic-slice shifts (no gather). _WALK_HITS pins that the
+# path actually fires; parity on/off must be BIT-exact, including the
+# out-of-range and int(-0.5)==0 edge rows.
+# ---------------------------------------------------------------------------
+
+WALK_FRAG2 = """
+in vec4 gl_FragCoord;
+#request uniform "screen" screen
+uniform ivec2 screen;
+#request uniform "prev" tex
+uniform sampler2D tex;
+out vec4 fragment;
+
+float walk_up(float x, float oy) {
+    float y = oy;
+    while (y < screen.y + 3) {          /* deliberately walks OOB */
+        vec4 f = texelFetch(tex, ivec2(x, y), 0);
+        if (f.a <= 0) {
+            y -= 1;                      /* break-adjust write */
+            break;
+        }
+        y += 1;
+    }
+    return y;
+}
+
+float walk_down(float x, float oy) {
+    float y = oy;
+    while (y >= -2) {                    /* walks past row 0: int(-0.5)==0 */
+        vec4 f = texelFetch(tex, ivec2(x, y), 0);
+        if (f.a > 0) {
+            break;
+        }
+        y -= 1;
+    }
+    return y;
+}
+
+void main() {
+    float up = walk_up(gl_FragCoord.x - 1, gl_FragCoord.y);
+    float dn = walk_down(gl_FragCoord.x + 1, gl_FragCoord.y);
+    fragment = vec4(up / screen.y, dn / screen.y,
+                    texelFetch(tex, ivec2(gl_FragCoord.x, gl_FragCoord.y), 0).a,
+                    1.0);
+}
+"""
+
+
+def _walk_render(tmp_path, sub, walk_on, frag2=None):
+    import os
+    from glava_tpu.config import glsl_shader
+
+    d = tmp_path / sub
+    d.mkdir()
+    lc = _setup(d, frag2=frag2 or WALK_FRAG2)
+    old = os.environ.get("GLAVA_TPU_WALK_SHIFT")
+    os.environ["GLAVA_TPU_WALK_SHIFT"] = "1" if walk_on else "0"
+    glsl_shader._WALK_HITS[0] = 0
+    try:
+        f = _render(lc, n=3)
+    finally:
+        if old is None:
+            os.environ.pop("GLAVA_TPU_WALK_SHIFT", None)
+        else:
+            os.environ["GLAVA_TPU_WALK_SHIFT"] = old
+    return f, glsl_shader._WALK_HITS[0]
+
+
+def test_walk_shift_fast_path_bit_exact(tmp_path):
+    a, hits_on = _walk_render(tmp_path, "on", True)
+    b, hits_off = _walk_render(tmp_path, "off", False)
+    assert hits_on == 2, f"walk path should cover both loops, hit {hits_on}"
+    assert hits_off == 0
+    assert np.array_equal(a, b), (
+        f"walk shift must be bit-exact, max diff {np.abs(a - b).max()}"
+    )
+    # sanity: the walks produced varying per-column heights
+    assert np.unique(np.round(a[..., 0] * 96)).size > 3
+
+
+CONDITIONAL_STEP_FRAG2 = """
+in vec4 gl_FragCoord;
+#request uniform "screen" screen
+uniform ivec2 screen;
+#request uniform "prev" tex
+uniform sampler2D tex;
+out vec4 fragment;
+
+void main() {
+    float y = gl_FragCoord.y;
+    float acc = 0;
+    while (y < screen.y) {
+        vec4 f = texelFetch(tex, ivec2(gl_FragCoord.x, y), 0);
+        acc += f.a;
+        if (f.a > 0) {
+            y += 2;                      /* conditional step: NOT uniform */
+        }
+        y += 1;
+    }
+    fragment = vec4(acc / screen.y, y / screen.y, 0, 1);
+}
+"""
+
+
+def test_walk_shift_rejects_conditional_step(tmp_path):
+    a, hits = _walk_render(tmp_path, "cond", True,
+                           frag2=CONDITIONAL_STEP_FRAG2)
+    assert hits == 0, "conditional extra step must not be detected as a walk"
+    b, _ = _walk_render(tmp_path, "cond_off", False,
+                        frag2=CONDITIONAL_STEP_FRAG2)
+    assert np.array_equal(a, b)

@@ -56,6 +56,9 @@ def _chain_flops_per_window(pipe) -> int:
     if pipe.presmooth is not None and pipe.presmooth.matrix is not None:
         P, band = pipe.presmooth.matrix.shape
         presmooth = 2 * P * band
+    elif pipe.presmooth is not None and pipe.presmooth.banded is not None:
+        B, R, Kb = pipe.presmooth.banded.blocks.shape
+        presmooth = 2 * B * R * Kb  # block-banded einsum work
     return U * (window + fft + logmag + gravity + avg + presmooth)
 
 

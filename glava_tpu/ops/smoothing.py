@@ -56,6 +56,63 @@ class SmoothParams(NamedTuple):
     round_formula: str = "sinusoidal"  # ROUND_FORMULA
 
 
+class Banded(NamedTuple):
+    """Block-banded form of an average-mode resample matrix.
+
+    Each row's kernel only touches a CONTIGUOUS source window, and
+    windows drift monotonically with the output position — so blocks
+    of R consecutive rows share a padded window of Kb columns and the
+    whole operator is ONE batched (B, R, Kb) x (..., B, Kb) einsum.
+    At bufsize 16384 this is ~4.4x smaller than the dense matrix
+    (whose ~300 MB HLO-constant form exceeds remote-compile request
+    limits — the reason huge-buffer configs need the banded path) and
+    proportionally fewer MXU FLOPs."""
+
+    starts: np.ndarray   # (B,) first source column per block
+    blocks: np.ndarray   # (B, R, Kb) f32 weights
+    n_out: int           # valid output rows (B*R may overshoot)
+
+    def apply(self, vec: jax.Array) -> jax.Array:
+        B, R, Kb = self.blocks.shape
+        pad = [(0, 0)] * (vec.ndim - 1) + [(0, Kb)]
+        jvec = jnp.pad(vec, pad)
+        wins = jnp.stack(
+            [jax.lax.slice_in_dim(jvec, int(s), int(s) + Kb, axis=-1)
+             for s in self.starts], axis=-2)          # (..., B, Kb)
+        out = jnp.einsum(
+            "brk,...bk->...br", jnp.asarray(self.blocks), wins,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        return out.reshape(*out.shape[:-2], B * R)[..., : self.n_out]
+
+
+def _make_banded(mat: np.ndarray, tile: int = 128) -> Banded:
+    """Block-banded decomposition of a dense (P, S) kernel matrix whose
+    rows have contiguous support. Kb is the max per-block window width
+    rounded up to the 128-lane grid; apply() pads the source by Kb so
+    clamping start offsets is never needed."""
+    P, S = mat.shape
+    B = -(-P // tile)
+    padded = np.zeros((B * tile, S), np.float32)
+    padded[:P] = mat
+    starts, widths = [], []
+    for b in range(B):
+        blk = padded[b * tile:(b + 1) * tile]
+        nz = np.nonzero(blk.any(axis=0))[0]
+        c0 = int(nz[0]) if nz.size else 0
+        c1 = int(nz[-1]) + 1 if nz.size else 1
+        starts.append(c0)
+        widths.append(c1 - c0)
+    Kb = -(-max(widths) // 128) * 128
+    blocks = np.zeros((B, tile, Kb), np.float32)
+    for b, c0 in enumerate(starts):
+        blk = padded[b * tile:(b + 1) * tile]
+        wdt = min(Kb, S - c0)
+        blocks[b, :, :wdt] = blk[:, c0:c0 + wdt]
+    return Banded(np.asarray(starts, np.int64), blocks, P)
+
+
 class ResampleOp(NamedTuple):
     """Baked smooth_audio evaluated at P static positions."""
 
@@ -66,10 +123,17 @@ class ResampleOp(NamedTuple):
     idx: np.ndarray | None
     w: np.ndarray | None
     hybrid_weight: float
+    # average mode at large sizes: block-banded forms of `matrix` and
+    # of its even/odd column split (None = use the dense matmul)
+    banded: Banded | None = None
+    banded_re: Banded | None = None
+    banded_im: Banded | None = None
 
     def __call__(self, tex: jax.Array) -> jax.Array:
         """Apply to (..., sz) spectrum planes -> (..., P)."""
         if self.mode == "average":
+            if self.banded is not None:
+                return self.banded.apply(tex)
             m = jnp.asarray(self.matrix)
             # the log curve only ever samples the leading band of the
             # spectrum (scale_audio(1) * sz texels); the matrix is
@@ -98,6 +162,9 @@ class ResampleOp(NamedTuple):
         materializing the interleaved layout: the average matrix splits
         by column parity into two plane matmuls."""
         if self.mode == "average":
+            if self.banded_re is not None:
+                return (self.banded_re.apply(re)
+                        + self.banded_im.apply(im))
             m = self.matrix
             band = m.shape[1]
             wre = jnp.asarray(np.ascontiguousarray(m[:, 0::2]))
@@ -174,6 +241,20 @@ def build_resample(tex_sz: int, positions, params: SmoothParams) -> ResampleOp:
         band = int(nz[-1]) + 1 if nz.size else tex_sz
         band = min(-(-band // 128) * 128, tex_sz)
         mat = np.ascontiguousarray(mat[:, :band])
+        # large kernels go block-banded: same weights, a fraction of
+        # the storage/FLOPs, and no multi-hundred-MB HLO constant
+        # (GLAVA_TPU_BANDED=1/0 forces/disables; default: band > 2048)
+        import os
+
+        force = os.environ.get("GLAVA_TPU_BANDED", "")
+        use_banded = (force == "1" or (force != "0" and band > 2048))
+        if use_banded:
+            banded = _make_banded(mat)
+            banded_re = _make_banded(np.ascontiguousarray(mat[:, 0::2]))
+            banded_im = _make_banded(np.ascontiguousarray(mat[:, 1::2]))
+            return ResampleOp("average", None, None, None,
+                              params.hybrid_weight, banded,
+                              banded_re, banded_im)
         return ResampleOp("average", mat, None, None, params.hybrid_weight)
 
     K = max((len(t) for t, _ in rows), default=1) or 1

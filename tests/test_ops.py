@@ -196,3 +196,34 @@ def test_fft_update_texture_clamp():
     want = np.clip((hist * wts[:, None]).sum(axis=0), 0, 1)
     np.testing.assert_allclose(np.asarray(out), want, atol=2e-4)
     assert float(np.asarray(out).max()) <= 1.0
+
+
+def test_banded_resample_matches_dense(monkeypatch):
+    """Block-banded average resample (the huge-buffer form) agrees
+    with the dense matmul on both call forms."""
+    rng = np.random.default_rng(29)
+    sz = 4096
+    params = smoothing.SmoothParams()
+    pos = np.arange(sz, dtype=np.float64) / sz
+
+    monkeypatch.setenv("GLAVA_TPU_BANDED", "0")
+    dense = smoothing.build_resample(sz, pos, params)
+    monkeypatch.setenv("GLAVA_TPU_BANDED", "1")
+    banded = smoothing.build_resample(sz, pos, params)
+    assert dense.banded is None and banded.banded is not None
+    # the banded blocks store a fraction of the dense band
+    B, R, Kb = banded.banded.blocks.shape
+    assert B * R * Kb < dense.matrix.shape[0] * dense.matrix.shape[1]
+
+    tex = rng.uniform(0, 1, size=(3, sz)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(banded(jnp.asarray(tex))),
+        np.asarray(dense(jnp.asarray(tex))), atol=2e-6)
+
+    m = sz // 2
+    re = rng.standard_normal((2, m)).astype(np.float32)
+    im = rng.standard_normal((2, m)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(banded.apply_planes(jnp.asarray(re), jnp.asarray(im))),
+        np.asarray(dense.apply_planes(jnp.asarray(re), jnp.asarray(im))),
+        atol=2e-6)

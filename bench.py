@@ -280,8 +280,12 @@ def main() -> None:
         print(f"heterogeneous fleet bench skipped: {e}",
               file=__import__("sys").stderr)
 
-    # ---- interpreted-verbatim section (reference bars.frag @1080p) -------
+    # ---- interpreted-verbatim section (reference shaders @1080p) ---------
+    # bars = the plain raster; graph+ANTI_ALIAS = the hardest shipped
+    # shader (data-dependent per-column boundary walks, lowered to
+    # first-hit column scans — see config/glsl_shader.py)
     interp_fps = None
+    interp_aa_fps = None
     try:
         import importlib.util as _ilu
         from pathlib import Path
@@ -292,6 +296,8 @@ def main() -> None:
         bi = _ilu.module_from_spec(spec)
         spec.loader.exec_module(bi)
         interp_fps = round(bi.bench_module("bars"), 1)
+        interp_aa_fps = round(
+            bi.bench_module("graph", knobs="#define ANTI_ALIAS 1\n"), 1)
     except Exception as e:
         print(f"interpreted bench skipped: {e}",
               file=__import__("sys").stderr)
@@ -382,6 +388,7 @@ def main() -> None:
             "wave_1080p_fps": round(wave_fps, 1) if wave_fps else None,
             "heterogeneous_fleet_64": fleet_fps,
             "interpreted_verbatim_bars_1080p_fps": interp_fps,
+            "interpreted_verbatim_graph_aa_1080p_fps": interp_aa_fps,
             # device-side time per full PCM->frame step (the latency a
             # locally-attached chip would see; the single-dispatch p50
             # below is dominated by this environment's network tunnel)

@@ -119,32 +119,38 @@ class BatchedRenderer:
     def sharded_step(self, mesh: Mesh):
         """jit the batched step with streams/rows shardings on `mesh`.
 
-        Streams shard over the 'streams' axis (DP over streams); the
-        output frame is additionally constrained to split its row axis
-        over 'rows' (spatial parallelism) — XLA all-gathers the small
-        spectrum textures and partitions the raster math.
+        Streams shard over the stream axes (DP over streams — on a
+        multi-host mesh that is ('hosts', 'streams'), with the hosts
+        axis carrying zero per-step collectives since streams are
+        independent); the output frame is additionally constrained to
+        split its row axis over 'rows' (spatial parallelism) — XLA
+        all-gathers the small spectrum textures and partitions the
+        raster math.
         """
-        s = NamedSharding(mesh, P("streams"))
+        from glava_tpu.parallel.mesh import frame_sharding, stream_sharding
+
+        s = stream_sharding(mesh)
+        fr = frame_sharding(mesh)
         r = NamedSharding(mesh, P())
 
         def step(state, audio, modified, time, interp_mod, gravity_g, pipe):
             st, frame = self.step(
                 state, audio, modified, time, interp_mod, gravity_g, pipe
             )
-            frame = jax.lax.with_sharding_constraint(
-                frame, NamedSharding(mesh, P("streams", "rows"))
-            )
+            frame = jax.lax.with_sharding_constraint(frame, fr)
             return st, frame
 
         return jax.jit(
             step,
             in_shardings=(s, s, s, s, s, s, r),
-            out_shardings=(s, NamedSharding(mesh, P("streams", "rows"))),
+            out_shardings=(s, fr),
             donate_argnums=(0,),
         )
 
     def shard_state(self, state: RenderState, mesh: Mesh) -> RenderState:
-        s = NamedSharding(mesh, P("streams"))
+        from glava_tpu.parallel.mesh import stream_sharding
+
+        s = stream_sharding(mesh)
         return jax.tree.map(lambda x: jax.device_put(x, s), state)
 
 
@@ -288,7 +294,9 @@ class MixedBatchedRenderer:
         return RenderState(chains, key_start, key_end), frames
 
     def shard_state(self, state: RenderState, mesh: Mesh) -> RenderState:
-        s = NamedSharding(mesh, P("streams"))
+        from glava_tpu.parallel.mesh import stream_sharding
+
+        s = stream_sharding(mesh)
         return jax.tree.map(lambda x: jax.device_put(x, s), state)
 
 

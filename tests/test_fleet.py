@@ -263,3 +263,48 @@ def test_row_sharded_raster_no_full_frame_allgather():
     )
     shard_shapes = {sh.data.shape for sh in frame.addressable_shards}
     assert shard_shapes == {(2, 64, 256, 4)}, shard_shapes
+
+
+def test_hosts_mesh_stream_dp_zero_collectives():
+    """Multi-host recipe: on a ('hosts','streams','rows') mesh the
+    stream-DP step compiles to ZERO collectives (per-step DCN traffic
+    is none) and matches the unsharded step exactly."""
+    import re
+
+    import jax
+    from glava_tpu.config import loader
+    from glava_tpu.parallel.batch import BatchedRenderer, example_batch
+    from glava_tpu.parallel.mesh import make_mesh, stream_sharding
+
+    mesh = make_mesh(jax.devices()[:8], hosts=2, rows=1)
+    assert mesh.axis_names == ("hosts", "streams", "rows")
+    lc = loader.load(
+        cli_requests=("setgeometry 0 0 64 64", "setbufsize 256",
+                      "setsamplesize 64", "setprintframes false"),
+        force_module="bars",
+    )
+    br = BatchedRenderer(lc, n_streams=8)
+    step = br.sharded_step(mesh)
+    state = br.shard_state(br.init_state(), mesh)
+    ex = example_batch(br)
+    s = stream_sharding(mesh)
+    args = {k: jax.device_put(v, s) for k, v in ex.items()}
+    txt = step.lower(
+        state, args["audio"], args["modified"], args["time"],
+        args["interp_mod"], args["gravity_g"], {},
+    ).compile().as_text()
+    assert re.search(
+        r"all-gather|all-reduce|collective-permute|reduce-scatter"
+        r"|all-to-all", txt, re.IGNORECASE) is None
+
+    state, frame = step(
+        state, args["audio"], args["modified"], args["time"],
+        args["interp_mod"], args["gravity_g"], {},
+    )
+    _, ref = jax.jit(br.step)(
+        br.init_state(), ex["audio"], ex["modified"], ex["time"],
+        ex["interp_mod"], ex["gravity_g"], {},
+    )
+    import jax.numpy as jnp
+
+    assert float(jnp.max(jnp.abs(frame - ref))) <= 1e-5

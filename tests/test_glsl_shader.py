@@ -983,3 +983,36 @@ def test_walk_shift_rejects_conditional_step(tmp_path):
     b, _ = _walk_render(tmp_path, "cond_off", False,
                         frag2=CONDITIONAL_STEP_FRAG2)
     assert np.array_equal(a, b)
+
+
+ACCUM_WALK_FRAG2 = """
+in vec4 gl_FragCoord;
+#request uniform "screen" screen
+uniform ivec2 screen;
+#request uniform "prev" tex
+uniform sampler2D tex;
+out vec4 fragment;
+
+void main() {
+    float y = gl_FragCoord.y;
+    float acc = 0;
+    while (y < screen.y) {               /* extra carried var `acc`:   */
+        vec4 f = texelFetch(tex, ivec2(gl_FragCoord.x, y), 0);
+        if (f.a <= 0) { break; }         /* first-hit lowering bails,  */
+        acc += f.r;                      /* the per-iteration walk-    */
+        y += 1;                          /* SHIFT fast path serves the */
+    }                                    /* fetch instead              */
+    fragment = vec4(acc / screen.y, y / screen.y, 0, 1);
+}
+"""
+
+
+def test_walk_shift_serves_non_first_hit_loops(tmp_path):
+    """A uniform-step walk with extra carried state rejects the
+    first-hit scan but still gets gather-free dynamic-slice fetches;
+    parity with the general path is bit-exact."""
+    a, hits = _walk_render(tmp_path, "acc", True, frag2=ACCUM_WALK_FRAG2)
+    b, _ = _walk_render(tmp_path, "acc_off", False, frag2=ACCUM_WALK_FRAG2)
+    assert hits >= 1
+    assert np.array_equal(a, b)
+    assert np.unique(np.round(a[..., 0] * 96)).size > 3  # accumulated data

@@ -582,6 +582,14 @@ class _Exec:
         self.h, self.w = h, w
         jnp = _jnp()
         self.mask = jnp.ones((h, w), bool)
+        # identity-tracked pristine mask: assignments under it skip the
+        # where-merge entirely (where(True, new, old) == new), so
+        # top-level global writes like `half_w = screen.x / 2` keep
+        # CONCRETE numpy values instead of becoming traced planes —
+        # load-bearing for every downstream fast path that inspects
+        # coordinate math (constant shifts, walk detection,
+        # axis-constant smooth_audio sampling)
+        self._full_mask = self.mask
         self._frames: list[dict] = []  # function scopes: name -> (had, old)
         self._fn_stack: list[dict] = []  # per-call return bookkeeping
         self._loop_stack: list[dict] = []  # break/continue bookkeeping
@@ -657,7 +665,8 @@ class _Exec:
         jnp = _jnp()
         old = self.env.variables.get(name)
         mask = self.mask
-        if old is None or mask is None or (isinstance(mask, bool) and mask):
+        if old is None or mask is None or (isinstance(mask, bool) and mask) \
+                or mask is self._full_mask:
             self.env.variables[name] = value
             return
 
@@ -2190,12 +2199,30 @@ def make_builtins(prev, sz: int, h: int, w: int, smooth_fetch):
         return (conv(x), conv(y))
 
     def smooth_audio(tex, _sz, idx):
-        return smooth_fetch(tex, jnp.clip(jnp.asarray(idx), 0.0, 1.0))
+        # CONCRETE positions stay numpy through the clamp so the
+        # sampler can see their structure: a column-constant index
+        # plane (bars/graph — position depends only on x) needs ONE
+        # row of fetches broadcast over H, not a 2M-point lookup.
+        # max/min/clip commute with the f32 downcast (monotone, exact
+        # bounds), so values match the traced path bitwise.
+        import jax.core
+
+        if isinstance(idx, jax.core.Tracer):
+            return smooth_fetch(tex, jnp.clip(jnp.asarray(idx), 0.0, 1.0))
+        return smooth_fetch(tex, np.clip(np.asarray(idx), 0.0, 1.0))
 
     def smooth_audio_adj(tex, _sz, idx, pixel):
-        a = smooth_audio(tex, _sz, jnp.maximum(idx - pixel, 0.0))
-        b = smooth_audio(tex, _sz, idx)
-        c = smooth_audio(tex, _sz, jnp.minimum(idx + pixel, 1.0))
+        import jax.core
+
+        if isinstance(idx, jax.core.Tracer) \
+                or isinstance(pixel, jax.core.Tracer):
+            a = smooth_audio(tex, _sz, jnp.maximum(idx - pixel, 0.0))
+            b = smooth_audio(tex, _sz, idx)
+            c = smooth_audio(tex, _sz, jnp.minimum(idx + pixel, 1.0))
+        else:
+            a = smooth_audio(tex, _sz, np.maximum(idx - pixel, 0.0))
+            b = smooth_audio(tex, _sz, idx)
+            c = smooth_audio(tex, _sz, np.minimum(idx + pixel, 1.0))
         return (a + b + c) / 3.0
 
     # screen-space derivatives with GL's 2x2-quad semantics: within

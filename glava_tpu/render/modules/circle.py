@@ -147,20 +147,45 @@ def _per_pixel_sampler(ctx: base.ModuleContext):
     positions differ from texel centers by < 1/sz (documented
     deviation; the reference default has smooth_pass enabled).
     """
+    import jax.core
+
     from glava_tpu.config.glsl_shader import _fetch_1d
 
     sz = ctx.sz
+
+    def indices(pos):
+        """Texel indices for `pos`, keeping CONCRETE positions numpy.
+
+        Matches the traced path bitwise: f32 multiply, round-half-to-
+        even, int cast (clip happens in _fetch_1d either way)."""
+        if isinstance(pos, jax.core.Tracer):
+            return jnp.round(pos * sz).astype(jnp.int32)
+        p32 = np.asarray(pos).astype(np.float32)
+        return np.round(p32 * np.float32(sz)).astype(np.int32)
+
+    def sample(tex, i):
+        """tex[i] exploiting index-plane structure when concrete: an
+        axis-constant (H, W) plane (bars/graph sample by column only)
+        fetches ONE axis of points and broadcasts — ~1000x less lookup
+        work than the full-plane path."""
+        if isinstance(i, np.ndarray) and i.ndim == 2:
+            h2, w2 = i.shape
+            if np.array_equal(i, np.broadcast_to(i[0:1, :], i.shape)):
+                row = _fetch_1d(tex, jnp.asarray(i[0]), sz)
+                return jnp.broadcast_to(row[None, :], (h2, w2))
+            if np.array_equal(i, np.broadcast_to(i[:, 0:1], i.shape)):
+                col = _fetch_1d(tex, jnp.asarray(i[:, 0]), sz)
+                return jnp.broadcast_to(col[:, None], (h2, w2))
+        return _fetch_1d(tex, jnp.asarray(i), sz)
+
     if ctx.cfg.smooth_pass:
         def fetch(tex, pos):
-            i = jnp.round(pos * sz).astype(jnp.int32)
-            return _fetch_1d(tex, i, sz)
+            return sample(tex, indices(pos))
         return fetch
     op = smoothing.presmooth_op(sz, ctx.smooth_params)
 
     def fetch(tex, pos):
-        pre = op(tex)
-        i = jnp.round(pos * sz).astype(jnp.int32)
-        return _fetch_1d(pre, i, sz)
+        return sample(op(tex), indices(pos))
 
     return fetch
 

@@ -506,7 +506,15 @@ def extract_functions(text: str) -> tuple[dict[str, FuncDef], str]:
                 depth -= 1
             j += 1
         name = m.group(2)
-        if name not in _BUILTIN_NAMES:
+        # GLAVA_TPU_INTERPRET_SMOOTH=1: keep the GLSL definitions of
+        # the smoothing helpers instead of the baked-operator builtins
+        # — the differential cross-check interprets the reference's
+        # ACTUAL smooth.glsl loop against ops/smoothing
+        # (tests/test_refdsp_differential.py)
+        import os
+
+        keep = (os.environ.get("GLAVA_TPU_INTERPRET_SMOOTH", "") == "1")
+        if name not in _BUILTIN_NAMES or keep:
             body_text = "{" + text[m.end():j]
             body = _StmtParser(tokenize(body_text)).parse_block()
             rettype = m.group(1)

@@ -435,7 +435,17 @@ def preprocess_shader_source(
         # #version / #line / unknown directives: dropped
     result = "\n".join(out)
     if ctx.fn_macros:
-        result = expand_function_macros(result, ctx.fn_macros)
+        # object-like defines whose body IS a function-like macro name
+        # (e.g. `#define ROUND_FORMULA sinusoidal` then
+        # `ROUND_FORMULA(x)`, smooth_parameters.glsl + smooth.glsl) —
+        # a C preprocessor expands the object macro first, then the
+        # call; register the alias so one pass handles both
+        macros = dict(ctx.fn_macros)
+        for dname, dval in ctx.defines.items():
+            tgt = str(dval).strip()
+            if tgt in ctx.fn_macros and dname not in macros:
+                macros[dname] = ctx.fn_macros[tgt]
+        result = expand_function_macros(result, macros)
     return result
 
 

@@ -1080,8 +1080,11 @@ class _Exec:
         else:
             yext = (np.arange(lo, hi, dtype=np.float64)
                     + frac).astype(np.float32)[:, None]     # (E, 1)
-            condV = eval_with(yname, yext, stmt.cond)
+            # exotic-but-allowed expressions may still fail to
+            # evaluate over the extended domain (e.g. tuple-typed
+            # comparisons) — fall back to the general lowering
             try:
+                condV = eval_with(yname, yext, stmt.cond)
                 pred0 = eval_with(fname, (np.float32(0.0),) * 4, s1.cond)
             except Exception:
                 return False
@@ -1112,7 +1115,10 @@ class _Exec:
             ext = ext_fn(("shift", 0), frac > 0, -1, h)     # (h+1, w) x4
             if ext is None:
                 return False
-            predP = eval_with(fname, ext, s1.cond)
+            try:
+                predP = eval_with(fname, ext, s1.cond)
+            except Exception:
+                return False
             a = jnp.asarray(predP)
             if a.dtype != jnp.bool_:
                 a = a != 0

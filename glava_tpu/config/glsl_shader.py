@@ -964,6 +964,12 @@ class _Exec:
             return False
         yname = carried[0]
         k, d, frac = walk_info[yname]
+        if abs(d) != 1:
+            # the row scan assumes every row in the walk direction is
+            # visited; |d| >= 2 walks skip rows (and decode the
+            # iteration count wrongly) — the dynamic-slice walk-shift
+            # path handles arbitrary integer steps exactly
+            return False
         h, w = self.h, self.w
         M = self._WALK_SCAN_MARGIN
         if not 0 <= k <= h + M:
@@ -1060,18 +1066,46 @@ class _Exec:
                 else:
                     env.variables.pop(name, None)
 
-        # The scan is computed ONCE per (pred, cond, d, k, frac)
-        # signature on the IDENTITY column mapping, and the x pattern
-        # is applied to the RESULT (first-event scans commute with
-        # column shifts): graph/3.frag's two get_col_height_up calls
-        # (x-1 and x+1) share one scan, and XLA CSEs its two identical
-        # down-walk calls. cond depends only on y, so the whole
-        # out-of-texture event structure (plus the all-out-of-range
-        # column vector) folds to CONCRETE numpy at trace time; only
-        # the in-texture rows [-1, h) need a runtime 2-D scan.
+        # The scan is computed ONCE per signature on the IDENTITY
+        # column mapping, and the x pattern is applied to the RESULT
+        # (first-event scans commute with column shifts):
+        # graph/3.frag's two get_col_height_up calls (x-1 and x+1)
+        # share one scan, and XLA CSEs its two identical down-walk
+        # calls. cond depends only on y, so the whole out-of-texture
+        # event structure (plus the all-out-of-range column vector)
+        # folds to CONCRETE numpy at trace time; only the in-texture
+        # rows [-1, h) need a runtime 2-D scan. The signature must
+        # include the VALUES of the scalar identifiers the conditions
+        # reference — same token shapes with different bound scalars
+        # (a helper called with different limits) are different scans.
+        def _freeze(v):
+            if isinstance(v, tuple):
+                return tuple(_freeze(c) for c in v)
+            if isinstance(v, bool):
+                return v
+            return float(np.asarray(v))
+
+        def scalar_vals(toks, skip):
+            tl = [t for t in (toks or []) if t[0] != "end"]
+            vals = []
+            for i, (kk, v) in enumerate(tl):
+                if kk != "ident" or v in skip:
+                    continue
+                if i > 0 and tl[i - 1] == ("op", "."):
+                    continue
+                if i + 1 < len(tl) and tl[i + 1] == ("op", "("):
+                    continue
+                try:
+                    vals.append((v, _freeze(env.lookup(v))))
+                except Exception:
+                    pass
+            return tuple(sorted(set(vals)))
+
         sig = (tuple(t for t in s1.cond if t[0] != "end"),
                tuple(t for t in stmt.cond if t[0] != "end"),
-               d, k, round(frac, 9))
+               d, k, round(frac, 9),
+               scalar_vals(s1.cond, {fname}),
+               scalar_vals(stmt.cond, {yname}))
         cache = getattr(self, "_fh_cache", None)
         if cache is None:
             cache = self._fh_cache = {}
@@ -1147,10 +1181,16 @@ class _Exec:
             if not self._loop_stack:
                 cache[sig] = (fkI, oob_first)
 
-        # apply the x pattern to the RESULT plane; columns shifted in
-        # from outside the texture read black at every row, so their
+        # apply the x pattern to the RESULT plane; columns read from
+        # outside the texture see black at every row, so their
         # first-event is the all-out-of-range column vector
-        if px[1] == 0:
+        if px[0] == "const":
+            c = px[1]
+            if 0 <= c < w:  # every pixel reads column c's scan
+                fk = jnp.broadcast_to(fkI[:, c:c + 1], (h, w))
+            else:
+                fk = jnp.broadcast_to(oob_first, (h, w))
+        elif px[1] == 0:
             fk = fkI
         else:
             fk = _apply_axis(fkI, px, 1, w)
@@ -1213,6 +1253,8 @@ class _Exec:
         # a VALUED return inside the loop merges into the enclosing
         # function's return value, which must then ride the carry
         fr = self._fn_stack[-1] if self._fn_stack else None
+        has_ret = (_contains_return(stmt.body)
+                   or _contains_return(stmt.epilogue))
         carry_val = (fr is not None
                      and (_contains_return(stmt.body, valued=True)
                           or _contains_return(stmt.epilogue, valued=True)))
@@ -1278,10 +1320,11 @@ class _Exec:
         # via GLAVA_TPU_WHILE_FUEL (fuel_cap computed above)
         carry0 = {
             "_active": outer_mask & self._cond_mask(stmt.cond),
-            "_returned": jnp.zeros((h, w), bool),
             "_fuel": jnp.asarray(0, jnp.int32),
             "vars": {n: env.variables[n] for n in carried},
         }
+        if has_ret:  # no lexical return -> no retirement plane to carry
+            carry0["_returned"] = jnp.zeros((h, w), bool)
         if carry_val:
             if fr["value"] is None:
                 fr["value"] = _zero_retval(fr.get("rettype", "float"), h, w)
@@ -1331,10 +1374,11 @@ class _Exec:
             nxt = self.mask & self._cond_mask(stmt.cond)
             out = {
                 "_active": nxt,
-                "_returned": c["_returned"] | rctx["mask"],
                 "_fuel": c["_fuel"] + 1,
                 "vars": {n: canon(env.variables[n]) for n in carried},
             }
+            if has_ret:
+                out["_returned"] = c["_returned"] | rctx["mask"]
             if carry_val:
                 out["_fnval"] = canon(fr["value"])
             return out
@@ -1364,13 +1408,22 @@ class _Exec:
             env.variables[n] = res["vars"][n]
         if carry_val:
             fr["value"] = res["_fnval"]
-        # in-loop `return` retires pixels beyond the loop; chain the
-        # plane into an enclosing while at the same function depth
-        self.mask = outer_mask & ~res["_returned"]
-        if (self._ret_stack
-                and self._ret_stack[-1]["fn_depth"] == len(self._fn_stack)):
-            rc = self._ret_stack[-1]
-            rc["mask"] = rc["mask"] | res["_returned"]
+        if has_ret:
+            # in-loop `return` retires pixels beyond the loop; chain
+            # the plane into an enclosing while at the same fn depth
+            self.mask = outer_mask & ~res["_returned"]
+            if (self._ret_stack
+                    and self._ret_stack[-1]["fn_depth"]
+                    == len(self._fn_stack)):
+                rc = self._ret_stack[-1]
+                rc["mask"] = rc["mask"] | res["_returned"]
+        else:
+            # restore the EXACT pre-loop mask object: when it was the
+            # pristine all-true mask, keeping its identity lets
+            # subsequent top-level assignments stay concrete numpy
+            # (the load-bearing property from the pristine-mask
+            # passthrough) instead of becoming traced planes
+            self.mask = outer_mask
 
     @staticmethod
     def _component(val, swizzle):
@@ -1971,16 +2024,20 @@ def make_builtins(prev, sz: int, h: int, w: int, smooth_fetch):
         if px is None:
             return None
         base = _apply_axis(prev, px, 1, w)  # loop-invariant: hoisted
-        s = jnp.clip(e.offset, -h, h)
+        # clip range [-(h+1), h]: offsets beyond either end are fully
+        # out of range for EVERY row, and -(h+1) keeps one all-black
+        # row below the fracpos nearrow so a deeper-than-h walk does
+        # not alias onto the int(-0.5)==0 row-0 copy
+        s = jnp.clip(e.offset, -(h + 1), h)
         out = []
         for c in range(4):
             ch = base[..., c]
             nearrow = (ch[0:1, :] if e.fracpos
                        else jnp.zeros((1, w), ch.dtype))
             padded = jnp.concatenate(
-                [jnp.zeros((h - 1, w), ch.dtype), nearrow, ch,
+                [jnp.zeros((h, w), ch.dtype), nearrow, ch,
                  jnp.zeros((h, w), ch.dtype)], axis=0)
-            out.append(lax.dynamic_slice(padded, (h + s, 0), (h, w)))
+            out.append(lax.dynamic_slice(padded, (h + 1 + s, 0), (h, w)))
         _WALK_HITS[0] += 1
         return tuple(out)
 

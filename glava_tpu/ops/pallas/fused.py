@@ -50,6 +50,20 @@ from glava_tpu.ops.fft import _dft_matrix, _split
 from glava_tpu.ops import windows as win
 
 
+def _age_weights(avg_weights, frames: int) -> tuple:
+    """Averaging weights in AGE order for the ring kernels.
+
+    ``avg_weights`` arrive POSITIONAL oldest-first (windows.avg_weights
+    convention, = avg_apply's history axis); the kernels' ring math
+    indexes weights by AGE (``w[(slot - s) mod F]``, age 0 = newest),
+    so reverse. With the true asymmetric (shifted-macro) curves the
+    order is observable — symmetric transcriptions used to mask it.
+    Single source of truth for every fused builder."""
+    wts = tuple(float(w) for w in avg_weights)[::-1]
+    assert len(wts) == frames
+    return wts
+
+
 def _pallas_split(m: int) -> tuple[int, int]:
     """m = m1 * m2 with m1 = 128: the final (k2, k1) -> flat collapse
     is lane-aligned (Mosaic only supports minor-dim reshapes at the
@@ -102,13 +116,7 @@ def build_fused_update(
     """
     (m, m1, m2, w1r, w1i, w2r, w2i, tr, ti, boost_re, boost_im) = _constants(n)
     F = frames
-    # avg_weights arrive POSITIONAL oldest-first (windows.avg_weights
-    # convention, = avg_apply's history axis); this kernel's ring math
-    # indexes weights by AGE (w[(slot - s) mod F], age 0 = newest), so
-    # reverse. With the true asymmetric (shifted-macro) curves the
-    # order is observable — symmetric transcriptions used to mask it.
-    wts = tuple(float(w) for w in avg_weights)[::-1]
-    assert len(wts) == F
+    wts = _age_weights(avg_weights, F)
     window = win.pcm_window(n)
     # fast_math trades exact f32 FFT matmuls for single-pass bf16 MXU
     # (visually indistinguishable spectra; opt-in via
@@ -351,13 +359,7 @@ def build_fused_update_ring(
     """
     (m, m1, m2, w1r, w1i, w2r, w2i, tr, ti, boost_re, boost_im) = _constants(n)
     F = frames
-    # avg_weights arrive POSITIONAL oldest-first (windows.avg_weights
-    # convention, = avg_apply's history axis); this kernel's ring math
-    # indexes weights by AGE (w[(slot - s) mod F], age 0 = newest), so
-    # reverse. With the true asymmetric (shifted-macro) curves the
-    # order is observable — symmetric transcriptions used to mask it.
-    wts = tuple(float(w) for w in avg_weights)[::-1]
-    assert len(wts) == F
+    wts = _age_weights(avg_weights, F)
     window = win.pcm_window(n)
     _prec = (jax.lax.Precision.DEFAULT if fast_math
              else jax.lax.Precision.HIGHEST)
@@ -551,13 +553,7 @@ def build_fused_update_inc(
     """
     (m, m1, m2, w1r, w1i, w2r, w2i, tr, ti, boost_re, boost_im) = _constants(n)
     F = frames
-    # avg_weights arrive POSITIONAL oldest-first (windows.avg_weights
-    # convention, = avg_apply's history axis); this kernel's ring math
-    # indexes weights by AGE (w[(slot - s) mod F], age 0 = newest), so
-    # reverse. With the true asymmetric (shifted-macro) curves the
-    # order is observable — symmetric transcriptions used to mask it.
-    wts = tuple(float(w) for w in avg_weights)[::-1]
-    assert len(wts) == F
+    wts = _age_weights(avg_weights, F)
     window = win.pcm_window(n)
     _prec = (jax.lax.Precision.DEFAULT if fast_math
              else jax.lax.Precision.HIGHEST)

@@ -183,10 +183,19 @@ def _build(name: str, files: list[Path], ctx: base.ModuleContext,
                     functions=builtins,
                 )
                 ex = _Exec(env, h, w)
-                ex.bind_functions(program.funcs)
-                ex.run(program.pre_body)
-                ex.run(program.body)
-                frag = env.variables.get("fragment", (0.0, 0.0, 0.0, 0.0))
+                try:
+                    ex.bind_functions(program.funcs)
+                    ex.run(program.pre_body)
+                    ex.run(program.body)
+                    frag = env.variables.get("fragment",
+                                             (0.0, 0.0, 0.0, 0.0))
+                finally:
+                    # don't pin this pass's tracers/provenance beyond
+                    # its trace via the module-level current-exec hook
+                    import glava_tpu.config.glsl_shader as _gs
+
+                    if _gs._CURRENT_EXEC is ex:
+                        _gs._CURRENT_EXEC = None
                 arr = glsl_expr.to_rgba(frag)
                 return jnp.broadcast_to(arr, (h, w, 4)).astype(jnp.float32)
 

@@ -1016,3 +1016,141 @@ def test_walk_shift_serves_non_first_hit_loops(tmp_path):
     assert hits >= 1
     assert np.array_equal(a, b)
     assert np.unique(np.round(a[..., 0] * 96)).size > 3  # accumulated data
+
+
+# ---------------------------------------------------------------------------
+# First-hit / walk-shift regression pins (review findings): each of
+# these shapes previously diverged from the general masked-loop
+# lowering; all must now be BIT-exact against GLAVA_TPU_WALK_SHIFT=0.
+# ---------------------------------------------------------------------------
+
+SIG_COLLISION_FRAG2 = """
+in vec4 gl_FragCoord;
+#request uniform "screen" screen
+uniform ivec2 screen;
+#request uniform "prev" tex
+uniform sampler2D tex;
+out vec4 fragment;
+
+float walk(float x, float lim) {
+    float y = gl_FragCoord.y;
+    while (y < lim) {                    /* same tokens, DIFFERENT   */
+        vec4 f = texelFetch(tex, ivec2(x, y), 0);  /* bound scalars  */
+        if (f.a <= 0) { break; }
+        y += 1;
+    }
+    return y;
+}
+
+void main() {
+    float a = walk(gl_FragCoord.x, 5.0);
+    float b = walk(gl_FragCoord.x, 90.0);
+    fragment = vec4(a / screen.y, b / screen.y, 0, 1);
+}
+"""
+
+STEP2_FRAG2 = """
+in vec4 gl_FragCoord;
+#request uniform "screen" screen
+uniform ivec2 screen;
+#request uniform "prev" tex
+uniform sampler2D tex;
+out vec4 fragment;
+
+void main() {
+    float y = gl_FragCoord.y;
+    while (y < screen.y) {
+        vec4 f = texelFetch(tex, ivec2(gl_FragCoord.x, y), 0);
+        if (f.a <= 0) { break; }
+        y += 2;                          /* |d| != 1: scan must bail */
+    }
+    fragment = vec4(y / (2.0 * screen.y), 0, 0, 1);
+}
+"""
+
+CONST_X_FRAG2 = """
+in vec4 gl_FragCoord;
+#request uniform "screen" screen
+uniform ivec2 screen;
+#request uniform "prev" tex
+uniform sampler2D tex;
+out vec4 fragment;
+
+void main() {
+    float y = gl_FragCoord.y;
+    while (y < screen.y) {               /* fixed column 3: ('const') */
+        vec4 f = texelFetch(tex, ivec2(3, y), 0);
+        if (f.a <= 0) { break; }
+        y += 1;
+    }
+    float z = gl_FragCoord.y;
+    while (z < screen.y) {               /* out-of-range fixed column */
+        vec4 f = texelFetch(tex, ivec2(screen.x + 7, z), 0);
+        if (f.a > 0) { break; }
+        z += 1;
+    }
+    fragment = vec4(y / screen.y, z / screen.y, 0, 1);
+}
+"""
+
+
+@pytest.mark.parametrize("frag2,tag", [
+    (SIG_COLLISION_FRAG2, "sigvals"),
+    (STEP2_FRAG2, "step2"),
+    (CONST_X_FRAG2, "constx"),
+])
+def test_walk_regressions_bit_exact(tmp_path, frag2, tag):
+    a, _ = _walk_render(tmp_path, tag, True, frag2=frag2)
+    b, _ = _walk_render(tmp_path, tag + "_off", False, frag2=frag2)
+    assert np.array_equal(a, b), (
+        f"{tag}: max diff {np.abs(a - b).max()}"
+    )
+    assert np.unique(np.round(a[..., 0] * 96)).size > 1
+
+
+def test_returnless_loop_restores_pristine_mask(tmp_path):
+    """After a data-dependent loop with no lexical `return`, top-level
+    assignments stay concrete numpy (the pristine-mask identity is
+    restored), so downstream axis-constant fast paths keep firing."""
+    import jax.core
+    from glava_tpu.config import glsl_shader
+
+    frag2 = """
+in vec4 gl_FragCoord;
+#request uniform "screen" screen
+uniform ivec2 screen;
+#request uniform "prev" tex
+uniform sampler2D tex;
+out vec4 fragment;
+
+float half_w;
+
+void main() {
+    float y = gl_FragCoord.y;
+    while (y < screen.y) {
+        vec4 f = texelFetch(tex, ivec2(gl_FragCoord.x, y), 0);
+        if (f.a <= 0) { break; }
+        y += 1;
+    }
+    half_w = screen.x / 2;     /* must stay a concrete scalar */
+    fragment = vec4(y / screen.y, half_w / screen.x, 0, 1);
+}
+"""
+    seen = []
+    orig = glsl_shader._Exec._masked_set
+
+    def spy(self, name, value):
+        if name == "half_w":
+            seen.append(isinstance(value, jax.core.Tracer)
+                        or self.mask is not self._full_mask)
+        return orig(self, name, value)
+
+    glsl_shader._Exec._masked_set = spy
+    try:
+        f, _ = _walk_render(tmp_path, "mask", True, frag2=frag2)
+    finally:
+        glsl_shader._Exec._masked_set = orig
+    assert seen and not any(seen), (
+        "half_w assignment after the loop lost the pristine mask"
+    )
+    assert np.isfinite(f).all()

@@ -757,3 +757,21 @@ def test_async_sink_spec():
     s.submit(np.zeros((2, 2, 4), np.uint8), 0.0)
     s.close()   # drains the queue before closing the inner sink
     assert s.inner.count == 1
+
+
+def test_engine_inflight_queue_preserves_order_and_drains():
+    """Depth-4 in-flight queue: every rendered frame reaches the sink
+    exactly once, in timestamp order, including the tail frames still
+    queued when the loop exits (drained in the finally block)."""
+    received = []
+    eng = Engine(
+        EngineOptions(audio_backend="synth", screen=(64, 48),
+                      requests=("setprintframes false",), inflight=4),
+        sink=sinks.CallbackSink(lambda f, t: received.append((t, f))),
+    )
+    eng.run(max_frames=7)
+    assert eng.frames_rendered == 7
+    assert len(received) == 7, "queued tail frames must drain on exit"
+    ts = [t for t, _ in received]
+    assert ts == sorted(ts), "frames must arrive oldest-first"
+    assert received[-1][1].shape == (48, 64, 4)

@@ -170,12 +170,42 @@ def _exact1(jf, nf):
     interpreter's coordinate planes) remains inspectable inside a jit
     trace — any jnp op there returns a tracer even on constants. Only
     ops with identical IEEE results both ways dispatch like this;
-    transcendentals always go through jnp (platform approximations
-    differ in ulps and verbatim-shader parity is pinned)."""
+    transcendentals use :func:`_approx1`/:func:`_approx2` (same
+    dispatch, documented ulp drift)."""
     def g(x):
         if isinstance(x, (np.ndarray, np.generic)) and not _is_jax(x):
             return nf(x)
         return jf(x)
+
+    return g
+
+
+def _approx1(jf, nf):
+    """Like :func:`_exact1` but for TRANSCENDENTALS: numpy libm and
+    XLA's polynomial approximations differ in ulps, so this is not
+    bit-exact across the dispatch. Numpy inputs still go to numpy —
+    it keeps compile-time-constant coordinate math (polar angles,
+    radii) inspectable inside a jit trace, which feeds the static
+    sorted-block table lookup and the other concreteness-driven fast
+    paths, and it MATCHES the native modules, which bake the same
+    geometry with numpy (render/modules/circle.py np.arctan2 etc.).
+    The ulp-level drift only moves pixels sitting exactly on bin
+    boundaries; the verbatim-parity suites use pixel-fraction
+    tolerances that absorb it."""
+    def g(x):
+        if isinstance(x, (np.ndarray, np.generic)) and not _is_jax(x):
+            return nf(x)
+        return jf(x)
+
+    return g
+
+
+def _approx2(jf, nf):
+    def g(a, b):
+        if not _is_jax(a) and not _is_jax(b) \
+                and (_np_like(a) or _np_like(b)):
+            return nf(a, b)
+        return jf(a, b)
 
     return g
 
@@ -247,12 +277,13 @@ def _builtin_funcs() -> dict[str, Callable]:
         return _map2(max, _exact2(jnp.maximum, np.maximum), a, b)
 
     def gpow(a, b):
-        return _map2(lambda x, y: x ** y, jnp.power, a, b)
+        return _map2(lambda x, y: x ** y,
+                     _approx2(jnp.power, np.power), a, b)
 
     def gatan(y, x=None):
         if x is None:
-            return _map1(math.atan, jnp.arctan, y)
-        return _map2(math.atan2, jnp.arctan2, y, x)
+            return _map1(math.atan, _approx1(jnp.arctan, np.arctan), y)
+        return _map2(math.atan2, _approx2(jnp.arctan2, np.arctan2), y, x)
 
     def gstep(edge, x):
         fj = _exact2(lambda e, v: (v >= e).astype(jnp.float32),
@@ -261,8 +292,12 @@ def _builtin_funcs() -> dict[str, Callable]:
 
     def gsmoothstep(e0, e1, x):
         def core(a, b, v):
-            tt = jnp.clip((v - a) / (b - a), 0.0, 1.0) if any(map(_np_like, (a, b, v))) \
-                else min(max((v - a) / (b - a), 0.0), 1.0)
+            if any(map(_np_like, (a, b, v))):
+                cl = (jnp.clip if any(map(_is_jax, (a, b, v)))
+                      else np.clip)
+                tt = cl((v - a) / (b - a), 0.0, 1.0)
+            else:
+                tt = min(max((v - a) / (b - a), 0.0), 1.0)
             return tt * tt * (3.0 - 2.0 * tt)
         if _is_vec(x):
             return tuple(core(e0, e1, c) for c in x)
@@ -287,12 +322,12 @@ def _builtin_funcs() -> dict[str, Callable]:
                                lambda x: x - np.floor(x))),
         "mod": gmod,
         "pow": gpow,
-        "sqrt": lift1(math.sqrt, jnp.sqrt),
-        "exp": lift1(math.exp, jnp.exp),
-        "log": lift1(math.log, jnp.log),
-        "sin": lift1(math.sin, jnp.sin),
-        "cos": lift1(math.cos, jnp.cos),
-        "tan": lift1(math.tan, jnp.tan),
+        "sqrt": lift1(math.sqrt, _approx1(jnp.sqrt, np.sqrt)),
+        "exp": lift1(math.exp, _approx1(jnp.exp, np.exp)),
+        "log": lift1(math.log, _approx1(jnp.log, np.log)),
+        "sin": lift1(math.sin, _approx1(jnp.sin, np.sin)),
+        "cos": lift1(math.cos, _approx1(jnp.cos, np.cos)),
+        "tan": lift1(math.tan, _approx1(jnp.tan, np.tan)),
         "atan": gatan,
         "step": gstep,
         "smoothstep": gsmoothstep,

@@ -1862,17 +1862,36 @@ def _bin(a, b, op):
 # builtin functions bound per-frame
 # ---------------------------------------------------------------------------
 
+_STATIC_LK_CACHE: dict = {}
+
+
 def _fetch_1d(tex, i, sz: int):
     """``tex[i]`` with a TPU fast path: XLA's per-pixel gather from a
     small 1-D table is pathological (~15 ms for 2M indices at 1080p);
     the Pallas lane-shuffle lookup (ops/pallas/lookup.py) is bit-exact
-    and ~45x faster. Small/scalar index shapes keep the jnp gather."""
+    and ~45x faster. CONCRETE large index planes use the sorted-block
+    static variant (each block only selects over its own chunk window
+    — spatially coherent patterns like polar sampling measure ~2.5x
+    the dense kernel). Small/scalar index shapes keep the jnp gather."""
     import jax
+    import jax.core
 
     jnp = _jnp()
+    on_tpu = jax.default_backend() == "tpu"
+    if (on_tpu and not isinstance(i, jax.core.Tracer)):
+        ic = np.clip(np.asarray(i, np.int64), 0, sz - 1)
+        if ic.ndim >= 2 and ic.size >= (1 << 16):
+            from glava_tpu.ops.pallas.lookup import build_static_table_lookup
+
+            key = (sz, ic.shape, hash(ic.tobytes()))
+            lk = _STATIC_LK_CACHE.get(key)
+            if lk is None:
+                lk = build_static_table_lookup(ic, sz)
+                _STATIC_LK_CACHE[key] = lk
+            return lk(tex)
+        i = ic
     i = jnp.clip(jnp.asarray(i, jnp.int32), 0, sz - 1)
-    if (jax.default_backend() == "tpu" and i.ndim >= 2
-            and i.size >= (1 << 16)):
+    if on_tpu and i.ndim >= 2 and i.size >= (1 << 16):
         from glava_tpu.ops.pallas.lookup import build_table_lookup
 
         lk = build_table_lookup(1, sz, i.size)
@@ -1950,10 +1969,20 @@ def make_builtins(prev, sz: int, h: int, w: int, smooth_fetch):
 
     def texture(tex, x):
         # NEAREST + REPEAT (render.c:512-517); audio textures are
-        # single-channel GL_R16 -> vec4(r, 0, 0, 1)
-        x = jnp.asarray(x)
-        u = x - jnp.floor(x)
-        i = jnp.minimum(jnp.floor(u * sz), sz - 1).astype(jnp.int32)
+        # single-channel GL_R16 -> vec4(r, 0, 0, 1). CONCRETE
+        # coordinates stay numpy (mirroring the traced f32 op order
+        # bitwise) so _fetch_1d can use the static sorted-block lookup.
+        import jax.core
+
+        if isinstance(x, jax.core.Tracer):
+            x = jnp.asarray(x)
+            u = x - jnp.floor(x)
+            i = jnp.minimum(jnp.floor(u * sz), sz - 1).astype(jnp.int32)
+        else:
+            x32 = np.asarray(x).astype(np.float32)
+            u = x32 - np.floor(x32)
+            i = np.minimum(np.floor(u * np.float32(sz)),
+                           sz - 1).astype(np.int32)
         v = _fetch_1d(tex, i, sz)
         return (v, jnp.zeros_like(v), jnp.zeros_like(v), jnp.ones_like(v))
 
@@ -2242,7 +2271,12 @@ def make_builtins(prev, sz: int, h: int, w: int, smooth_fetch):
             # out-of-bounds texelFetch reads transparent black (the
             # robust-access behavior the GL path exhibits)
             return _general_fetch(idx[0], idx[1])
-        v = _fetch_1d(tex, jnp.asarray(idx, jnp.int32), sz)
+        import jax.core
+
+        i1 = (jnp.asarray(idx, jnp.int32)
+              if isinstance(idx, jax.core.Tracer)
+              else np.asarray(idx, np.int32))
+        v = _fetch_1d(tex, i1, sz)
         return (v, jnp.zeros_like(v), jnp.zeros_like(v), jnp.ones_like(v))
 
     def ivec2(x, y):

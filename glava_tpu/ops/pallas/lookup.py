@@ -251,3 +251,111 @@ def build_rowwise_lookup_mc(n_rows: int, table_size: int, n_points: int,
         return tuple(o[:n_rows, :n_points] for o in outs)
 
     return lookup
+
+
+@lru_cache(maxsize=None)
+def _build_bucket(nb: int, Tpad: int, R: int, K: int, interpret: bool):
+    """One sorted-block bucket: each (R, 128) block of STATICALLY
+    sorted index rows selects over its own K-chunk window of the table
+    (scalar-prefetched base) instead of every T/128 chunk."""
+    def kernel(meta_ref, tab_ref, idx_ref, out_ref):
+        b = meta_ref[pl.program_id(0)]
+        ix = idx_ref[...]
+        lo = jnp.bitwise_and(ix, _LANES - 1)
+        hi = jnp.right_shift(ix, 7)
+        acc = jnp.zeros(ix.shape, jnp.float32)
+        for j in range(K):
+            row = tab_ref[0, pl.ds((b + j) * _LANES, _LANES)]
+            g = jnp.take_along_axis(
+                jnp.broadcast_to(row[None], (R, _LANES)), lo, axis=1)
+            acc = jnp.where(hi == b + j, g, acc)
+        out_ref[...] = acc
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(nb,),
+        in_specs=[pl.BlockSpec((1, Tpad), lambda i, m: (0, 0)),
+                  pl.BlockSpec((R, _LANES), lambda i, m: (i, 0))],
+        out_specs=pl.BlockSpec((R, _LANES), lambda i, m: (i, 0)))
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nb * R, _LANES), jnp.float32),
+        interpret=interpret)
+
+
+def build_static_table_lookup(idx, table_size: int, tile_rows: int = 64,
+                              k_small: int = 16, interpret: bool = False):
+    """Gather from a 1-D table at STATIC indices: ``lookup(table) ->
+    table[idx]`` (same shape as ``idx``), exploiting index coherence.
+
+    The index rows (128-lane groups) are sorted by their minimum table
+    chunk at BUILD time and grouped into (tile_rows, 128) blocks; each
+    block then selects only over its own chunk window — statically
+    unrolled per bucket (most blocks of a spatially coherent pattern
+    like polar sampling touch <= k_small of the T/128 chunks; the
+    long-tail blocks go to a second bucket at the max span) — instead
+    of every chunk like :func:`build_table_lookup`. Results return to
+    the original order via a static row gather (cheap). Measured on
+    circle@1080p indices (2M points, 8192-entry table, v5e): 231 us vs
+    573 us for the dense kernel, bit-exact. Index values must lie in
+    [0, table_size).
+    """
+    idx = np.asarray(idx)
+    shape = idx.shape
+    flat = idx.reshape(-1).astype(np.int64)
+    P = flat.size
+    T = ((table_size + _LANES - 1) // _LANES) * _LANES
+    nrows = -(-P // _LANES)
+    R = tile_rows
+    if nrows < 2 * R:  # too small to amortize; use the dense kernel
+        lk = build_table_lookup(1, table_size, P, interpret=interpret)
+
+        def small(table):
+            return lk(table, jnp.asarray(flat.astype(np.int32))[None, :]
+                      )[0].reshape(shape)
+
+        return small
+    idxp = np.full((nrows, _LANES), int(flat[-1]), np.int64)
+    idxp.reshape(-1)[:P] = flat
+    hi = idxp >> 7
+    perm = np.argsort(hi.min(1), kind="stable")
+    nblk = -(-nrows // R)
+    perm_p = np.concatenate([perm, np.repeat(perm[-1:], nblk * R - nrows)])
+    rows_sorted = idxp[perm_p]
+    hs = rows_sorted >> 7
+    hb = hs.reshape(nblk, R, _LANES)
+    bases = hb.min(axis=(1, 2)).astype(np.int32)
+    cnts = (hb.max(axis=(1, 2)) - bases + 1).astype(np.int32)
+    b1 = np.nonzero(cnts <= k_small)[0]
+    b2 = np.nonzero(cnts > k_small)[0]
+    K2 = int(cnts[b2].max()) if b2.size else 0
+    Tpad = T + max(k_small, K2) * _LANES
+
+    buckets = []
+    for ids, K in ((b1, k_small), (b2, K2)):
+        if not ids.size:
+            continue
+        rows = rows_sorted.reshape(nblk, R, _LANES)[ids].reshape(-1, _LANES)
+        buckets.append((
+            _build_bucket(len(ids), Tpad, R, K, interpret),
+            jnp.asarray(bases[ids]),
+            jnp.asarray(rows.astype(np.int32)),
+        ))
+    order = np.concatenate([b for b, K in ((b1, 0), (b2, 0)) if b.size]) \
+        if (b1.size and b2.size) else (b1 if b1.size else b2)
+    out_rows_order = (order[:, None] * R + np.arange(R)).reshape(-1)
+    inv_sorted = np.empty(nblk * R, np.int64)
+    inv_sorted[out_rows_order] = np.arange(nblk * R)
+    pos_of_orig = np.empty(nblk * R, np.int64)
+    pos_of_orig[perm_p] = np.arange(nblk * R)
+    final_perm = jnp.asarray(
+        inv_sorted[pos_of_orig[:nrows]].astype(np.int32))
+
+    def lookup(table):
+        tab = jnp.asarray(table, jnp.float32).reshape(-1)
+        tab = jnp.pad(tab, (0, Tpad - tab.shape[0]))[None, :]
+        parts = [fn(bs, tab, rows) for fn, bs, rows in buckets]
+        allout = parts[0] if len(parts) == 1 else jnp.concatenate(parts, 0)
+        ordered = allout[final_perm]
+        return ordered.reshape(-1)[:P].reshape(shape)
+
+    return lookup

@@ -83,7 +83,7 @@ def build(ctx: base.ModuleContext) -> base.ModuleBuild:
     sz = ctx.sz
     fast_lookup = None
     if jax.default_backend() == "tpu":
-        from glava_tpu.ops.pallas.lookup import build_table_lookup
+        from glava_tpu.ops.pallas.lookup import build_static_table_lookup
 
         idx_rows = []
         for p, l in ((pos0, left0), (posp, leftp), (posm, leftm)):
@@ -92,8 +92,11 @@ def build(ctx: base.ModuleContext) -> base.ModuleBuild:
             i = np.clip(np.round(p32 * np.float32(sz)), 0, sz - 1)
             comb = i.astype(np.int64) + np.where(l, 0, sz)
             idx_rows.append(comb.reshape(-1))
-        _comb_idx = jnp.asarray(np.stack(idx_rows).astype(np.int32))
-        _lk = build_table_lookup(3, 2 * sz, w * h)
+        # static indices: the sorted-block bucket kernel only selects
+        # over each block's own chunk window (polar sampling is
+        # spatially coherent) — ~2.5x the dense all-chunk kernel
+        _lk = build_static_table_lookup(
+            np.stack(idx_rows), 2 * sz)
         presmooth_op = (None if ctx.cfg.smooth_pass
                         else smoothing.presmooth_op(sz, ctx.smooth_params))
 
@@ -101,7 +104,7 @@ def build(ctx: base.ModuleContext) -> base.ModuleBuild:
             if presmooth_op is not None:
                 tl, tr = presmooth_op(tl), presmooth_op(tr)
             table = jnp.concatenate([tl, tr])
-            vals = _lk(table, _comb_idx) * amplify
+            vals = _lk(table) * amplify
             return [v.reshape(h, w) for v in vals]
 
     def pass1(inputs: base.PassInputs) -> jnp.ndarray:
@@ -176,7 +179,9 @@ def _per_pixel_sampler(ctx: base.ModuleContext):
             if np.array_equal(i, np.broadcast_to(i[:, 0:1], i.shape)):
                 col = _fetch_1d(tex, jnp.asarray(i[:, 0]), sz)
                 return jnp.broadcast_to(col[:, None], (h2, w2))
-        return _fetch_1d(tex, jnp.asarray(i), sz)
+        # keep CONCRETE planes numpy: _fetch_1d routes them through the
+        # static sorted-block lookup (coherence-exploiting)
+        return _fetch_1d(tex, i, sz)
 
     if ctx.cfg.smooth_pass:
         def fetch(tex, pos):

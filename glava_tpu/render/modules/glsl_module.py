@@ -184,9 +184,14 @@ def _build(name: str, files: list[Path], ctx: base.ModuleContext,
                 )
                 ex = _Exec(env, h, w)
                 try:
-                    ex.bind_functions(program.funcs)
-                    ex.run(program.pre_body)
-                    ex.run(program.body)
+                    # GLSL arithmetic never warns (inf/nan propagate,
+                    # GPU-style); the numpy-preserving evaluator paths
+                    # would otherwise emit RuntimeWarnings for e.g. the
+                    # polar center pixel's divide-by-zero
+                    with np.errstate(all="ignore"):
+                        ex.bind_functions(program.funcs)
+                        ex.run(program.pre_body)
+                        ex.run(program.body)
                     frag = env.variables.get("fragment",
                                              (0.0, 0.0, 0.0, 0.0))
                 finally:

@@ -227,3 +227,27 @@ def test_banded_resample_matches_dense(monkeypatch):
         np.asarray(banded.apply_planes(jnp.asarray(re), jnp.asarray(im))),
         np.asarray(dense.apply_planes(jnp.asarray(re), jnp.asarray(im))),
         atol=2e-6)
+
+
+def test_static_table_lookup_matches_gather():
+    """Sorted-block static-index lookup (interpret mode): exact vs the
+    plain numpy gather across shapes, coherent and incoherent index
+    patterns, and the small-input fallback."""
+    from glava_tpu.ops.pallas.lookup import build_static_table_lookup
+
+    rng = np.random.default_rng(7)
+    cases = [
+        ((3, 5000), 512, True),     # multi-row, coherent
+        ((97,), 256, True),         # small -> dense fallback
+        ((2, 40000), 8192, True),   # large, coherent
+        ((2, 40000), 8192, False),  # large, incoherent (tail bucket)
+    ]
+    for shape, T, coherent in cases:
+        idx = rng.integers(0, T, shape).astype(np.int32)
+        if coherent:
+            idx = np.sort(idx, axis=-1)
+        lk = build_static_table_lookup(idx, T, interpret=True)
+        tab = rng.random(T, dtype=np.float32)
+        out = np.asarray(lk(jnp.asarray(tab)))
+        assert out.shape == shape
+        assert np.array_equal(out, tab[idx]), (shape, T, coherent)

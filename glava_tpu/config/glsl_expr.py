@@ -180,6 +180,16 @@ def _exact1(jf, nf):
     return g
 
 
+def _float_np(x):
+    """Promote numpy integer inputs to float for transcendental math:
+    GLSL has no integer transcendentals, and numpy raises on e.g.
+    negative integer powers where jnp silently evaluates."""
+    if isinstance(x, (np.ndarray, np.generic)) \
+            and np.issubdtype(np.asarray(x).dtype, np.integer):
+        return np.asarray(x, np.float64)
+    return x
+
+
 def _approx1(jf, nf):
     """Like :func:`_exact1` but for TRANSCENDENTALS: numpy libm and
     XLA's polynomial approximations differ in ulps, so this is not
@@ -194,7 +204,7 @@ def _approx1(jf, nf):
     tolerances that absorb it."""
     def g(x):
         if isinstance(x, (np.ndarray, np.generic)) and not _is_jax(x):
-            return nf(x)
+            return nf(_float_np(x))
         return jf(x)
 
     return g
@@ -202,9 +212,8 @@ def _approx1(jf, nf):
 
 def _approx2(jf, nf):
     def g(a, b):
-        if not _is_jax(a) and not _is_jax(b) \
-                and (_np_like(a) or _np_like(b)):
-            return nf(a, b)
+        if not _is_jax(a) and not _is_jax(b):
+            return nf(_float_np(a), _float_np(b))
         return jf(a, b)
 
     return g

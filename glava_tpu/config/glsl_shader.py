@@ -1874,19 +1874,29 @@ def _fetch_1d(tex, i, sz: int):
     — spatially coherent patterns like polar sampling measure ~2.5x
     the dense kernel). Small/scalar index shapes keep the jnp gather."""
     import jax
-    import jax.core
 
     jnp = _jnp()
     on_tpu = jax.default_backend() == "tpu"
-    if (on_tpu and not isinstance(i, jax.core.Tracer)):
+    mode = os.environ.get("GLAVA_TPU_STATIC_LK", "")
+    # POSITIVE numpy check: eager (non-jit) device arrays must NOT hit
+    # the static bake — they can be fresh per frame, and each distinct
+    # plane would argsort 2M indices on host and pin a cache entry
+    use_static = (isinstance(i, (np.ndarray, np.generic))
+                  and mode != "0"
+                  and (on_tpu or mode == "interpret"))
+    if use_static:
         ic = np.clip(np.asarray(i, np.int64), 0, sz - 1)
         if ic.ndim >= 2 and ic.size >= (1 << 16):
+            import hashlib
+
             from glava_tpu.ops.pallas.lookup import build_static_table_lookup
 
-            key = (sz, ic.shape, hash(ic.tobytes()))
+            key = (sz, ic.shape,
+                   hashlib.sha1(ic.tobytes()).digest())
             lk = _STATIC_LK_CACHE.get(key)
             if lk is None:
-                lk = build_static_table_lookup(ic, sz)
+                lk = build_static_table_lookup(
+                    ic, sz, interpret=not on_tpu)
                 _STATIC_LK_CACHE[key] = lk
             return lk(tex)
         i = ic
@@ -1972,17 +1982,15 @@ def make_builtins(prev, sz: int, h: int, w: int, smooth_fetch):
         # single-channel GL_R16 -> vec4(r, 0, 0, 1). CONCRETE
         # coordinates stay numpy (mirroring the traced f32 op order
         # bitwise) so _fetch_1d can use the static sorted-block lookup.
-        import jax.core
-
-        if isinstance(x, jax.core.Tracer):
-            x = jnp.asarray(x)
-            u = x - jnp.floor(x)
-            i = jnp.minimum(jnp.floor(u * sz), sz - 1).astype(jnp.int32)
-        else:
+        if isinstance(x, (np.ndarray, np.generic, int, float)):
             x32 = np.asarray(x).astype(np.float32)
             u = x32 - np.floor(x32)
             i = np.minimum(np.floor(u * np.float32(sz)),
                            sz - 1).astype(np.int32)
+        else:  # traced or eager device values stay jnp
+            x = jnp.asarray(x)
+            u = x - jnp.floor(x)
+            i = jnp.minimum(jnp.floor(u * sz), sz - 1).astype(jnp.int32)
         v = _fetch_1d(tex, i, sz)
         return (v, jnp.zeros_like(v), jnp.zeros_like(v), jnp.ones_like(v))
 
@@ -2271,11 +2279,9 @@ def make_builtins(prev, sz: int, h: int, w: int, smooth_fetch):
             # out-of-bounds texelFetch reads transparent black (the
             # robust-access behavior the GL path exhibits)
             return _general_fetch(idx[0], idx[1])
-        import jax.core
-
-        i1 = (jnp.asarray(idx, jnp.int32)
-              if isinstance(idx, jax.core.Tracer)
-              else np.asarray(idx, np.int32))
+        i1 = (np.asarray(idx, np.int32)
+              if isinstance(idx, (np.ndarray, np.generic, int, float))
+              else jnp.asarray(idx, jnp.int32))
         v = _fetch_1d(tex, i1, sz)
         return (v, jnp.zeros_like(v), jnp.zeros_like(v), jnp.ones_like(v))
 
@@ -2310,24 +2316,22 @@ def make_builtins(prev, sz: int, h: int, w: int, smooth_fetch):
         # row of fetches broadcast over H, not a 2M-point lookup.
         # max/min/clip commute with the f32 downcast (monotone, exact
         # bounds), so values match the traced path bitwise.
-        import jax.core
-
-        if isinstance(idx, jax.core.Tracer):
-            return smooth_fetch(tex, jnp.clip(jnp.asarray(idx), 0.0, 1.0))
-        return smooth_fetch(tex, np.clip(np.asarray(idx), 0.0, 1.0))
+        if isinstance(idx, (np.ndarray, np.generic, int, float)):
+            return smooth_fetch(tex, np.clip(np.asarray(idx), 0.0, 1.0))
+        return smooth_fetch(tex, jnp.clip(jnp.asarray(idx), 0.0, 1.0))
 
     def smooth_audio_adj(tex, _sz, idx, pixel):
-        import jax.core
-
-        if isinstance(idx, jax.core.Tracer) \
-                or isinstance(pixel, jax.core.Tracer):
-            a = smooth_audio(tex, _sz, jnp.maximum(idx - pixel, 0.0))
-            b = smooth_audio(tex, _sz, idx)
-            c = smooth_audio(tex, _sz, jnp.minimum(idx + pixel, 1.0))
-        else:
+        np_ok = (isinstance(idx, (np.ndarray, np.generic, int, float))
+                 and isinstance(pixel, (np.ndarray, np.generic, int,
+                                        float)))
+        if np_ok:
             a = smooth_audio(tex, _sz, np.maximum(idx - pixel, 0.0))
             b = smooth_audio(tex, _sz, idx)
             c = smooth_audio(tex, _sz, np.minimum(idx + pixel, 1.0))
+        else:
+            a = smooth_audio(tex, _sz, jnp.maximum(idx - pixel, 0.0))
+            b = smooth_audio(tex, _sz, idx)
+            c = smooth_audio(tex, _sz, jnp.minimum(idx + pixel, 1.0))
         return (a + b + c) / 3.0
 
     # screen-space derivatives with GL's 2x2-quad semantics: within

@@ -161,10 +161,10 @@ def _per_pixel_sampler(ctx: base.ModuleContext):
 
         Matches the traced path bitwise: f32 multiply, round-half-to-
         even, int cast (clip happens in _fetch_1d either way)."""
-        if isinstance(pos, jax.core.Tracer):
-            return jnp.round(pos * sz).astype(jnp.int32)
-        p32 = np.asarray(pos).astype(np.float32)
-        return np.round(p32 * np.float32(sz)).astype(np.int32)
+        if isinstance(pos, (np.ndarray, np.generic, int, float)):
+            p32 = np.asarray(pos).astype(np.float32)
+            return np.round(p32 * np.float32(sz)).astype(np.int32)
+        return jnp.round(pos * sz).astype(jnp.int32)
 
     def sample(tex, i):
         """tex[i] exploiting index-plane structure when concrete: an

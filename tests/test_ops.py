@@ -251,3 +251,33 @@ def test_static_table_lookup_matches_gather():
         out = np.asarray(lk(jnp.asarray(tab)))
         assert out.shape == shape
         assert np.array_equal(out, tab[idx]), (shape, T, coherent)
+
+
+def test_fetch_1d_static_routing_parity(monkeypatch):
+    """_fetch_1d's concrete-plane branch routes through the static
+    sorted-block lookup (forced on CPU with GLAVA_TPU_STATIC_LK=
+    interpret) and must match the plain gather exactly; traced inputs
+    and the disabled mode take the gather path."""
+    import jax
+
+    from glava_tpu.config.glsl_shader import _fetch_1d, _STATIC_LK_CACHE
+
+    sz = 1024
+    rng = np.random.default_rng(3)
+    tex = jnp.asarray(rng.random(sz, dtype=np.float32))
+    i = np.sort(rng.integers(-5, sz + 5, (300, 300))).astype(np.int64)
+
+    monkeypatch.setenv("GLAVA_TPU_STATIC_LK", "interpret")
+    _STATIC_LK_CACHE.clear()
+    got = np.asarray(_fetch_1d(tex, i, sz))
+    assert _STATIC_LK_CACHE, "static path did not engage"
+    monkeypatch.setenv("GLAVA_TPU_STATIC_LK", "0")
+    want = np.asarray(_fetch_1d(tex, i, sz))
+    assert np.array_equal(got, want)
+    # eager device arrays must NOT hit the static bake
+    monkeypatch.setenv("GLAVA_TPU_STATIC_LK", "interpret")
+    _STATIC_LK_CACHE.clear()
+    got_dev = np.asarray(_fetch_1d(tex, jnp.asarray(np.clip(i, 0, sz - 1)),
+                                   sz))
+    assert not _STATIC_LK_CACHE, "device array leaked into static bake"
+    assert np.array_equal(got_dev, want)

@@ -104,23 +104,27 @@ def build(ctx: base.ModuleContext) -> base.ModuleBuild:
         def pass2(inputs: base.PassInputs) -> jnp.ndarray:
             frame = inputs.prev
             hh, ww = frame.shape[:2]
-            p = jnp.pad(frame, ((1, 1), (1, 1), (0, 0)))
+            # graph/2.frag only ever consumes avg.A (the outline
+            # branch writes a constant; the highlight multiplies by
+            # avg.a) — average the alpha plane alone, 4x less traffic
+            # than the full-RGBA neighborhood, identical output
+            ap = jnp.pad(frame[..., 3], ((1, 1), (1, 1)))
 
             def sh(dy, dx):
-                return p[1 + dy : 1 + dy + hh, 1 + dx : 1 + dx + ww]
+                return ap[1 + dy: 1 + dy + hh, 1 + dx: 1 + dx + ww]
 
-            avg = (
+            avg_a = (
                 2.0 * sh(0, 1) + sh(1, 1) + sh(1, 0) + 2.0 * sh(0, -1)
                 + sh(-1, -1) + sh(-1, 0)
             ) / 8.0
-            near = avg[..., 3] > 0
+            near = avg_a > 0
             out = frame
             if draw_outline > 0:
                 m = near & (frame[..., 3] <= 0)
                 out = jnp.where(m[..., None], outline, out)
             if draw_highlight > 0:
-                m = near & (frame[..., 3] > 0) & (avg[..., 3] < 1)
-                hi = out.at[..., :3].multiply((avg[..., 3] * 2.0)[..., None])
+                m = near & (frame[..., 3] > 0) & (avg_a < 1)
+                hi = out.at[..., :3].multiply((avg_a * 2.0)[..., None])
                 out = jnp.where(m[..., None], hi, out)
             return out.astype(jnp.float32)
 

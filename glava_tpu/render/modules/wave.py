@@ -86,16 +86,19 @@ def neighbor_outline_pass(
     reads as transparent black (zero padding).
     """
     h, w = frame.shape[:2]
-    p = jnp.pad(frame, ((1, 1), (1, 1), (0, 0)))
+    # wave/2.frag only consumes avg.A (the branch writes a constant
+    # OUTLINE) — average the alpha plane alone, 4x less traffic,
+    # identical output
+    p = jnp.pad(frame[..., 3], ((1, 1), (1, 1)))
 
-    def sh(dy, dx):  # neighbor fetch at (x+dx, y+dy)
+    def sh(dy, dx):  # neighbor alpha at (x+dx, y+dy)
         return p[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w]
 
-    avg = (
+    avg_a = (
         2.0 * sh(0, 1) + sh(1, 1) + sh(1, 0) + 2.0 * sh(0, -1)
         + sh(-1, -1) + sh(-1, 0)
     ) / 8.0
-    cond = avg[..., 3] > 0
+    cond = avg_a > 0
     inner = frame[..., 3] <= 0
     if edge_columns:
         col = jnp.arange(w)

@@ -112,9 +112,19 @@ def build(ctx: base.ModuleContext) -> base.ModuleBuild:
     # (0 off-ring). All arithmetic is bit-identical to the reference
     # formulation — only the memory layout changed.
     n1 = nbars // 2 + 1
-    comb_id = jnp.asarray(
-        (bar_id + np.where(use_left, 0, n1)).astype(np.int16)
-    )
+    comb_id_np = (bar_id + np.where(use_left, 0, n1)).astype(np.int64)
+    comb_id = jnp.asarray(comb_id_np.astype(np.int16))
+    # on TPU the static sorted-block lookup replaces the unrolled
+    # 2*n1-term select-sum: the id plane is static and the table tiny
+    # (1-2 chunks), so each block reads just its own window — same
+    # values, a fraction of the VPU work
+    import jax as _jax
+
+    radial_lk = None
+    if _jax.default_backend() == "tpu":
+        from glava_tpu.ops.pallas.lookup import build_static_table_lookup
+
+        radial_lk = build_static_table_lookup(comb_id_np, 2 * n1)
     alias_enc = jnp.asarray(
         np.where(
             in_bar, np.clip(alias, 0.0, 1.0), -1.0
@@ -138,12 +148,8 @@ def build(ctx: base.ModuleContext) -> base.ModuleBuild:
 
         vl = sample(inputs.textures["audio_l"])
         vr = sample(inputs.textures["audio_r"])
-        if jax.default_backend() == "tpu":
-            vcat = jnp.concatenate([vl, vr]) * amplify
-            cid = comb_id.astype(jnp.int32)
-            v = jnp.zeros((h, w), jnp.float32)
-            for k in range(2 * n1):
-                v = v + jnp.where(cid == k, vcat[k], 0.0)
+        if radial_lk is not None:
+            v = radial_lk(jnp.concatenate([vl, vr]) * amplify)
         else:  # CPU/GPU gathers are fine (bit-identical result)
             v = jnp.where(use_left_c, vl[bar_id_c], vr[bar_id_c]) * amplify
         body = (alias_enc >= 0.0) & (bar_d_c <= v)
@@ -164,14 +170,10 @@ def build(ctx: base.ModuleContext) -> base.ModuleBuild:
 
         vl = sample(inputs.textures["audio_l"])
         vr = sample(inputs.textures["audio_r"])
-        if jax.default_backend() == "tpu":
-            # same select-sum as the fast path (a (H, W)-indexed gather
-            # is ~20x the whole raster on TPU); bit-identical arithmetic
-            vcat = jnp.concatenate([vl, vr]) * amplify
-            cid = comb_id.astype(jnp.int32)
-            v = jnp.zeros((h, w), jnp.float32)
-            for k in range(2 * n1):
-                v = v + jnp.where(cid == k, vcat[k], 0.0)
+        if radial_lk is not None:
+            # static id-plane lookup (a (H, W)-indexed gather is ~20x
+            # the whole raster on TPU); bit-identical values
+            v = radial_lk(jnp.concatenate([vl, vr]) * amplify)
         else:
             # CPU/GPU backends gather fine; the unrolled select-sum
             # would be a large regression there

@@ -926,10 +926,10 @@ class _Exec:
     _WHILE_FUEL_BASE = 4096
 
     # extra rows evaluated beyond the texture on each side in the
-    # first-hit lowering: a walk that stays active for more than this
-    # many rows past the extended domain retires as fuel-capped (and is
-    # counted in the fuel warning) instead of walking further through
-    # constant out-of-range texels
+    # first-hit lowering; the out-of-texture (host numpy) part of the
+    # domain additionally extends through the full fuel range in the
+    # walk direction, so cond-exits anywhere before the fuel cap decode
+    # exactly like the general lowering
     _WALK_SCAN_MARGIN = 64
 
     def _try_first_hit(self, stmt: WhileLoop, carried: list,
@@ -1047,7 +1047,22 @@ class _Exec:
         from jax import lax
 
         lo, hi = -(h + M), 2 * h + M
+        # extend the host-evaluated (out-of-texture) domain to cover
+        # the FULL fuel range in the walk direction: a condition like
+        # `y < BIG` can have its true cond-exit beyond 2h+M yet before
+        # the fuel cap, and clipping the domain there would fuel-cap
+        # pixels the general lowering retires at the cond-exit row.
+        # Rows outside the texture read black, so the extension is all
+        # cheap numpy (no extra device work).
+        if d > 0:
+            hi = max(hi, h + k + fuel_cap + 2)
+        else:
+            lo = min(lo, k - fuel_cap - 1)
         E = hi - lo
+        if 2 * E >= (1 << 24):
+            # keys must stay exact in f32; absurd fuel caps take the
+            # general lowering instead
+            return False
         # keys are exact small integers (2*ext_row + bit < 2^24) held
         # in FLOAT32: f32 cummin/cummax lowers ~2.3x faster than int32
         # on TPU (measured v5e: 87 vs 199 us per (1081,1920) scan);
@@ -1103,7 +1118,7 @@ class _Exec:
 
         sig = (tuple(t for t in s1.cond if t[0] != "end"),
                tuple(t for t in stmt.cond if t[0] != "end"),
-               d, k, round(frac, 9),
+               d, k, round(frac, 9), fuel_cap,
                scalar_vals(s1.cond, {fname}),
                scalar_vals(stmt.cond, {yname}))
         cache = getattr(self, "_fh_cache", None)
@@ -1862,7 +1877,13 @@ def _bin(a, b, op):
 # builtin functions bound per-frame
 # ---------------------------------------------------------------------------
 
-_STATIC_LK_CACHE: dict = {}
+# LRU-bounded: each entry pins multi-MB permutation/bucket device
+# arrays keyed by the sha1 of a (possibly 2M-entry) index plane, and a
+# long-lived fleet cycling geometries would otherwise grow without
+# bound. Distinct static planes per process are few; 32 is generous.
+_STATIC_LK_CACHE: "OrderedDict" = __import__(
+    "collections").OrderedDict()
+_STATIC_LK_CACHE_MAX = 32
 
 
 def _fetch_1d(tex, i, sz: int):
@@ -1898,6 +1919,10 @@ def _fetch_1d(tex, i, sz: int):
                 lk = build_static_table_lookup(
                     ic, sz, interpret=not on_tpu)
                 _STATIC_LK_CACHE[key] = lk
+                while len(_STATIC_LK_CACHE) > _STATIC_LK_CACHE_MAX:
+                    _STATIC_LK_CACHE.popitem(last=False)
+            else:
+                _STATIC_LK_CACHE.move_to_end(key)
             return lk(tex)
         i = ic
     i = jnp.clip(jnp.asarray(i, jnp.int32), 0, sz - 1)

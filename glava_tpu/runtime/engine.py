@@ -228,8 +228,16 @@ class Engine:
         import collections
         import os as _os
 
-        depth = max(int(_os.environ.get("GLAVA_TPU_INFLIGHT",
-                                        o.inflight)), 0)
+        try:
+            depth = max(int(_os.environ.get("GLAVA_TPU_INFLIGHT",
+                                            o.inflight)), 0)
+        except ValueError:
+            import sys as _sys
+
+            print("glava_tpu: ignoring malformed GLAVA_TPU_INFLIGHT="
+                  f"{_os.environ.get('GLAVA_TPU_INFLIGHT')!r}",
+                  file=_sys.stderr)
+            depth = max(o.inflight, 0)
         pending = collections.deque()
 
         try:

@@ -117,7 +117,9 @@ def smooth_transform(b: np.ndarray, ratio: float, distance: float) -> np.ndarray
                 acc += b[s]
                 count += 1
         b[t] = acc / count if count else np.nan
-    return np.nan_to_num(b, nan=0.0)
+    # mirror transforms.smooth_transform's documented inf-preserving
+    # deviation (only NaN is substituted; +-inf pass through)
+    return np.nan_to_num(b, nan=0.0, posinf=np.inf, neginf=-np.inf)
 
 
 def scale_audio(idx: float, srange: float, sscale: float) -> float:

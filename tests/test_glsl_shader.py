@@ -1094,10 +1094,37 @@ void main() {
 """
 
 
+FAR_COND_EXIT_FRAG2 = """
+in vec4 gl_FragCoord;
+#request uniform "screen" screen
+uniform ivec2 screen;
+#request uniform "prev" tex
+uniform sampler2D tex;
+out vec4 fragment;
+
+void main() {
+    float y = gl_FragCoord.y;
+    while (y < 500.0) {                  /* cond-exit FAR beyond the  */
+        vec4 f = texelFetch(tex, ivec2(gl_FragCoord.x, y), 0);
+        if (f.a > 0.5) { break; }        /* 2h+M scan window but well */
+        y += 1;                          /* before the fuel cap       */
+    }
+    float z = gl_FragCoord.y;
+    while (z > -360.0) {                 /* same walking down */
+        vec4 f = texelFetch(tex, ivec2(gl_FragCoord.x, z), 0);
+        if (f.a > 0.5) { break; }
+        z -= 1;
+    }
+    fragment = vec4(y / 512.0, -z / 512.0, 0, 1);
+}
+"""
+
+
 @pytest.mark.parametrize("frag2,tag", [
     (SIG_COLLISION_FRAG2, "sigvals"),
     (STEP2_FRAG2, "step2"),
     (CONST_X_FRAG2, "constx"),
+    (FAR_COND_EXIT_FRAG2, "farcond"),
 ])
 def test_walk_regressions_bit_exact(tmp_path, frag2, tag):
     a, _ = _walk_render(tmp_path, tag, True, frag2=frag2)

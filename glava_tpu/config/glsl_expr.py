@@ -378,6 +378,33 @@ def tokenize(src: str) -> list[tuple[str, str]]:
     return toks
 
 
+def tokenize_lines(src: str, base: int = 0
+                   ) -> tuple[list[tuple[str, str]], list[int]]:
+    """:func:`tokenize` plus a parallel per-token line-number list
+    (1-based, offset by ``base``) — the shader interpreter threads it
+    through statement parsing so errors cite source locations."""
+    toks: list[tuple[str, str]] = []
+    lines: list[int] = []
+    i, ln = 0, 1
+    while i < len(src):
+        m = _TOKEN_RE.match(src, i)
+        if not m:
+            raise ExprError(
+                f"unexpected character {src[i]!r} in expression {src!r}")
+        nl = src.count("\n", i, m.end())
+        i = m.end()
+        kind = m.lastgroup
+        tok_ln = ln
+        ln += nl
+        if kind == "ws":
+            continue
+        toks.append((kind, m.group()))
+        lines.append(tok_ln + base)
+    toks.append(("end", ""))
+    lines.append(ln + base)
+    return toks, lines
+
+
 @dataclass
 class Env:
     """Evaluation environment for knob expressions."""

@@ -61,7 +61,18 @@ from glava_tpu.config.glsl_expr import ExprError, tokenize
 
 
 class ShaderError(ValueError):
-    pass
+    """Shader parse/exec failure; carries the originating source
+    location when known (``fname``/``line``), mapped back through the
+    include tree like the reference's ss_lookup remap
+    (glsl_ext.c:358-384, consumed at render.c:374-399)."""
+
+    def __init__(self, msg: str, fname: str | None = None,
+                 line: int | None = None):
+        self.fname = fname
+        self.line = line
+        if fname is not None and line:
+            msg = f"{fname}:{line}: {msg}"
+        super().__init__(msg)
 
 
 # ---------------------------------------------------------------------------
@@ -154,9 +165,16 @@ _TYPES = ("float", "int", "bool", "vec2", "vec3", "vec4", "highp", "lowp",
 class _StmtParser:
     """Token-stream statement parser for main()'s body."""
 
-    def __init__(self, toks: list[tuple[str, str]]):
+    def __init__(self, toks: list[tuple[str, str]],
+                 lines: list[int] | None = None):
         self.toks = toks
+        self.lines = lines
         self.pos = 0
+
+    def cur_line(self) -> int:
+        if not self.lines:
+            return 0
+        return self.lines[min(self.pos, len(self.lines) - 1)]
 
     def peek(self):
         return self.toks[self.pos]
@@ -211,6 +229,13 @@ class _StmtParser:
         return toks + [("end", "")]
 
     def parse_stmt(self):
+        ln = self.cur_line()
+        stmt = self._parse_stmt_inner()
+        if ln and getattr(stmt, "line", 1) == 0:
+            stmt.line = ln
+        return stmt
+
+    def _parse_stmt_inner(self):
         k, v = self.peek()
         if v == "{":
             return If([("ident", "true"), ("end", "")], self.parse_block())
@@ -459,6 +484,10 @@ class ParsedShader:
     pixel_center_integer: bool
     funcs: dict[str, FuncDef] = field(default_factory=dict)
     pre_body: list = field(default_factory=list)  # file-scope declarations
+    # error-location support: the pass file name and the preprocessor's
+    # per-line source map (PREPROCESSED line -> (origin file, line))
+    fname: str = "<shader>"
+    srcmap: list | None = None
 
 
 _FUNC_DEF = re.compile(
@@ -483,7 +512,11 @@ def _param_names(sig: str) -> list[str]:
 
 def extract_functions(text: str) -> tuple[dict[str, FuncDef], str]:
     """Pull helper-function definitions out of the source (parsed into
-    executable FuncDefs unless they shadow interpreter builtins)."""
+    executable FuncDefs unless they shadow interpreter builtins).
+    Removed spans are replaced by equivalent newlines so the remaining
+    text keeps its original line numbering (error source maps)."""
+    from glava_tpu.config.glsl_expr import tokenize_lines
+
     funcs: dict[str, FuncDef] = {}
     out = []
     i = 0
@@ -516,12 +549,25 @@ def extract_functions(text: str) -> tuple[dict[str, FuncDef], str]:
         keep = (os.environ.get("GLAVA_TPU_INTERPRET_SMOOTH", "") == "1")
         if name not in _BUILTIN_NAMES or keep:
             body_text = "{" + text[m.end():j]
-            body = _StmtParser(tokenize(body_text)).parse_block()
+            # "{" is prepended without a newline, so relative line 1
+            # of body_text is the line of m.end() in the full text
+            base = text.count("\n", 0, m.end())
+            toks, lns = tokenize_lines(body_text, base=base)
+            p = _StmtParser(toks, lns)
+            try:
+                body = p.parse_block()
+            except ShaderError as e:
+                if e.fname is None and not e.line:
+                    # carry the line; the caller resolves the file
+                    raise ShaderError(str(e), None,
+                                      p.cur_line()) from None
+                raise
             rettype = m.group(1)
             if rettype in ("highp", "lowp", "mediump"):
                 rettype = "float"
             funcs[name] = FuncDef(name, _param_names(m.group(3)), body,
                                   rettype=rettype)
+        out.append("\n" * text.count("\n", m.start(), j))
         i = j
     return funcs, "".join(out)
 
@@ -532,9 +578,9 @@ def _strip_directives(text: str) -> str:
     out = []
     for line in text.split("\n"):
         s = line.strip()
-        if s.startswith("#"):
-            continue
-        if re.match(r"^(layout\s*\(.*\)\s*)?(in|out|uniform)\s+", s):
+        if s.startswith("#") or re.match(
+                r"^(layout\s*\(.*\)\s*)?(in|out|uniform)\s+", s):
+            out.append("")  # keep line numbering intact for srcmaps
             continue
         out.append(line)
     return "\n".join(out)
@@ -551,23 +597,54 @@ def parse_declarations(text: str) -> ParsedShader:
     return ParsedShader(uniforms, transforms, [], pci)
 
 
-def parse_shader(text: str) -> ParsedShader:
+def parse_shader(text: str, fname: str = "<shader>",
+                 srcmap: list | None = None) -> ParsedShader:
+    from glava_tpu.config.glsl_expr import tokenize_lines
+
+    def located_block(toks, lns):
+        p = _StmtParser(toks, lns)
+        try:
+            return p.parse_block()
+        except ShaderError as e:
+            if e.fname is not None:
+                raise
+            f, ln = _resolve_srcline(fname, srcmap, p.cur_line())
+            raise ShaderError(str(e), f, ln) from None
+
     decls = parse_declarations(text)
     uniforms, transforms, pci = decls.uniforms, decls.transforms, \
         decls.pixel_center_integer
 
-    funcs, text = extract_functions(text)
-    m = re.search(r"void\s+main\s*\(\s*\)\s*", text)
+    try:
+        funcs, ftext = extract_functions(text)
+    except ShaderError as e:
+        if e.fname is None and e.line:
+            f, ln = _resolve_srcline(fname, srcmap, e.line)
+            raise ShaderError(str(e), f, ln) from None
+        raise
+    m = re.search(r"void\s+main\s*\(\s*\)\s*", ftext)
     if not m:
-        raise ShaderError("no `void main()` found")
-    # file-scope declarations before main() (e.g. graph/1.frag:83-85)
-    pre_text = _strip_directives(text[: m.start()]).strip()
+        raise ShaderError("no `void main()` found", fname, 1)
+    # file-scope declarations before main() (e.g. graph/1.frag:83-85);
+    # no strip: blank prefixes keep line numbers aligned with the file
+    pre_text = _strip_directives(ftext[: m.start()])
     pre_body = []
-    if pre_text:
-        pre_body = _StmtParser(tokenize("{" + pre_text + "}")).parse_block()
-    rest = _strip_directives(text[m.end():])
-    body = _StmtParser(tokenize(rest)).parse_block()
-    return ParsedShader(uniforms, transforms, body, pci, funcs, pre_body)
+    if pre_text.strip():
+        toks, lns = tokenize_lines("{" + pre_text + "}")
+        pre_body = located_block(toks, lns)
+    rest = _strip_directives(ftext[m.end():])
+    base = ftext.count("\n", 0, m.end())
+    toks, lns = tokenize_lines(rest, base=base)
+    body = located_block(toks, lns)
+    return ParsedShader(uniforms, transforms, body, pci, funcs, pre_body,
+                        fname=fname, srcmap=srcmap)
+
+
+def _resolve_srcline(fname: str, srcmap: list | None, ln: int):
+    """Map a PREPROCESSED line back to (origin file, origin line)."""
+    if srcmap and 1 <= ln <= len(srcmap):
+        return srcmap[ln - 1]
+    return fname, ln
 
 
 # ---------------------------------------------------------------------------
@@ -679,7 +756,14 @@ class _Exec:
             return
 
         def sel(n, o):
-            out = jnp.where(mask, n, o)
+            # concrete operands under a concrete mask stay NUMPY (the
+            # reference circle's `if (dir > PI) idx = ...` would
+            # otherwise taint the polar index planes into tracers and
+            # defeat the static-lookup fast path)
+            if _np_concrete(mask, n, o):
+                out = np.where(mask, n, o)
+            else:
+                out = jnp.where(mask, n, o)
             self._prov_merge(out, mask, n, o)
             return out
 
@@ -711,7 +795,23 @@ class _Exec:
         for stmt in body:
             self._stmt(stmt)
 
+    # set by the pass builder (glsl_module) so exec-time errors cite
+    # the originating file:line through the include tree
+    src_info: tuple[str, list | None] = ("<shader>", None)
+
     def _stmt(self, stmt) -> None:
+        try:
+            self._stmt_exec(stmt)
+        except (ShaderError, ExprError) as e:
+            ln = getattr(stmt, "line", 0)
+            if ln and not (isinstance(e, ShaderError)
+                           and e.fname is not None):
+                fname, sl = _resolve_srcline(self.src_info[0],
+                                             self.src_info[1], ln)
+                raise ShaderError(str(e), fname, sl) from None
+            raise
+
+    def _stmt_exec(self, stmt) -> None:
         jnp = _jnp()
         if isinstance(stmt, Decl):
             for name, init, arrsize in stmt.names:
@@ -727,6 +827,21 @@ class _Exec:
                 # declarations introduce the name unconditionally
                 self.env.variables[name] = val
         elif isinstance(stmt, Assign):
+            toks = [t for t in stmt.expr if t[0] != "end"]
+            # chained assignment `a = b = expr` (assignment-as-
+            # expression; e.g. radial/1.frag:115 `fragment =
+            # APPLY_FRAG(...)` after C-faithful macro expansion):
+            # execute the inner assignment, then reuse its value
+            if (stmt.op == "=" and not stmt.swizzle
+                    and stmt.index is None and len(toks) >= 3
+                    and toks[0][0] == "ident"
+                    and toks[1] == ("op", "=")):
+                self._stmt(Assign(target=toks[0][1], swizzle=None,
+                                  op="=", expr=toks[2:] + [("end", "")],
+                                  line=stmt.line))
+                self._masked_set(stmt.target,
+                                 self.env.variables.get(toks[0][1]))
+                return
             rhs = self._eval(stmt.expr)
             cur = self.env.variables.get(stmt.target)
             idx = self._eval(stmt.index) if stmt.index is not None else None
@@ -759,17 +874,32 @@ class _Exec:
             self._masked_set(stmt.target, rhs)
         elif isinstance(stmt, If):
             cond = self._eval(stmt.cond)
-            if isinstance(cond, bool):
-                cond = jnp.full((self.h, self.w), cond)
-            cond = jnp.broadcast_to(jnp.asarray(cond, bool),
-                                    (self.h, self.w))
+            # concrete conditions keep NUMPY masks so masked writes of
+            # concrete values stay concrete (see _np_concrete)
+            if _np_concrete(cond):
+                cond = np.broadcast_to(np.asarray(cond, bool),
+                                       (self.h, self.w))
+            else:
+                cond = jnp.broadcast_to(jnp.asarray(cond, bool),
+                                        (self.h, self.w))
             outer = self.mask
-            self.mask = outer & cond
+            # the pristine mask is all-true: outer & cond == cond, and
+            # skipping the AND keeps numpy conds numpy
+            pristine = outer is self._full_mask
+            tmask = cond if pristine else outer & cond
+            emask = ~cond if pristine else outer & ~cond
+            self.mask = tmask
             self.run(stmt.then)
             then_mask = self.mask  # pixels still active (not returned)
-            self.mask = outer & ~cond
+            self.mask = emask
             self.run(stmt.other)
-            self.mask = then_mask | self.mask
+            if then_mask is tmask and self.mask is emask:
+                # no return/discard in either branch: then|else == outer
+                # exactly — restoring the identity keeps PRISTINE masks
+                # pristine across ifs (and skips the OR)
+                self.mask = outer
+            else:
+                self.mask = then_mask | self.mask
         elif isinstance(stmt, Return):
             if self._fn_stack:
                 fr = self._fn_stack[-1]
@@ -888,11 +1018,13 @@ class _Exec:
                     env.variables.pop(stmt.var, None)
 
     def _cond_mask(self, toks):
-        """Evaluate a loop/if condition to a (H, W) bool array."""
+        """Evaluate a loop/if condition to a (H, W) bool array
+        (numpy-preserving for concrete conditions)."""
         jnp = _jnp()
         c = self._eval(toks)
-        if isinstance(c, bool):
-            c = jnp.full((self.h, self.w), c)
+        if _np_concrete(c):
+            return np.broadcast_to(np.asarray(c, bool),
+                                   (self.h, self.w))
         return jnp.broadcast_to(jnp.asarray(c, bool), (self.h, self.w))
 
     def _decl_array(self, name: str, init, arrsize):
@@ -1125,7 +1257,7 @@ class _Exec:
         if cache is None:
             cache = self._fh_cache = {}
         if sig in cache:
-            fkI, oob_first = cache[sig]
+            fkI, oob_first, latch_maker = cache[sig]
         else:
             yext = (np.arange(lo, hi, dtype=np.float64)
                     + frac).astype(np.float32)[:, None]     # (E, 1)
@@ -1191,10 +1323,15 @@ class _Exec:
             in_part = lax.slice_in_dim(in_scan, k + 1, k + 1 + h, axis=0)
             out_part = jnp.asarray(out_first[sl])           # (h, 1)
             fkI = (jnp.minimum if d > 0 else jnp.maximum)(in_part, out_part)
+            latch_maker = self._make_latch_maker(
+                kin=kin, ext=ext, condIN=condIN,
+                out_np=out_first[sl][:, 0].copy(), fkI=fkI,
+                d=d, k=k, frac=frac, adj=adj, SENT=SENT,
+                bit_hit=bit_hit, fuel_cap=fuel_cap, lo=lo)
             # values created inside a while-body subtrace must not
             # leak into later traces — cache only at loop depth 0
             if not self._loop_stack:
-                cache[sig] = (fkI, oob_first)
+                cache[sig] = (fkI, oob_first, latch_maker)
 
         # apply the x pattern to the RESULT plane; columns read from
         # outside the texture see black at every row, so their
@@ -1238,7 +1375,14 @@ class _Exec:
         # `texelFetch(tex, ivec2(x, h2))`) resolve through masked
         # merges to ONE cached lookup on the pristine plane
         self._prov.append((yf, {"kind": "walk", "plane": yf,
-                                "sig": ("fh",) + sig}))
+                                "sig": ("fh",) + sig,
+                                # latched texels only cover fetches at
+                                # the SAME column mapping as the walk
+                                # (the AA idiom); tracers created in a
+                                # loop subtrace must not leak upward
+                                "latch": (None if self._loop_stack
+                                          else latch_maker),
+                                "latch_px": px}))
         self._prov_merge(committed, self.mask, yf, y0)
         _WALK_HITS[0] += 1
         if (os.environ.get("GLAVA_TPU_WHILE_FUEL_WARN", "1") != "0"
@@ -1250,6 +1394,152 @@ class _Exec:
                 os.environ.get("GLAVA_TPU_WHILE_FUEL_STRICT", "") == "1",
             )
         return True
+
+    def _make_latch_maker(self, *, kin, ext, condIN, out_np, fkI,
+                          d, k, frac, adj, SENT, bit_hit, fuel_cap, lo):
+        """Build the lazy texel resolver for a first-hit walk result.
+
+        Returns ``latch(px_f) -> (r, g, b, a) planes or None``: the
+        texture value the shader reads at ``ivec2(px_f(col),
+        walk_result)`` (the anti-alias idiom,
+        reference graph/3.frag:84), computed WITHOUT any gather. The
+        Pallas latch scan (ops/pallas/latch.py) carries each extended
+        row's candidate texel — hit events pre-shifted by the break
+        adjust, cond-exit rows unshifted, both riding ext's
+        int(-0.5)==0 row--1 semantics — through the same first-event
+        key comparison as the walk's cummin/cummax, so the latched
+        value is exactly the texel at the winning row. Out-of-texture
+        events and fuel-capped pixels have CONCRETE per-start-row
+        target rows and fold to static row selects. Only valid when
+        the fetch's column mapping equals the walk's (caller checks
+        against the prov node); bit-exact with the general gather
+        (pinned by tests/test_glsl_shader.py latch tests).
+        """
+        h, w = self.h, self.w
+        adj_i = int(round(adj))
+        exact_adj = abs(adj - adj_i) < 1e-9
+
+        def row_select_planes(rowvals, valid):
+            """(h,) concrete target texture rows -> 4 (h, w) planes
+            (texture row r lives at ext[r + 1]); invalid/OOB rows read
+            black. None when too many distinct rows (a real gather)."""
+            jnp = _jnp()
+            inr = valid & (rowvals >= 0) & (rowvals < h)
+            uniq = np.unique(rowvals[inr])
+            if uniq.size > 8:
+                return None
+            planes = [jnp.zeros((h, w), jnp.float32) for _ in range(4)]
+            for r0 in uniq:
+                m = jnp.asarray((inr & (rowvals == r0))[:, None])
+                planes = [jnp.where(m, ext[ch][int(r0) + 1][None, :], p)
+                          for ch, p in enumerate(planes)]
+            return planes
+
+        def latch(px_f):
+            import jax
+
+            from jax import lax
+
+            jnp = _jnp()
+            if not exact_adj:
+                return None
+            on_tpu = jax.default_backend() == "tpu"
+            mode = os.environ.get("GLAVA_TPU_LATCH", "")
+            if mode == "0" or (not on_tpu and mode != "interpret"):
+                return None
+            from glava_tpu.ops.pallas.latch import build_latch_scan
+
+            # candidate texel per extended row e (ext index e + 1):
+            # hit events read tex[e + adj] (zero-fill shift; ext[0]
+            # already encodes the row--1 truncation), cond exits tex[e]
+            cands = []
+            n = h + 1
+            for ch in range(4):
+                t = ext[ch]
+                if adj_i == 0:
+                    sh = t
+                elif adj_i >= n or adj_i <= -n:
+                    sh = jnp.zeros_like(t)
+                elif adj_i > 0:
+                    sh = jnp.concatenate(
+                        [t[adj_i:], jnp.zeros((adj_i, w), t.dtype)], 0)
+                else:
+                    sh = jnp.concatenate(
+                        [jnp.zeros((-adj_i, w), t.dtype), t[:adj_i]], 0)
+                cands.append(jnp.where(jnp.asarray(condIN), sh, t))
+            scanf = build_latch_scan(n, w, 4, d > 0, float(SENT),
+                                    interpret=not on_tpu)
+            outs = scanf(kin, tuple(cands))
+            lat = list(outs[1:])
+            # align with the walk decode: pad k rows, slice start rows
+            if k:
+                if d > 0:
+                    pads = [jnp.zeros((k, w), jnp.float32)] * 4
+                else:
+                    pads = [jnp.broadcast_to(p[-1:], (k, w)) for p in lat]
+                lat = [jnp.concatenate([p, pd], 0)
+                       for p, pd in zip(lat, pads)]
+            lat = [lax.slice_in_dim(p, k + 1, k + 1 + h, axis=0)
+                   for p in lat]
+
+            # identity-column branch decode (mirrors the walk's)
+            fki = fkI.astype(jnp.int32)
+            no_event = fkI == SENT
+            jstar = fki >> 1
+            j0 = jnp.asarray((np.arange(h, dtype=np.int64)
+                              + (k - lo)).astype(np.int32))[:, None]
+            raw = (jstar - j0) * np.int32(d)
+            fuelled = no_event | (raw >= fuel_cap)
+            took_out = (~no_event) & (fkI == jnp.asarray(
+                out_np.astype(np.float32))[:, None])
+
+            # out-of-texture events: per-start-row CONCRETE rows
+            has = out_np != np.float32(SENT)
+            oi = out_np.astype(np.int64)
+            erow = (oi >> 1) + lo
+            is_hit = (oi & 1) == bit_hit
+            vfin = erow + frac + np.where(is_hit, float(adj_i), 0.0)
+            # int casts truncate toward zero: (-1, 0) reads row 0 (the
+            # int(-0.5)==0 idiom); <= -1 reads OOB black
+            outp = row_select_planes(np.trunc(vfin).astype(np.int64),
+                                     has)
+            if outp is None:
+                return None
+
+            # fuel-capped pixels: y = y0 + d*fuel_cap with y0 = row +
+            # k + frac (the verified walk-entry structure)
+            vf = (np.arange(h, dtype=np.float64) + k + frac
+                  + d * fuel_cap)
+            fuelp = row_select_planes(np.trunc(vf).astype(np.int64),
+                                      np.ones(h, bool))
+            if fuelp is None:
+                return None
+
+            vals = [jnp.where(fuelled, fp, jnp.where(took_out, op, lp))
+                    for fp, op, lp in zip(fuelp, outp, lat)]
+
+            # apply the fetch's column mapping (== the walk's); OOB
+            # columns walked black texels and fetch at an OOB x: black
+            if px_f[0] == "const":
+                c = px_f[1]
+                if 0 <= c < w:
+                    vals = [jnp.broadcast_to(v[:, c:c + 1], (h, w))
+                            for v in vals]
+                else:
+                    vals = [jnp.zeros((h, w), jnp.float32)
+                            for _ in vals]
+            elif px_f[1] != 0:
+                vals = [_apply_axis(v, px_f, 1, w) for v in vals]
+                if px_f[0] == "shift":
+                    cols = np.arange(w) + px_f[1]
+                    oobc = (cols < 0) | (cols >= w)
+                    if oobc.any():
+                        ob = jnp.asarray(oobc)[None, :]
+                        vals = [jnp.where(ob, 0.0, v) for v in vals]
+            _LATCH_HITS[0] += 1
+            return tuple(vals)
+
+        return latch
 
     def _while_loop(self, stmt: WhileLoop) -> None:
         """Masked data-dependent iteration via `lax.while_loop`.
@@ -1582,6 +1872,7 @@ def _zero_retval(rettype: str, h: int, w: int):
 _WALK_STACK: list[list] = []  # frames of _WalkEntry, innermost loop last
 _WALK_HITS = [0]              # diagnostic: fetches taken via the walk path
 _PROV_HITS = [0]              # diagnostic: fetches resolved via provenance
+_LATCH_HITS = [0]             # diagnostic: walk texels via the latch scan
 _CURRENT_EXEC = None          # the _Exec whose pass is being traced
 
 
@@ -1847,6 +2138,16 @@ def _fuel_report(count, cap, strict):
         print(msg, file=sys.stderr)
 
 
+def _np_concrete(*xs) -> bool:
+    """True when every value is host-concrete (numpy or python scalar)
+    — a select over such values must stay NUMPY: inside a jit trace
+    any jnp op returns a tracer even on concrete operands, and one
+    tainted coordinate plane disables every downstream concrete fast
+    path (static lookups, axis-constant sampling, walk detection)."""
+    return all(isinstance(x, (np.ndarray, np.generic, bool, int, float))
+               for x in xs)
+
+
 def _merge_masked(mask, new, old):
     """Per-pixel merge of a return value at one return site."""
     jnp = _jnp()
@@ -1854,10 +2155,11 @@ def _merge_masked(mask, new, old):
         old = (tuple(0.0 for _ in new) if isinstance(new, tuple) else 0.0)
 
     def sel(n, o):
+        if _np_concrete(mask, n, o):
+            return np.where(mask, n, o)
         return jnp.where(mask, n, o)
 
-    # always select via jnp (the mask is per-pixel even when the
-    # returned value is scalar)
+    # the mask is per-pixel even when the returned value is scalar
     return glsl_expr._map2(sel, sel, new, old)
 
 
@@ -2251,7 +2553,15 @@ def make_builtins(prev, sz: int, h: int, w: int, smooth_fetch):
                 cached = ex.__dict__.setdefault("_prov_texel", {})
                 if key in cached:
                     return cached[key]
-                if on_tpu and h * w >= (1 << 16):
+                val = None
+                lf = node.get("latch")
+                if lf is not None and px == node.get("latch_px"):
+                    # gather-free: the Pallas latch scan carried the
+                    # boundary texels through the first-event scan
+                    val = lf(px)
+                if val is not None:
+                    pass
+                elif on_tpu and h * w >= (1 << 16):
                     val = _col_fetch(px, node["plane"], mc=True)
                 else:
                     # off-TPU the XLA gather is fine; rebuild the

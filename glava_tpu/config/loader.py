@@ -173,5 +173,9 @@ def builtin_variables(cfg: RenderConfig) -> dict[str, Any]:
         "_PREMULTIPLY_ALPHA": 1.0 if cfg.premultiply_alpha else 0.0,
         "_CHANNELS": 1.0 if cfg.mirror_input else 2.0,
         "_PRE_SMOOTHED_AUDIO": 1.0 if cfg.smooth_pass else 0.0,
+        # reference: glGetIntegerv(GL_MAX_FRAGMENT_UNIFORM_COMPONENTS)
+        # (render.c:246-247, EBIND render.c:290); no GL limit applies
+        # here, so expose the common desktop-GL value
+        "_UNIFORM_LIMIT": 4096.0,
         "_SMOOTH_FACTOR": cfg.smooth_factor,
     }

@@ -36,9 +36,13 @@ from typing import Callable
 
 DIRECTIVES = ("request", "include", "define", "expand")
 
-# The only #expand input symbols the reference registers (used by
-# shaders/glava/util/average_pass.frag).
-DEFAULT_EXPAND_SYMBOLS = ("_AVG_FRAMES",)
+# The #expand input symbols the reference registers as efuncs
+# (render.c:283-291 EBIND list; shaders/glava/util/average_pass.frag
+# uses _AVG_FRAMES).
+DEFAULT_EXPAND_SYMBOLS = (
+    "_AVG_FRAMES", "_AVG_WINDOW", "_USE_ALPHA", "_PREMULTIPLY_ALPHA",
+    "_CHANNELS", "_UNIFORM_LIMIT", "_PRE_SMOOTHED_AUDIO",
+)
 
 
 class PreprocessError(ValueError):
@@ -323,17 +327,23 @@ def eval_pp_expr(expr: str, defines: dict[str, str]):
 
 def preprocess_shader_source(
     text: str, ctx: Context, fname: str = "<shader>",
-    current_dir: Path | None = None,
+    current_dir: Path | None = None, srcmap: list | None = None,
 ) -> str:
     """Resolve a pass source for the GLSL interpreter.
 
-    Executes `#request`s, records `#define`s, fully evaluates
+    Executes `#request`s`, records `#define`s, fully evaluates
     `#if/#elif/#else/#endif` over the knob environment, processes
-    `#include`s for their defines/requests (their text is not inlined —
-    utility functions are interpreter builtins), honors
-    `#error __disablestage`, and returns the active GLSL lines.
+    `#include`s for their defines/requests, expands `#expand`
+    code generation, honors `#error __disablestage`, and returns the
+    active GLSL lines.
+
+    When ``srcmap`` is a list, one ``(origin fname, origin line)``
+    entry is appended per OUTPUT line — the ss_lookup-style map
+    (glsl_ext.c:358-384) that shader errors use to cite the true
+    source location through the include tree.
     """
     out: list[str] = []
+    omap: list = []  # (fname, line) per out element's lines
     stack: list[tuple[bool, bool]] = []  # (currently_active, any_taken)
 
     def active() -> bool:
@@ -344,6 +354,7 @@ def preprocess_shader_source(
         if not s.startswith("#"):
             if active():
                 out.append(line)
+                omap.append((fname, ln))
             continue
         body = s[1:].lstrip()
         m = re.match(r"([A-Za-z_][A-Za-z0-9_]*)", body)
@@ -422,18 +433,50 @@ def preprocess_shader_source(
                     # the resolved text is inlined (GLSL function
                     # definitions inside are later skipped by the body
                     # parser; their calls bind to interpreter builtins)
+                    imap: list = []
                     inlined = preprocess_shader_source(
                         path.read_text(), ctx, fname=str(path),
-                        current_dir=path.parent,
+                        current_dir=path.parent, srcmap=imap,
                     )
                     if inlined.strip():
                         out.append(inlined)
+                        omap.extend(imap)
         elif word == "request":
             args = tokenize_args(rest)
             if args and ctx.on_request is not None:
                 ctx.on_request(args[0], args[1:], fname, ln)
+        elif word == "expand":
+            # `#expand MACRO SYMBOL` emits `MACRO(0);` .. `MACRO(N-1);`
+            # into the source (glsl_ext.c:301-339, format "%s(%d);\n"),
+            # N = the registered efunc's value — here the synthesized
+            # builtin define of the same name (render.c:283-291 EBINDs)
+            args = tokenize_args(rest)
+            if len(args) < 2:
+                raise PreprocessError(
+                    fname, ln, "#expand directive missing arguments, "
+                    f"requires 2 identifiers (got {len(args)})")
+            sym = args[1]
+            if sym not in ctx.expand_symbols or sym not in ctx.defines:
+                raise PreprocessError(
+                    fname, ln,
+                    f'#expand directive specified invalid input "{sym}"')
+            try:
+                n = int(float(ctx.defines[sym]))
+            except (TypeError, ValueError):
+                raise PreprocessError(
+                    fname, ln,
+                    f'#expand input "{sym}" has no numeric value')
+            for t in range(n):
+                out.append(f"{args[0]}({t});")
+                omap.append((fname, ln))
         # #version / #line / unknown directives: dropped
     result = "\n".join(out)
+    if srcmap is not None:
+        # one entry per output LINE: single-line appends map 1:1;
+        # inlined includes contributed their own (already line-wise)
+        # entries above. Macro expansion below never changes the line
+        # count (bodies are single-line by the #define grammar).
+        srcmap.extend(omap)
     if ctx.fn_macros:
         # object-like defines whose body IS a function-like macro name
         # (e.g. `#define ROUND_FORMULA sinusoidal` then
@@ -486,9 +529,32 @@ def expand_function_macros(text: str, fn_macros: dict,
                     pos = m.end()
                     continue
                 body = mbody
+                # `##` token pasting first, with RAW (unparenthesized)
+                # arguments, C-preprocessor style — `t##I` with I=3
+                # must yield `t3`, not `t(3)`
+                # (average_pass.frag:20,41)
+                raw = dict(zip(params, args))
+                while True:
+                    pm = re.search(
+                        r"([A-Za-z0-9_]+)\s*##\s*([A-Za-z0-9_]+)", body)
+                    if not pm:
+                        break
+                    lt = raw.get(pm.group(1), pm.group(1))
+                    rt = raw.get(pm.group(2), pm.group(2))
+                    body = body[:pm.start()] + lt + rt + body[pm.end():]
+                # RAW text substitution, exactly like the C
+                # preprocessor: arguments are NOT parenthesized and the
+                # body is NOT wrapped. This is load-bearing for the
+                # reference's UNHYGIENIC window macros —
+                # `window(I, _AVG_FRAMES - 1)` must expand so the
+                # `- 1` becomes a radian phase shift
+                # (`TWOPI*I/_AVG_FRAMES - 1`), the curve the compiled
+                # reference exhibits (ops/windows.py module note,
+                # tests/test_refdsp_differential.py)
                 for p, a in zip(params, args):
-                    body = re.sub(rf"\b{re.escape(p)}\b", f"({a})", body)
-                text = text[:m.start()] + "(" + body + ")" + text[i:]
+                    body = re.sub(rf"\b{re.escape(p)}\b",
+                                  lambda _m, a=a: a, body)
+                text = text[:m.start()] + body + text[i:]
                 pos = m.start() + 1
                 changed = True
         if not changed:

@@ -253,6 +253,46 @@ def build_rowwise_lookup_mc(n_rows: int, table_size: int, n_points: int,
     return lookup
 
 
+_SUB = 8  # sublane granularity: chunk windows are per 8-row subgroup
+
+
+@lru_cache(maxsize=None)
+def _build_subgroup_bucket(nb: int, Tpad: int, G: int, K: int,
+                           interpret: bool):
+    """One subgroup bucket: each (8, 128) subgroup of STATICALLY
+    sorted index rows selects over its OWN K-chunk window (base from
+    the scalar-prefetched meta array). A grid block covers G subgroups
+    so the hardware grid stays coarse while the select windows stay
+    per-subgroup tight — ~4x less VPU work than the 64-row-block
+    window at circle@1080p coherence."""
+    def kernel(meta_ref, tab_ref, idx_ref, out_ref):
+        pid = pl.program_id(0)
+        for j in range(G):
+            b = meta_ref[pid * G + j]
+            ix = idx_ref[j * _SUB:(j + 1) * _SUB, :]
+            lo = jnp.bitwise_and(ix, _LANES - 1)
+            hi = jnp.right_shift(ix, 7)
+            acc = jnp.zeros((_SUB, _LANES), jnp.float32)
+            for k in range(K):
+                row = tab_ref[0, pl.ds((b + k) * _LANES, _LANES)]
+                g = jnp.take_along_axis(
+                    jnp.broadcast_to(row[None], (_SUB, _LANES)), lo,
+                    axis=1)
+                acc = jnp.where(hi == b + k, g, acc)
+            out_ref[j * _SUB:(j + 1) * _SUB, :] = acc
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(nb,),
+        in_specs=[pl.BlockSpec((1, Tpad), lambda i, m: (0, 0)),
+                  pl.BlockSpec((G * _SUB, _LANES), lambda i, m: (i, 0))],
+        out_specs=pl.BlockSpec((G * _SUB, _LANES), lambda i, m: (i, 0)))
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nb * G * _SUB, _LANES),
+                                       jnp.float32),
+        interpret=interpret)
+
+
 @lru_cache(maxsize=None)
 def _build_bucket(nb: int, Tpad: int, R: int, K: int, interpret: bool):
     """One sorted-block bucket: each (R, 128) block of STATICALLY
@@ -299,6 +339,8 @@ def build_static_table_lookup(idx, table_size: int, tile_rows: int = 64,
     573 us for the dense kernel, bit-exact. Index values must lie in
     [0, table_size).
     """
+    import os
+
     idx = np.asarray(idx)
     shape = idx.shape
     flat = idx.reshape(-1).astype(np.int64)
@@ -318,6 +360,8 @@ def build_static_table_lookup(idx, table_size: int, tile_rows: int = 64,
     idxp.reshape(-1)[:P] = flat
     hi = idxp >> 7
     perm = np.argsort(hi.min(1), kind="stable")
+    if os.environ.get("GLAVA_TPU_STATIC_LK_V1", "") != "1":
+        return _static_lookup_subgroup(idxp, perm, P, T, shape, interpret)
     nblk = -(-nrows // R)
     perm_p = np.concatenate([perm, np.repeat(perm[-1:], nblk * R - nrows)])
     rows_sorted = idxp[perm_p]
@@ -347,6 +391,73 @@ def build_static_table_lookup(idx, table_size: int, tile_rows: int = 64,
     inv_sorted[out_rows_order] = np.arange(nblk * R)
     pos_of_orig = np.empty(nblk * R, np.int64)
     pos_of_orig[perm_p] = np.arange(nblk * R)
+    final_perm = jnp.asarray(
+        inv_sorted[pos_of_orig[:nrows]].astype(np.int32))
+
+    def lookup(table):
+        tab = jnp.asarray(table, jnp.float32).reshape(-1)
+        tab = jnp.pad(tab, (0, Tpad - tab.shape[0]))[None, :]
+        parts = [fn(bs, tab, rows) for fn, bs, rows in buckets]
+        allout = parts[0] if len(parts) == 1 else jnp.concatenate(parts, 0)
+        ordered = allout[final_perm]
+        return ordered.reshape(-1)[:P].reshape(shape)
+
+    return lookup
+
+
+# subgroup bucket K levels: a subgroup whose chunk span exceeds the
+# largest level joins a tail bucket at the observed maximum span
+_K_LEVELS = (2, 4, 8, 16)
+_SUB_G = 16  # subgroups per grid block (block = 128 index rows)
+
+
+def _static_lookup_subgroup(idxp, perm, P, T, shape, interpret):
+    """Per-8-row-subgroup chunk windows (the v2 static lookup).
+
+    The 64-row-block variant pays for the whole block's chunk span on
+    every row; after the coherence sort, an 8-row subgroup spans ~4x
+    fewer chunks, so selecting per-subgroup (base scalar-prefetched,
+    window statically unrolled per bucket level) cuts the VPU work
+    proportionally. Measured v5e @ circle's three 1080p index planes
+    (6.2M points, 4096-entry table): 566 -> 163 us, bit-exact."""
+    nrows = idxp.shape[0]
+    nsub = -(-nrows // _SUB)
+    perm_p = np.concatenate(
+        [perm, np.repeat(perm[-1:], nsub * _SUB - nrows)])
+    rows_sorted = idxp[perm_p]                    # (nsub*_SUB, 128)
+    hs = rows_sorted >> 7
+    hb = hs.reshape(nsub, _SUB, _LANES)
+    bases = hb.min(axis=(1, 2)).astype(np.int32)
+    cnts = (hb.max(axis=(1, 2)) - bases + 1).astype(np.int32)
+    kmax = int(cnts.max())
+    levels = [k for k in _K_LEVELS if k < kmax] + [kmax]
+    assign = np.searchsorted(np.asarray(levels), cnts)
+    Tpad = T + levels[-1] * _LANES
+
+    buckets = []
+    sub_out_start = np.empty(nsub, np.int64)
+    ofs = 0
+    for li, K in enumerate(levels):
+        ids = np.nonzero(assign == li)[0]
+        if not ids.size:
+            continue
+        npad = (-(-ids.size // _SUB_G)) * _SUB_G
+        ids_p = np.concatenate(
+            [ids, np.repeat(ids[-1:], npad - ids.size)])
+        rows = rows_sorted.reshape(nsub, _SUB, _LANES)[ids_p] \
+            .reshape(-1, _LANES)
+        buckets.append((
+            _build_subgroup_bucket(npad // _SUB_G, Tpad, _SUB_G, K,
+                                   interpret),
+            jnp.asarray(bases[ids_p]),
+            jnp.asarray(rows.astype(np.int32)),
+        ))
+        sub_out_start[ids] = ofs + np.arange(ids.size) * _SUB
+        ofs += npad * _SUB
+    ar = np.arange(nsub * _SUB)
+    inv_sorted = sub_out_start[ar // _SUB] + ar % _SUB
+    pos_of_orig = np.empty(nsub * _SUB, np.int64)
+    pos_of_orig[perm_p] = ar
     final_perm = jnp.asarray(
         inv_sorted[pos_of_orig[:nrows]].astype(np.int32))
 

@@ -124,13 +124,15 @@ def _build(name: str, files: list[Path], ctx: base.ModuleContext,
         for k, v in ctx.env.variables.items():
             if isinstance(v, (int, float)) and k not in pctx.defines:
                 pctx.defines[k] = repr(v)
+        srcmap: list = []
         try:
             text = preprocessor.preprocess_shader_source(
-                raw, pctx, fname=str(f), current_dir=f.parent
+                raw, pctx, fname=str(f), current_dir=f.parent,
+                srcmap=srcmap,
             )
         except preprocessor.StageDisabledDirective:
             continue
-        program = parse_shader(text)
+        program = parse_shader(text, fname=str(f), srcmap=srcmap)
         seen = set()
         uniforms = []
         for n, a in reqs:
@@ -183,6 +185,7 @@ def _build(name: str, files: list[Path], ctx: base.ModuleContext,
                     functions=builtins,
                 )
                 ex = _Exec(env, h, w)
+                ex.src_info = (program.fname, program.srcmap)
                 try:
                     # GLSL arithmetic never warns (inf/nan propagate,
                     # GPU-style); the numpy-preserving evaluator paths

@@ -837,6 +837,147 @@ def test_graph_aa_verbatim_through_col_lookup(tmp_path, monkeypatch):
     assert ((a[..., 3] > 0) & (a[..., 3] < 0.99)).mean() > 0.005
 
 
+def test_shader_errors_cite_include_source_location(tmp_path):
+    """Parse errors inside an #include'd file cite the included file's
+    path and line (the ss_lookup remap capability,
+    glsl_ext.c:358-384 / render.c:374-399)."""
+    import pytest
+
+    from glava_tpu.config import preprocessor
+    from glava_tpu.config.glsl_shader import ShaderError, parse_shader
+
+    inc = tmp_path / "broken_util.glsl"
+    inc.write_text(
+        "float helper(float x) {\n"
+        "    return x * 2.0;\n"
+        "}\n"
+        "void junk() {\n"
+        "    for (;;) { }\n"         # line 5: parse error (bad for)
+        "}\n"
+    )
+    main = tmp_path / "1.frag"
+    main.write_text(
+        "out vec4 fragment;\n"
+        '#include "broken_util.glsl"\n'
+        "void main() { fragment = vec4(1); }\n"
+    )
+    srcmap: list = []
+    ctx = preprocessor.Context(user_dir=tmp_path, system_dir=tmp_path)
+    text = preprocessor.preprocess_shader_source(
+        main.read_text(), ctx, fname=str(main), current_dir=tmp_path,
+        srcmap=srcmap)
+    with pytest.raises(ShaderError) as ei:
+        parse_shader(text, fname=str(main), srcmap=srcmap)
+    msg = str(ei.value)
+    assert "broken_util.glsl" in msg, msg
+    assert ":5:" in msg, msg
+
+
+def test_exec_errors_cite_source_line(tmp_path):
+    """Exec-time shader failures cite <file>:<line> of the offending
+    statement in the ORIGINAL pass file."""
+    import pytest
+
+    from glava_tpu.config.glsl_shader import ShaderError
+
+    mod = tmp_path / "bad"
+    mod.mkdir()
+    (mod / "1.frag").write_text(
+        "in vec4 gl_FragCoord;\n"
+        "out vec4 fragment;\n"
+        "void main() {\n"
+        "    float ok = 1.0;\n"
+        "    fragment = vec4(undefined_name_xyz, 0, 0, 1);\n"  # line 5
+        "}\n"
+    )
+    (tmp_path / "rc.glsl").write_text(
+        "#request mod bad\n#request setgeometry 0 0 32 16\n"
+        "#request setbufsize 1024\n#request setsamplesize 256\n"
+        "#request setprintframes false\n"
+    )
+    lc = loader.load(user_dir=tmp_path)
+    with pytest.raises(ShaderError) as ei:
+        _render(lc, n=1)
+    msg = str(ei.value)
+    assert "1.frag" in msg, msg
+    assert ":5:" in msg, msg
+    assert "undefined_name_xyz" in msg, msg
+
+
+def test_graph_aa_latch_scan_bit_exact(tmp_path, monkeypatch):
+    """The Pallas latch scan resolves the AA boundary-texel fetch
+    (forced in interpret mode) BIT-exactly vs the general gather."""
+    from glava_tpu.config import glsl_shader
+
+    (tmp_path / "latch").mkdir()
+    (tmp_path / "gen").mkdir()
+    glsl_shader._LATCH_HITS[0] = 0
+    monkeypatch.setenv("GLAVA_TPU_LATCH", "interpret")
+    a, _ = _compare_verbatim(tmp_path / "latch", "graph", (192, 128),
+                             knobs="#define ANTI_ALIAS 1\n")
+    assert glsl_shader._LATCH_HITS[0] >= 1, "latch path did not fire"
+    monkeypatch.setenv("GLAVA_TPU_LATCH", "0")
+    b, _ = _compare_verbatim(tmp_path / "gen", "graph", (192, 128),
+                             knobs="#define ANTI_ALIAS 1\n")
+    assert np.array_equal(a, b), (
+        f"latch texels must be bit-exact, max diff {np.abs(a - b).max()}"
+    )
+    assert ((a[..., 3] > 0) & (a[..., 3] < 0.99)).mean() > 0.005
+
+
+LATCH_ADJ_FRAG2 = """
+in vec4 gl_FragCoord;
+#request uniform "screen" screen
+uniform ivec2 screen;
+#request uniform "prev" tex
+uniform sampler2D tex;
+out vec4 fragment;
+
+float walk_up(float x) {
+    float y = gl_FragCoord.y;
+    while (y < screen.y + 3.0) {         /* cond-exit OUT of texture; */
+        vec4 f = texelFetch(tex, ivec2(x, y), 0);
+        if (f.a <= 0) {
+            y -= 1;                      /* break-ADJUST: latched     */
+            break;                       /* texel is the row above    */
+        }
+        y += 1;
+    }
+    return y;
+}
+
+void main() {
+    float h2 = walk_up(gl_FragCoord.x);
+    vec4 c = texelFetch(tex, ivec2(gl_FragCoord.x, h2), 0);
+    fragment = vec4(c.r, c.a, h2 / screen.y, 1.0);
+}
+"""
+
+
+def test_latch_scan_break_adjust_and_out_events(tmp_path, monkeypatch):
+    """Latch path with a break-adjusted up-walk whose cond-exit lies
+    out of texture (pred(black) true -> an OUT hit event at row h that
+    adjusts back to the in-range row h-1): bit-exact vs the general
+    resolution, and the latch must actually fire."""
+    from glava_tpu.config import glsl_shader
+
+    glsl_shader._LATCH_HITS[0] = 0
+    monkeypatch.setenv("GLAVA_TPU_LATCH", "interpret")
+    a, _ = _walk_render(tmp_path, "latchadj", True,
+                        frag2=LATCH_ADJ_FRAG2)
+    assert glsl_shader._LATCH_HITS[0] >= 1, "latch path did not fire"
+    monkeypatch.setenv("GLAVA_TPU_LATCH", "0")
+    b, _ = _walk_render(tmp_path, "latchadj_off", True,
+                        frag2=LATCH_ADJ_FRAG2)
+    assert np.array_equal(a, b), (
+        f"latch adj texels must be bit-exact, max diff "
+        f"{np.abs(a - b).max()}"
+    )
+    c, _ = _walk_render(tmp_path, "latchadj_gen", False,
+                        frag2=LATCH_ADJ_FRAG2)
+    assert np.array_equal(a, c)
+
+
 def test_dfdx_dfdy_fwidth_quad_semantics(tmp_path):
     """Screen-space derivatives use GL's coarse 2x2-quad rule: both
     fragments of a pixel pair see the same odd-even difference."""

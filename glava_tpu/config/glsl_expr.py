@@ -45,6 +45,88 @@ def _np_like(x) -> bool:
     return hasattr(x, "shape") or isinstance(x, (np.ndarray, np.generic))
 
 
+class GlslMat:
+    """Column-major GLSL matrix (mat2/mat3/mat4): ``cols`` is a tuple
+    of N column tuples of N components. Components may be scalars or
+    per-pixel planes, like vector components. GLSL's ``*`` is
+    ALGEBRAIC for matrices (handled in the parser's ``mult``); ``+``,
+    ``-`` and ``matrixCompMult`` are componentwise."""
+
+    __slots__ = ("cols",)
+
+    def __init__(self, cols):
+        self.cols = tuple(tuple(c) for c in cols)
+
+    @property
+    def n(self) -> int:
+        return len(self.cols)
+
+    def row(self, i: int) -> tuple:
+        return tuple(self.cols[k][i] for k in range(self.n))
+
+    def __repr__(self):
+        return f"GlslMat({self.cols!r})"
+
+
+def _mat_dot(a, b):
+    acc = None
+    for x, y in zip(a, b):
+        t = _map2(lambda p, q: p * q, lambda p, q: p * q, x, y)
+        acc = t if acc is None else _map2(
+            lambda p, q: p + q, lambda p, q: p + q, acc, t)
+    return acc
+
+
+def _mat_mul(a, b):
+    """GLSL `*` with at least one matrix operand."""
+    if isinstance(a, GlslMat) and isinstance(b, GlslMat):
+        if a.n != b.n:
+            raise ExprError("matrix size mismatch in mat * mat")
+        n = a.n
+        return GlslMat(tuple(
+            tuple(_mat_dot(a.row(i), b.cols[j]) for i in range(n))
+            for j in range(n)))
+    if isinstance(a, GlslMat):
+        if _is_vec(b):
+            if len(b) != a.n:
+                raise ExprError("mat * vec size mismatch")
+            return tuple(_mat_dot(a.row(i), b) for i in range(a.n))
+        return _mat_map(lambda c: _map2(
+            lambda p, q: p * q, lambda p, q: p * q, c, b), a)
+    # b is the matrix
+    if _is_vec(a):
+        if len(a) != b.n:
+            raise ExprError("vec * mat size mismatch")
+        return tuple(_mat_dot(a, b.cols[j]) for j in range(b.n))
+    return _mat_map(lambda c: _map2(
+        lambda p, q: p * q, lambda p, q: p * q, a, c), b)
+
+
+def _mat_map(f, m: GlslMat) -> GlslMat:
+    return GlslMat(tuple(tuple(f(c) for c in col) for col in m.cols))
+
+
+def _mat_zip(f, fj, a: GlslMat, b: GlslMat) -> GlslMat:
+    if a.n != b.n:
+        raise ExprError("matrix size mismatch")
+    return GlslMat(tuple(
+        tuple(_map2(f, fj, x, y) for x, y in zip(ca, cb))
+        for ca, cb in zip(a.cols, b.cols)))
+
+
+def _host_concrete(x) -> bool:
+    """True for host-concrete values (numpy / python scalars) — ops on
+    these must stay numpy inside a jit trace (one jnp op makes them
+    tracers and defeats the concrete fast paths)."""
+    return isinstance(x, (np.ndarray, np.generic, bool, int, float))
+
+
+def _host_concrete_tree(x) -> bool:
+    if isinstance(x, tuple):
+        return all(_host_concrete_tree(c) for c in x)
+    return _host_concrete(x)
+
+
 def _map2(f, fj, a, b):
     """Binary op over scalars/vectors with GLSL broadcasting."""
     if _is_vec(a) and _is_vec(b):
@@ -117,6 +199,8 @@ def index_value(v, idx):
     (element counts are small, so N-1 `where`s beat a real gather)."""
     if isinstance(v, GlslArray):
         elems = v.elems
+    elif isinstance(v, GlslMat):
+        elems = list(v.cols)   # m[j] is column j (GLSL column-major)
     elif _is_vec(v):
         elems = list(v)
     else:
@@ -274,6 +358,44 @@ def _builtin_funcs() -> dict[str, Callable]:
 
         return ctor
 
+    def _matn(n):
+        def ctor(*args):
+            if len(args) == 1 and isinstance(args[0], GlslMat):
+                m = args[0]
+                # matN(matM): overlap copied, identity elsewhere
+                return GlslMat(tuple(
+                    tuple(m.cols[j][i] if j < m.n and i < m.n
+                          else (1.0 if i == j else 0.0)
+                          for i in range(n))
+                    for j in range(n)))
+            comps: list[Any] = []
+            for a in args:
+                if isinstance(a, GlslMat):
+                    raise ExprError(
+                        "matrix argument in a mixed mat constructor")
+                if _is_vec(a):
+                    comps.extend(a)
+                else:
+                    comps.append(a)
+            if len(comps) == 1:
+                s = comps[0]
+                return GlslMat(tuple(
+                    tuple(s if i == j else 0.0 for i in range(n))
+                    for j in range(n)))
+            if len(comps) != n * n:
+                raise ExprError(
+                    f"mat{n} constructor got {len(comps)} components")
+            return GlslMat(tuple(
+                tuple(comps[j * n + i] for i in range(n))
+                for j in range(n)))
+
+        return ctor
+
+    def _mat_transpose(m):
+        if not isinstance(m, GlslMat):
+            raise ExprError("transpose() needs a matrix")
+        return GlslMat(tuple(m.row(i) for i in range(m.n)))
+
     def gmod(a, b):
         fj = _exact2(lambda x, y: x - y * jnp.floor(x / y),
                      lambda x, y: x - y * np.floor(x / y))
@@ -318,6 +440,12 @@ def _builtin_funcs() -> dict[str, Callable]:
         "vec2": _vecn(2),
         "vec3": _vecn(3),
         "vec4": _vecn(4),
+        "mat2": _matn(2),
+        "mat3": _matn(3),
+        "mat4": _matn(4),
+        "transpose": _mat_transpose,
+        "matrixCompMult": lambda a, b: _mat_zip(
+            lambda x, y: x * y, lambda x, y: x * y, a, b),
         "min": gmin,
         "max": gmax,
         "abs": lift1(abs, _exact1(jnp.abs, np.abs)),
@@ -466,10 +594,18 @@ class _Parser:
             self.expect(":")
             b = self.ternary()
             if _np_like(cond):  # per-pixel select
-                jnp = _jnp()
+                # concrete operands stay NUMPY: inside a jit trace a
+                # jnp.where would turn them into tracers and defeat
+                # every downstream concrete fast path
+                if (_host_concrete(cond) and _host_concrete_tree(a)
+                        and _host_concrete_tree(b)):
+                    def sel(x, y):
+                        return np.where(cond, x, y)
+                else:
+                    jnp = _jnp()
 
-                def sel(x, y):
-                    return jnp.where(cond, x, y)
+                    def sel(x, y):
+                        return jnp.where(cond, x, y)
 
                 if _is_vec(a) or _is_vec(b):
                     at = a if _is_vec(a) else (a,) * len(b)
@@ -485,8 +621,11 @@ class _Parser:
             self.next()
             rhs = self.logic_and()
             if _np_like(v) or _np_like(rhs):
-                jnp = _jnp()
-                v = jnp.asarray(v, bool) | jnp.asarray(rhs, bool)
+                if _host_concrete(v) and _host_concrete(rhs):
+                    v = np.asarray(v, bool) | np.asarray(rhs, bool)
+                else:
+                    jnp = _jnp()
+                    v = jnp.asarray(v, bool) | jnp.asarray(rhs, bool)
             else:
                 v = _truthy(v) or _truthy(rhs)
         return v
@@ -497,8 +636,11 @@ class _Parser:
             self.next()
             rhs = self.compare()
             if _np_like(v) or _np_like(rhs):
-                jnp = _jnp()
-                v = jnp.asarray(v, bool) & jnp.asarray(rhs, bool)
+                if _host_concrete(v) and _host_concrete(rhs):
+                    v = np.asarray(v, bool) & np.asarray(rhs, bool)
+                else:
+                    jnp = _jnp()
+                    v = jnp.asarray(v, bool) & jnp.asarray(rhs, bool)
             else:
                 v = _truthy(v) and _truthy(rhs)
         return v
@@ -525,10 +667,15 @@ class _Parser:
         while self.peek()[1] in ("+", "-"):
             op = self.next()[1]
             rhs = self.mult()
-            if op == "+":
-                v = _map2(lambda a, b: a + b, lambda a, b: a + b, v, rhs)
+            f = ((lambda a, b: a + b) if op == "+"
+                 else (lambda a, b: a - b))
+            if isinstance(v, GlslMat) or isinstance(rhs, GlslMat):
+                if not (isinstance(v, GlslMat)
+                        and isinstance(rhs, GlslMat)):
+                    raise ExprError(f"matrix {op} non-matrix")
+                v = _mat_zip(f, f, v, rhs)
             else:
-                v = _map2(lambda a, b: a - b, lambda a, b: a - b, v, rhs)
+                v = _map2(f, f, v, rhs)
         return v
 
     def mult(self):
@@ -536,7 +683,20 @@ class _Parser:
         while self.peek()[1] in ("*", "/", "%"):
             op = self.next()[1]
             rhs = self.unary()
-            if op == "*":
+            if isinstance(v, GlslMat) or isinstance(rhs, GlslMat):
+                if op == "*":
+                    v = _mat_mul(v, rhs)
+                elif op == "/":
+                    f = lambda a, b: a / b  # noqa: E731
+                    if isinstance(v, GlslMat) and isinstance(rhs, GlslMat):
+                        v = _mat_zip(f, f, v, rhs)  # componentwise
+                    elif isinstance(v, GlslMat):
+                        v = _mat_map(lambda c: _map2(f, f, c, rhs), v)
+                    else:
+                        v = _mat_map(lambda c: _map2(f, f, v, c), rhs)
+                else:
+                    raise ExprError("'%' is not defined for matrices")
+            elif op == "*":
                 v = _map2(lambda a, b: a * b, lambda a, b: a * b, v, rhs)
             elif op == "/":
                 v = _map2(lambda a, b: a / b, lambda a, b: a / b, v, rhs)
@@ -549,7 +709,11 @@ class _Parser:
         k, val = self.peek()
         if val == "-":
             self.next()
-            return _map1(lambda x: -x, lambda x: -x, self.unary())
+            v = self.unary()
+            if isinstance(v, GlslMat):
+                return _mat_map(
+                    lambda c: _map1(lambda x: -x, lambda x: -x, c), v)
+            return _map1(lambda x: -x, lambda x: -x, v)
         if val == "+":
             self.next()
             return self.unary()
@@ -557,6 +721,8 @@ class _Parser:
             self.next()
             v = self.unary()
             if _np_like(v):
+                if _host_concrete(v):
+                    return ~np.asarray(v, bool)
                 return ~_jnp().asarray(v, bool)
             return not _truthy(v)
         return self.postfix()

@@ -149,6 +149,17 @@ class WhileLoop:
 
 
 @dataclass
+class Switch:
+    """GLSL `switch` with C fallthrough: each case group is a
+    (label-token-lists | None-for-default, body) pair in source
+    order."""
+
+    expr: list
+    cases: list
+    line: int = 0
+
+
+@dataclass
 class Break:
     line: int = 0
 
@@ -158,7 +169,8 @@ class Continue:
     line: int = 0
 
 
-_TYPES = ("float", "int", "bool", "vec2", "vec3", "vec4", "highp", "lowp",
+_TYPES = ("float", "int", "bool", "vec2", "vec3", "vec4",
+          "mat2", "mat3", "mat4", "highp", "lowp",
           "mediump", "const")
 
 
@@ -269,6 +281,33 @@ class _StmtParser:
                               tokenize("vec4(0, 0, 0, 0)")), Return()])
         if v == "for":
             return self._parse_for()
+        if v == "switch":
+            self.next()
+            self.expect("(")
+            selexpr = self.collect_expr(stops=(")",))
+            self.expect(")")
+            self.expect("{")
+            cases: list = []
+            while self.peek()[1] != "}":
+                if self.at_end():
+                    raise ShaderError("unterminated switch")
+                t = self.peek()[1]
+                if t == "case":
+                    self.next()
+                    lab = self.collect_expr(stops=(":",))
+                    self.expect(":")
+                    cases.append(([lab], []))
+                elif t == "default":
+                    self.next()
+                    self.expect(":")
+                    cases.append((None, []))
+                else:
+                    if not cases:
+                        raise ShaderError(
+                            "switch statement before the first case label")
+                    cases[-1][1].append(self.parse_stmt())
+            self.next()
+            return Switch(selexpr, cases)
         if v == "while":
             self.next()
             self.expect("(")
@@ -768,6 +807,16 @@ class _Exec:
             return out
 
         def merge(value, old):
+            if isinstance(value, glsl_expr.GlslMat) \
+                    or isinstance(old, glsl_expr.GlslMat):
+                if not (isinstance(value, glsl_expr.GlslMat)
+                        and isinstance(old, glsl_expr.GlslMat)
+                        and value.n == old.n):
+                    raise ShaderError(
+                        f"assignment changes matrix shape of '{name}'")
+                return glsl_expr.GlslMat(tuple(
+                    tuple(sel(a, b) for a, b in zip(ca, cb))
+                    for ca, cb in zip(value.cols, old.cols)))
             if isinstance(value, glsl_expr.GlslArray) \
                     or isinstance(old, glsl_expr.GlslArray):
                 if not (isinstance(value, glsl_expr.GlslArray)
@@ -937,14 +986,75 @@ class _Exec:
                              else ctx["broken"] | self.mask)
             self.mask = self.mask & False
         elif isinstance(stmt, Continue):
-            if not self._loop_stack:
+            # `continue` binds to the enclosing LOOP, skipping switch
+            # contexts (C semantics; `break` binds to the nearest of
+            # either, i.e. plain [-1])
+            loops = [c for c in self._loop_stack if not c.get("switch")]
+            if not loops:
                 raise ShaderError("`continue` outside a loop")
-            ctx = self._loop_stack[-1]
+            ctx = loops[-1]
             ctx["continued"] = (self.mask if ctx["continued"] is None
                                 else ctx["continued"] | self.mask)
             self.mask = self.mask & False
+        elif isinstance(stmt, Switch):
+            self._switch(stmt)
         else:  # pragma: no cover
             raise ShaderError(f"unknown statement {stmt!r}")
+
+    def _switch(self, stmt: Switch) -> None:
+        """GLSL switch with C fallthrough as masked case groups.
+
+        The selector may be per-pixel; labels are constant expressions
+        (the GLSL requirement). Pixels enter at their matching label
+        (default = matching NO label anywhere, wherever it appears),
+        flow into following groups until `break` retires them from the
+        switch, and everything reactivates afterwards — except pixels
+        retired by `return`. Numpy-preserving like `if`."""
+        sel = self._eval(stmt.expr)
+        outer = self.mask
+        covered = None
+        groups = []
+        has_default = False
+        for labels, body in stmt.cases:
+            if labels is None:
+                has_default = True
+                groups.append((None, body))
+                continue
+            m = None
+            for lt in labels:
+                v = self._eval(lt)
+                eq = sel == v
+                m = eq if m is None else (m | eq)
+            if not _np_concrete(m) or not _np_concrete(outer):
+                jnp = _jnp()
+                m = jnp.broadcast_to(jnp.asarray(m, bool) & outer,
+                                     (self.h, self.w))
+            else:
+                m = np.broadcast_to(np.asarray(m, bool) & outer,
+                                    (self.h, self.w))
+            covered = m if covered is None else covered | m
+            groups.append((m, body))
+        nobody = outer & False
+        ctx = {"broken": None, "continued": None, "switch": True}
+        self._loop_stack.append(ctx)
+        self.mask = nobody
+        try:
+            for m, body in groups:
+                if m is None:  # default: pixels matching no label
+                    m = (nobody if covered is None
+                         else outer & ~covered)
+                self.mask = self.mask | m
+                self.run(body)
+        finally:
+            self._loop_stack.pop()
+        final = self.mask
+        if ctx["broken"] is not None:
+            final = final | ctx["broken"]
+        if not has_default:
+            # pixels matching nothing skip the switch but stay active
+            final = final | (outer if covered is None
+                             else outer & ~covered)
+        self.mask = final
 
     _MAX_UNROLL = 4096
 
@@ -1308,7 +1418,20 @@ class _Exec:
             condIN = condV[inrows]                          # (h+1, 1) np
             event_in = jnp.asarray(~condIN) | (jnp.asarray(condIN) & predB)
             kin = jnp.where(event_in, jnp.asarray(keyV[inrows]), SENT)
-            if d > 0:
+            import jax as _jax
+
+            if (_jax.default_backend() == "tpu"
+                    and os.environ.get("GLAVA_TPU_PALLAS_SCAN", "1")
+                    != "0"):
+                # the key-only Pallas scan (VMEM Hillis-Steele) beats
+                # lax.cummin/cummax 3.5x at 1080p (25 vs 89 us,
+                # ops/pallas/latch.py) and min/max are exact, so the
+                # result is bit-identical
+                from glava_tpu.ops.pallas.latch import build_latch_scan
+
+                s0 = build_latch_scan(h + 1, w, 0, d > 0, float(SENT))
+                in_scan = s0(kin, ())[0]
+            elif d > 0:
                 in_scan = lax.cummin(kin, axis=0, reverse=True)
             else:
                 in_scan = lax.cummax(kin, axis=0)

@@ -43,8 +43,25 @@ def _build(E: int, W: int, C: int, reverse: bool, sent: float,
     first event at rows >= r). ``reverse=False``: prefix max-scan.
     ``sent`` is the no-event key sentinel (compares worse than every
     real key in the chosen direction).
+
+    Flat Hillis-Steele over the full block height. A blocked two-level
+    variant (3 masked intra-8-row steps + small block-summary scan +
+    combine) was tried and measured SLOWER on v5e (C=4 @ (1081, 1920):
+    254 vs 183 us) — Mosaic's sublane reshapes/iota masks cost more
+    than the extra full-height passes save.
     """
     sent = np.float32(sent)
+
+    def shift(x, s, fill):
+        pad = jnp.full((s, x.shape[1]), fill, jnp.float32)
+        if reverse:
+            return jnp.concatenate([x[s:], pad], axis=0)
+        return jnp.concatenate([pad, x[:-s]], axis=0)
+
+    def pick(k, cs, ks, css):
+        m = (k <= ks) if reverse else (k >= ks)
+        return (jnp.where(m, k, ks),
+                [jnp.where(m, c, cc) for c, cc in zip(cs, css)])
 
     def kernel(*refs):
         key_ref, c_refs = refs[0], refs[1:1 + C]
@@ -53,20 +70,9 @@ def _build(E: int, W: int, C: int, reverse: bool, sent: float,
         cs = [r[...] for r in c_refs]
         s = 1
         while s < E:
-            pad_k = jnp.full((s, _LANES), sent, jnp.float32)
-            pad_c = jnp.zeros((s, _LANES), jnp.float32)
-            if reverse:
-                ks = jnp.concatenate([k[s:], pad_k], axis=0)
-                css = [jnp.concatenate([c[s:], pad_c], axis=0)
-                       for c in cs]
-                m = k <= ks
-            else:
-                ks = jnp.concatenate([pad_k, k[:-s]], axis=0)
-                css = [jnp.concatenate([pad_c, c[:-s]], axis=0)
-                       for c in cs]
-                m = k >= ks
-            k = jnp.where(m, k, ks)
-            cs = [jnp.where(m, c, cc) for c, cc in zip(cs, css)]
+            ks = shift(k, s, sent)
+            css = [shift(c, s, 0.0) for c in cs]
+            k, cs = pick(k, cs, ks, css)
             s *= 2
         okey_ref[...] = k
         for i in range(C):

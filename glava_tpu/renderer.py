@@ -156,9 +156,35 @@ class Renderer:
             frame = frame * a + bg * (1.0 - a)
         return RenderState(chains, key_start, key_end), frame
 
-    def jit_step(self, quantize: bool = False):
+    def jit_step(self, quantize: bool = False, yuv420: bool = False):
         """Jitted step; with ``quantize`` the frame is converted to
-        uint8 on device (4x less device->host traffic per frame)."""
+        uint8 on device (4x less device->host traffic per frame); with
+        ``yuv420`` it is packed to (Y, U, V) uint8 planes with 2x2-mean
+        chroma subsampling ON DEVICE — 1.5 B/px on the wire instead of
+        RGBA8's 4 (2.7x less D2H; the serving loop is transfer-bound on
+        slow links, docs/STATUS.md in-flight table). BT.601 full-range
+        matrix, planes flipped to top-down scan order, every stage
+        round-to-nearest (pinned by tests/test_runtime.py yuv goldens).
+        Requires even frame dimensions."""
+        if yuv420:
+            h, w = self.screen[1], self.screen[0]
+            if h % 2 or w % 2:
+                raise ValueError("yuv420 packing needs even dimensions")
+
+            def step(state, audio, modified, time, interp_mod,
+                     gravity_g, pipe):
+                st, frame = self.step(
+                    state, audio, modified, time, interp_mod,
+                    gravity_g, pipe
+                )
+                # ONE contiguous buffer: three separate little D2H
+                # fetches would pay three link round-trips per frame
+                # (measured: it inverts the win on small frames)
+                planes = yuv420_pack(frame)
+                packed = jnp.concatenate([p.reshape(-1) for p in planes])
+                return st, packed
+
+            return jax.jit(step, donate_argnums=(0,))
         if not quantize:
             return jax.jit(self.step, donate_argnums=(0,))
 
@@ -195,3 +221,45 @@ def quantize_frame(frame: jax.Array) -> np.ndarray:
     """f32 RGBA [0,1] -> uint8, GL-style round-to-nearest."""
     arr = np.asarray(frame)
     return np.clip(np.rint(arr * 255.0), 0, 255).astype(np.uint8)
+
+
+def yuv420_pack(frame: jax.Array):
+    """f32 RGBA [0,1] (h, w, 4), GL bottom-up -> (Y, U, V) uint8
+    planes, top-down, BT.601 full-range, 2x2-mean chroma (C420jpeg
+    siting). Runs on device under jit — the wire then carries
+    1.5 B/px instead of 4."""
+    v255 = jnp.clip(jnp.round(frame * 255.0), 0.0, 255.0)
+    img = v255[::-1]
+    r, g, b = img[..., 0], img[..., 1], img[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    u = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    v = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    h2, w2 = r.shape[0] // 2, r.shape[1] // 2
+
+    def ds(p):
+        return p.reshape(h2, 2, w2, 2).mean(axis=(1, 3))
+
+    def to8(p):
+        return jnp.clip(jnp.round(p), 0.0, 255.0).astype(jnp.uint8)
+
+    return to8(y), to8(ds(u)), to8(ds(v))
+
+
+def yuv420_pack_host(frame_u8: np.ndarray):
+    """Numpy mirror of :func:`yuv420_pack` for sinks fed RGBA8 frames
+    by a non-packing step (same matrix/rounding; diff vs the device
+    path is <= 1 LSB from f32 fma ordering)."""
+    img = frame_u8[::-1].astype(np.float32)
+    r, g, b = img[..., 0], img[..., 1], img[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    u = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    v = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    h2, w2 = r.shape[0] // 2, r.shape[1] // 2
+
+    def ds(p):
+        return p.reshape(h2, 2, w2, 2).mean(axis=(1, 3))
+
+    def to8(p):
+        return np.clip(np.rint(p), 0, 255).astype(np.uint8)
+
+    return to8(y), to8(ds(u)), to8(ds(v))

@@ -95,6 +95,33 @@ class Engine:
         self.frames_rendered = 0
         self._build()
 
+    def _build_step(self):
+        """Jitted step matching the sink's wire format: a sink
+        declaring ``wire_format == "yuv420"`` (the default Y4M/window
+        sinks) gets on-device YUV420 packing — 1.5 B/px on the D2H
+        wire instead of RGBA8's 4 — when the geometry is even and the
+        golden test mode (which asserts on RGBA) is off."""
+        w, h = self.renderer.screen
+        want_yuv = (getattr(self.sink, "wire_format", "rgba8")
+                    == "yuv420"
+                    and w % 2 == 0 and h % 2 == 0
+                    and not self.opts.test_mode)
+        self._wire = ("yuv420", w, h) if want_yuv else ("rgba8",)
+        return self.renderer.jit_step(quantize=True, yuv420=want_yuv)
+
+    def _to_host(self, frame):
+        """Fetch a device frame: RGBA8 ndarray, or — on the yuv420
+        wire — ONE packed buffer split into (Y, U, V) host views."""
+        if self._wire[0] == "yuv420":
+            _, w, h = self._wire
+            buf = np.asarray(frame)
+            n = h * w
+            q = n // 4
+            return (buf[:n].reshape(h, w),
+                    buf[n:n + q].reshape(h // 2, w // 2),
+                    buf[n + q:].reshape(h // 2, w // 2))
+        return np.asarray(frame)
+
     # -- construction (rd_new equivalent) ---------------------------------
 
     def _build(self) -> None:
@@ -121,7 +148,7 @@ class Engine:
             screen = self._sizereq
         self.renderer = Renderer(self.loaded, screen=screen)
         self.state = self.renderer.init_state()
-        self._step = self.renderer.jit_step(quantize=True)
+        self._step = self._build_step()
 
         self.audio = audio_mod.make_audio_data(
             bufsize=cfg.bufsize,
@@ -248,10 +275,14 @@ class Engine:
                 with self._lock:
                     sr = self._sizereq
                 if sr is not None and sr != self.renderer.screen:
-                    # offscreen resize (render.c:1811-1815): rebuild the
-                    # raster program for the new geometry
+                    # offscreen resize (render.c:1811-1815): flush
+                    # in-flight frames under the OLD wire geometry,
+                    # then rebuild the raster program
+                    while pending:
+                        old = pending.popleft()
+                        self.sink.submit(self._to_host(old[0]), old[1])
                     self.renderer = Renderer(self.loaded, screen=sr)
-                    self._step = self.renderer.jit_step(quantize=True)
+                    self._step = self._build_step()
 
                 if self.sink.should_close():
                     break  # presentation target gone (window closed)
@@ -291,7 +322,7 @@ class Engine:
                 pending.append((frame, tnow))
                 while len(pending) > depth:
                     old = pending.popleft()
-                    self.sink.submit(np.asarray(old[0]), old[1])
+                    self.sink.submit(self._to_host(old[0]), old[1])
                 self.frames_rendered += 1
                 fcount += 1
                 ucount += 1 if modified else 0
@@ -329,7 +360,7 @@ class Engine:
         finally:
             while pending:
                 old = pending.popleft()
-                self.sink.submit(np.asarray(old[0]), old[1])
+                self.sink.submit(self._to_host(old[0]), old[1])
             self.audio.terminate = True
             audio_thread.join(timeout=2.0)
             self.audio.terminate = False

@@ -106,11 +106,19 @@ class RawSink(FrameSink):
 
 
 class Y4MSink(FrameSink):
-    """YUV4MPEG2 (C444) stream for ffmpeg/mpv/OBS media sources."""
+    """YUV4MPEG2 stream for ffmpeg/mpv/OBS media sources.
+
+    Default ``subsampling="420"`` (C420jpeg): the engine packs Y/U/V
+    on DEVICE (renderer.yuv420_pack) and ``submit`` receives the three
+    uint8 planes — 1.5 B/px on the wire vs RGBA8's 4 (the serving
+    loop is transfer-bound on slow links). ``subsampling="444"`` keeps
+    the legacy host-converted full-resolution chroma path; RGBA8
+    ndarray input converts on host either way."""
 
     name = "y4m"
 
-    def __init__(self, fh: BinaryIO, fps: float = 60):
+    def __init__(self, fh: BinaryIO, fps: float = 60,
+                 subsampling: str = "420"):
         from fractions import Fraction
 
         self.fh = fh
@@ -119,16 +127,40 @@ class Y4MSink(FrameSink):
         fr = Fraction(str(fps or 60)).limit_denominator(10000)
         self.fps_num, self.fps_den = max(fr.numerator, 1), fr.denominator
         self.fps = float(self.fps_num / self.fps_den)
+        self.subsampling = subsampling
         self._wrote_header = False
 
-    def submit(self, frame, time_s):
-        h, w = frame.shape[:2]
+    @property
+    def wire_format(self) -> str:
+        return "yuv420" if self.subsampling == "420" else "rgba8"
+
+    def _header(self, w: int, h: int, tag: str):
         if not self._wrote_header:
             self.fh.write(
                 f"YUV4MPEG2 W{w} H{h} F{self.fps_num}:{self.fps_den} "
-                f"Ip A1:1 C444\n".encode()
+                f"Ip A1:1 {tag}\n".encode()
             )
             self._wrote_header = True
+
+    def submit(self, frame, time_s):
+        if isinstance(frame, tuple):
+            # device-packed (Y, U, V) uint8 planes
+            y = frame[0]
+            self._header(y.shape[1], y.shape[0], "C420jpeg")
+            self.fh.write(b"FRAME\n")
+            for plane in frame:
+                self.fh.write(np.asarray(plane).tobytes())
+            return
+        h, w = frame.shape[:2]
+        if self.subsampling == "420" and h % 2 == 0 and w % 2 == 0:
+            from glava_tpu.renderer import yuv420_pack_host
+
+            self._header(w, h, "C420jpeg")
+            self.fh.write(b"FRAME\n")
+            for plane in yuv420_pack_host(frame):
+                self.fh.write(plane.tobytes())
+            return
+        self._header(w, h, "C444")
         self.fh.write(b"FRAME\n")
         # native conversion when available (glava_tpu/native/ring.cpp)
         try:
@@ -430,6 +462,10 @@ class WindowSink(FrameSink):
         self.proc = subprocess.Popen(cmd, stdin=subprocess.PIPE)
         self._y4m = Y4MSink(self.proc.stdin, fps=fps)
         self._closed = False
+
+    @property
+    def wire_format(self) -> str:
+        return self._y4m.wire_format
 
     def submit(self, frame, time_s):
         if self._closed:

@@ -17,18 +17,30 @@ import time
 sys.path.insert(0, ".")
 
 
-def run_depth(depth: int, seconds: float = 8.0) -> float:
+def run_depth(depth: int, seconds: float = 8.0, wire: str = "rgba8",
+              geometry: str = "512 256") -> float:
     from glava_tpu.runtime.engine import Engine, EngineOptions
-    from glava_tpu.runtime.sinks import make_sink
+    from glava_tpu.runtime.sinks import FrameSink, make_sink
 
     opts = EngineOptions(
-        requests=("setgeometry 0 0 512 256", "setframerate 0",
+        requests=(f"setgeometry 0 0 {geometry}", "setframerate 0",
                   "setprintframes false"),
         force_module="bars",
         audio_backend="synth",
         inflight=depth,
     )
-    sink = make_sink("null")
+    if wire == "yuv420":
+        # null sink that requests device-packed planes: the engine's
+        # dequeue still performs the (now 2.7x smaller) D2H fetch
+        class _NullYuv(FrameSink):
+            wire_format = "yuv420"
+
+            def submit(self, frame, time_s):
+                pass
+
+        sink = _NullYuv()
+    else:
+        sink = make_sink("null")
     eng = Engine(opts, sink=sink)
     t0 = time.monotonic()
     eng.run(max_seconds=seconds)
@@ -48,6 +60,17 @@ def main() -> None:
         except Exception as e:
             out[str(depth)] = None
             print(f"depth {depth}: FAILED {e}", file=sys.stderr)
+    # wire-format comparison at the saturating depth: RGBA8 vs
+    # device-packed YUV420 (1.5 B/px) on the same loop
+    for geom, tag in (("512 256", "512x256"), ("1920 1080", "1080p")):
+        for wire in ("rgba8", "yuv420"):
+            key = f"wire_{tag}_{wire}"
+            try:
+                out[key] = round(run_depth(1, wire=wire, geometry=geom), 1)
+                print(f"{key}: {out[key]} fps", file=sys.stderr)
+            except Exception as e:
+                out[key] = None
+                print(f"{key}: FAILED {e}", file=sys.stderr)
     print(json.dumps(out))
 
 

@@ -837,6 +837,139 @@ def test_graph_aa_verbatim_through_col_lookup(tmp_path, monkeypatch):
     assert ((a[..., 3] > 0) & (a[..., 3] < 0.99)).mean() > 0.005
 
 
+SWITCH_FRAG = """
+in vec4 gl_FragCoord;
+#request uniform "screen" screen
+uniform ivec2 screen;
+out vec4 fragment;
+
+void main() {
+    int band = int(gl_FragCoord.x) % 5;
+    float r = 0; float g = 0; float b = 0;
+    switch (band) {
+    case 0:
+        r = 1.0;
+        break;
+    case 1:
+    case 2:
+        g = 0.5;           /* falls through from 1 AND 2 */
+        if (band == 2) { break; }
+        g = 1.0;           /* only band 1 reaches this */
+        break;
+    case 3:
+        b = 0.25;          /* falls through into default */
+    default:
+        b += 0.5;
+    }
+    fragment = vec4(r, g, b, 1.0);
+}
+"""
+
+
+def test_switch_fallthrough_and_masked_break(tmp_path):
+    """GLSL switch: per-pixel selector, C fallthrough, conditional
+    (masked) break, shared case labels, default catching unmatched."""
+    mod = tmp_path / "sw"
+    mod.mkdir()
+    (mod / "1.frag").write_text(SWITCH_FRAG)
+    (tmp_path / "rc.glsl").write_text(
+        "#request mod sw\n#request setgeometry 0 0 20 4\n"
+        "#request setbufsize 1024\n#request setsamplesize 256\n"
+        "#request setprintframes false\n"
+    )
+    lc = loader.load(user_dir=tmp_path)
+    f = _render(lc, n=1)
+    band = np.arange(20) % 5
+    want_r = np.where(band == 0, 1.0, 0.0)
+    want_g = np.where(band == 1, 1.0, np.where(band == 2, 0.5, 0.0))
+    want_b = np.where(band == 3, 0.75, np.where(band == 4, 0.5, 0.0))
+    np.testing.assert_allclose(f[0, :, 0], want_r, atol=1e-6)
+    np.testing.assert_allclose(f[0, :, 1], want_g, atol=1e-6)
+    np.testing.assert_allclose(f[0, :, 2], want_b, atol=1e-6)
+
+
+def test_switch_continue_targets_enclosing_loop(tmp_path):
+    """`continue` inside a switch inside a loop binds to the LOOP."""
+    mod = tmp_path / "swc"
+    mod.mkdir()
+    (mod / "1.frag").write_text(
+        "in vec4 gl_FragCoord;\n"
+        "out vec4 fragment;\n"
+        "void main() {\n"
+        "    float acc = 0;\n"
+        "    for (int i = 0; i < 6; i += 1) {\n"
+        "        switch (i % 3) {\n"
+        "        case 0: continue;\n"
+        "        case 1: acc += 1.0; break;\n"
+        "        default: acc += 10.0;\n"
+        "        }\n"
+        "        acc += 100.0;\n"
+        "    }\n"
+        "    fragment = vec4(acc / 1000.0, 0, 0, 1);\n"
+        "}\n"
+    )
+    (tmp_path / "rc.glsl").write_text(
+        "#request mod swc\n#request setgeometry 0 0 8 4\n"
+        "#request setbufsize 1024\n#request setsamplesize 256\n"
+        "#request setprintframes false\n"
+    )
+    lc = loader.load(user_dir=tmp_path)
+    f = _render(lc, n=1)
+    # i=0,3: continue (skip +100); i=1,4: +1+100; i=2,5: +10+100
+    want = (2 * (1 + 100) + 2 * (10 + 100)) / 1000.0
+    np.testing.assert_allclose(f[..., 0], want, atol=1e-6)
+
+
+MAT_FRAG = """
+in vec4 gl_FragCoord;
+#request uniform "screen" screen
+uniform ivec2 screen;
+out vec4 fragment;
+
+void main() {
+    float ang = 0.5;
+    mat2 rot = mat2(cos(ang), sin(ang), -sin(ang), cos(ang));
+    vec2 p = vec2(gl_FragCoord.x / screen.x, gl_FragCoord.y / screen.y);
+    vec2 q = rot * p;                 /* mat * vec */
+    vec2 w = p * rot;                 /* vec * mat (transpose apply) */
+    mat2 twice = rot + rot;           /* componentwise add */
+    mat2 prod = rot * transpose(rot); /* ~identity */
+    mat3 m3 = mat3(2.0);              /* diagonal */
+    vec3 v3 = m3 * vec3(p, 1.0);
+    float d = prod[0][0] + prod[1][1] + prod[1][0];
+    fragment = vec4(q.x * 0.25 + 0.5, w.y * 0.25 + 0.5,
+                    d * 0.25 + twice[0][0] * 0.1, v3.z * 0.5);
+}
+"""
+
+
+def test_matrices_mat2_mat3(tmp_path):
+    """mat2/mat3: constructors (scalars, diagonal), mat*vec, vec*mat,
+    mat*mat, mat+mat, transpose, column/component indexing."""
+    mod = tmp_path / "mats"
+    mod.mkdir()
+    (mod / "1.frag").write_text(MAT_FRAG)
+    (tmp_path / "rc.glsl").write_text(
+        "#request mod mats\n#request setgeometry 0 0 16 8\n"
+        "#request setbufsize 1024\n#request setsamplesize 256\n"
+        "#request setprintframes false\n"
+    )
+    lc = loader.load(user_dir=tmp_path)
+    f = _render(lc, n=1)
+    x = (np.arange(16) + 0.5) / 16.0
+    y = ((np.arange(8) + 0.5) / 8.0)[:, None]
+    c, s = np.cos(0.5), np.sin(0.5)
+    # column-major: rot = [[c, -s], [s, c]] (rows), q = rot @ p
+    qx = c * x[None, :] - s * y
+    wy = -s * x[None, :] + c * y       # p * rot -> dot(p, col j)
+    np.testing.assert_allclose(f[..., 0], qx * 0.25 + 0.5, atol=1e-6)
+    np.testing.assert_allclose(f[..., 1], wy * 0.25 + 0.5, atol=1e-6)
+    # prod = rot * rot^T = identity -> d = 2.0; twice[0][0] = 2c
+    np.testing.assert_allclose(f[..., 2], 2.0 * 0.25 + 2 * c * 0.1,
+                               atol=1e-6)
+    np.testing.assert_allclose(f[..., 3], 1.0, atol=1e-6)  # 2*1*0.5
+
+
 def test_shader_errors_cite_include_source_location(tmp_path):
     """Parse errors inside an #include'd file cite the included file's
     path and line (the ss_lookup remap capability,

@@ -56,16 +56,66 @@ def test_pipe_reader_thread():
 # sinks
 # ---------------------------------------------------------------------------
 
-def test_y4m_sink():
+def test_y4m_sink_c444():
     buf = io.BytesIO()
-    s = sinks.Y4MSink(buf, fps=60)
+    s = sinks.Y4MSink(buf, fps=60, subsampling="444")
     frame = np.zeros((4, 6, 4), np.uint8)
     frame[..., 0] = 255  # red
     s.submit(frame, 0.0)
     data = buf.getvalue()
     assert data.startswith(b"YUV4MPEG2 W6 H4 F60:1")
-    assert b"FRAME\n" in data
+    assert b"C444" in data.split(b"\n", 1)[0]
     assert len(data.split(b"FRAME\n", 1)[1]) == 3 * 4 * 6
+
+
+def test_y4m_sink_c420_default():
+    """Default y4m is C420jpeg: 1.5 B/px payload, host-converted when
+    fed an RGBA8 ndarray, device planes passed straight through."""
+    buf = io.BytesIO()
+    s = sinks.Y4MSink(buf, fps=60)
+    assert s.wire_format == "yuv420"
+    frame = np.zeros((4, 6, 4), np.uint8)
+    frame[..., 0] = 255
+    s.submit(frame, 0.0)
+    data = buf.getvalue()
+    assert b"C420jpeg" in data.split(b"\n", 1)[0]
+    payload = data.split(b"FRAME\n", 1)[1]
+    assert len(payload) == 4 * 6 + 2 * (2 * 3)
+    # red: Y ~ 76, U ~ 85, V = 255 (BT.601 full range)
+    y = np.frombuffer(payload[:24], np.uint8)
+    u = np.frombuffer(payload[24:30], np.uint8)
+    v = np.frombuffer(payload[30:], np.uint8)
+    assert abs(int(y[0]) - 76) <= 1
+    assert abs(int(u[0]) - 85) <= 1
+    assert int(v[0]) == 255
+
+    # device-packed plane tuple round-trips byte-identical
+    buf2 = io.BytesIO()
+    s2 = sinks.Y4MSink(buf2, fps=60)
+    planes = (np.full((4, 6), 76, np.uint8),
+              np.full((2, 3), 90, np.uint8),
+              np.full((2, 3), 255, np.uint8))
+    s2.submit(planes, 0.0)
+    p2 = buf2.getvalue().split(b"FRAME\n", 1)[1]
+    assert p2 == b"\x4c" * 24 + b"\x5a" * 6 + b"\xff" * 6
+
+
+def test_yuv420_pack_device_matches_host():
+    """renderer.yuv420_pack (the jitted device path) vs the numpy
+    mirror: <= 1 LSB everywhere (fma ordering)."""
+    import jax
+
+    from glava_tpu.renderer import yuv420_pack, yuv420_pack_host
+
+    rng = np.random.default_rng(5)
+    frame = rng.random((8, 12, 4)).astype(np.float32)
+    dev = jax.jit(yuv420_pack)(frame)
+    u8 = np.clip(np.rint(frame * 255.0), 0, 255).astype(np.uint8)
+    host = yuv420_pack_host(u8)
+    for d, hh in zip(dev, host):
+        d = np.asarray(d)
+        assert d.shape == hh.shape
+        assert np.abs(d.astype(int) - hh.astype(int)).max() <= 1
 
 
 def test_png_sink(tmp_path):
@@ -444,15 +494,19 @@ _FAKE_PLAYER = (
     "assert hdr.startswith(b'YUV4MPEG2')\n"
     "n = 0\n"
     "w = h = 0\n"
+    "csz = 0\n"
     "for tok in hdr.split():\n"
     "    if tok[:1] == b'W': w = int(tok[1:])\n"
     "    if tok[:1] == b'H': h = int(tok[1:])\n"
+    "    if tok[:1] == b'C':\n"
+    "        csz = (w * h * 3 // 2) if b'420' in tok else 3 * w * h\n"
+    "if not csz: csz = 3 * w * h\n"
     "while n < 3:\n"
     "    line = sys.stdin.buffer.readline()\n"
     "    if not line: break\n"
     "    assert line == b'FRAME\\n'\n"
-    "    data = sys.stdin.buffer.read(3 * w * h)\n"
-    "    if len(data) < 3 * w * h: break\n"
+    "    data = sys.stdin.buffer.read(csz)\n"
+    "    if len(data) < csz: break\n"
     "    n += 1\n"
     "open(sys.argv[1], 'w').write(f'{w}x{h}:{n}')\n"
 )

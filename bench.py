@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import json
 import time
+from dataclasses import replace
 
 import numpy as np
 
@@ -275,17 +276,20 @@ def main() -> None:
         per = probed_slope(mixed_once, 3, 9) / KM
         fleet_fps = {"fps_per_stream": round(1.0 / per, 1),
                      "total_fps": round(S / per, 1),
+                     # device-side PCM->frame latency of the whole
+                     # 64-stream heterogeneous step (VERDICT r3 #7)
+                     "p50_pcm_to_frame_ms": round(per * 1e3, 3),
                      "modules": "bars/radial/wave/circle x16 each"}
     except Exception as e:
         print(f"heterogeneous fleet bench skipped: {e}",
               file=__import__("sys").stderr)
 
     # ---- interpreted-verbatim section (reference shaders @1080p) ---------
-    # bars = the plain raster; graph+ANTI_ALIAS = the hardest shipped
-    # shader (data-dependent per-column boundary walks, lowered to
-    # first-hit column scans — see config/glsl_shader.py)
-    interp_fps = None
-    interp_aa_fps = None
+    # the FULL six-way sweep (VERDICT r3 #7): every shipped reference
+    # shader through the compatibility interpreter, plus graph's
+    # ANTI_ALIAS pass (data-dependent boundary walks -> first-hit
+    # column scans + the Pallas latch scan)
+    interp = {}
     try:
         import importlib.util as _ilu
         from pathlib import Path
@@ -295,12 +299,77 @@ def main() -> None:
             Path(__file__).parent / "scripts" / "bench_interpreted.py")
         bi = _ilu.module_from_spec(spec)
         spec.loader.exec_module(bi)
-        interp_fps = round(bi.bench_module("bars"), 1)
-        interp_aa_fps = round(
-            bi.bench_module("graph", knobs="#define ANTI_ALIAS 1\n"), 1)
+        for mod, knobs in (("bars", ""), ("radial", ""), ("graph", ""),
+                           ("graph_aa", "#define ANTI_ALIAS 1\n"),
+                           ("wave", ""), ("circle", "")):
+            try:
+                src = "graph" if mod == "graph_aa" else mod
+                interp[mod] = round(bi.bench_module(src, knobs=knobs), 1)
+            except Exception as e:
+                interp[mod] = None
+                print(f"interpreted {mod} skipped: {e}",
+                      file=__import__("sys").stderr)
     except Exception as e:
         print(f"interpreted bench skipped: {e}",
               file=__import__("sys").stderr)
+
+    # ---- large-bufsize (banded-resample) update points -------------------
+    # bufsize >= ~6k routes the presmooth resample through the
+    # block-banded einsum (ops/smoothing.Banded); these points pin the
+    # big-buffer regime every round (VERDICT r3 #7/#8)
+    big_buf = {}
+    for bs in (8192, 16384):
+        try:
+            from glava_tpu.pipeline import AudioPipeline, UniformSpec
+
+            cfgb = replace(lc.cfg, bufsize=bs)
+            pipeb = AudioPipeline(
+                cfgb,
+                [UniformSpec("audio_l", "audio_l",
+                             ("window", "fft", "gravity", "avg")),
+                 UniformSpec("audio_r", "audio_r",
+                             ("window", "fft", "gravity", "avg"))],
+            )
+            Sb = 64
+            stb = pipeb.init_state(batch=(Sb,))
+            rngb = np.random.default_rng(2)
+            audb = jnp.asarray(
+                rngb.standard_normal((Sb, 2, bs)).astype(np.float32) * 0.3)
+            gb = jnp.float32(cfgb.gravity_step / cfgb.nominal_ups)
+            KB = 16
+
+            def many_b(chains, audio, g, pipeb=pipeb, KB=KB):
+                def body(c, k):
+                    a = audio * (1.0 + 1e-3 * k)
+                    c2 = pipeb.advance(c, a[:, 0], a[:, 1], gravity_g=g)
+                    probe = sum(
+                        jnp.sum(x) for x in jax.tree_util.tree_leaves(c2)
+                        if hasattr(x, "dtype")
+                        and jnp.issubdtype(x.dtype, jnp.floating))
+                    return c2, probe
+
+                c2, props = jax.lax.scan(
+                    body, chains, jnp.arange(KB, dtype=jnp.float32))
+                return c2, props.sum()
+
+            jb = jax.jit(many_b, donate_argnums=(0,))
+            stb, pb = jb(stb, audb, gb)
+            float(pb)
+            holder = [stb]
+
+            def once_b():
+                holder[0], p = jb(holder[0], audb, gb)
+                return p
+
+            us = probed_slope(once_b, 3, 9) / KB * 1e6
+            big_buf[str(bs)] = {
+                "us_per_update_64streams": round(us, 1),
+                "windows_per_s": round(Sb * 1e6 / us, 1),
+            }
+        except Exception as e:
+            big_buf[str(bs)] = None
+            print(f"bufsize {bs} bench skipped: {e}",
+                  file=__import__("sys").stderr)
 
     # ---- device-side p50 PCM->frame latency (single stream) -------------
     # BASELINE.md targets p50 < 5 ms for the PCM->frame step on the
@@ -387,8 +456,8 @@ def main() -> None:
             "graph_1080p_fps": round(graph_fps, 1) if graph_fps else None,
             "wave_1080p_fps": round(wave_fps, 1) if wave_fps else None,
             "heterogeneous_fleet_64": fleet_fps,
-            "interpreted_verbatim_bars_1080p_fps": interp_fps,
-            "interpreted_verbatim_graph_aa_1080p_fps": interp_aa_fps,
+            "interpreted_verbatim_1080p_fps": interp or None,
+            "bufsize_scaling": big_buf or None,
             # device-side time per full PCM->frame step (the latency a
             # locally-attached chip would see; the single-dispatch p50
             # below is dominated by this environment's network tunnel)

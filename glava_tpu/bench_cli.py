@@ -31,7 +31,16 @@ def main(argv: list[str] | None = None) -> int:
         # learn_path persists both the tile record and the path record
         rec = autotune.learn_path(args.bufsize, args.frames,
                                   streams=args.streams)
-        print(json.dumps({"tuned": rec,
+        # the presmooth dense<->banded crossover joins the search at
+        # sizes where the banded form is plausible
+        brec = None
+        if args.bufsize >= 4096:
+            try:
+                brec = autotune.learn_banded(args.bufsize)
+            except Exception as e:
+                print(f"banded tune skipped: {e}",
+                      file=__import__("sys").stderr)
+        print(json.dumps({"tuned": rec, "banded": brec,
                           "wisdom": str(autotune.wisdom_path())}))
     else:
         result = autotune.learn_batch_tile(args.bufsize, args.frames,

@@ -286,3 +286,108 @@ def learn_path(n: int, frames: int, streams: int = 64,
     cache[_path_key(n, frames, streams)] = rec
     _save(cache)
     return rec
+
+
+# ---------------------------------------------------------------------------
+# Presmooth-resample wisdom: dense matmul vs block-banded einsum
+# ---------------------------------------------------------------------------
+
+BANDED_TILES = (64, 128, 256)
+
+
+def _banded_key(sz: int) -> str:
+    import jax
+
+    dev = jax.devices()[0]
+    return f"{dev.device_kind}/banded/sz{sz}"
+
+
+def selected_banded(sz: int) -> dict | None:
+    """Persisted dense-vs-banded choice for this presmooth size (no
+    measuring); None when untuned (callers fall back to the band-size
+    heuristic)."""
+    try:
+        rec = _load().get(_banded_key(sz))
+    except Exception:
+        return None
+    if isinstance(rec, dict) and "mode" in rec:
+        return rec
+    return None
+
+
+def learn_banded(sz: int, streams: int = 64, scan_len: int = 16) -> dict:
+    """Measure the average-mode presmooth resample as a dense matmul
+    vs the block-banded einsum at each candidate tile, on the real
+    (streams, sz) update shapes, and persist the winner — the
+    dense<->banded crossover and block size join the wisdom search
+    (GLFFT wisdom's role, glfft_wisdom.hpp:91-146).
+
+    The dense candidate can legitimately FAIL to compile at huge sizes
+    (the 16384 matrix is a ~300 MB HLO constant that exceeds
+    remote-compile request limits); a failure simply removes it from
+    the race."""
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from glava_tpu.ops import smoothing
+    from glava_tpu.utils.timing import probed_slope
+
+    if jax.default_backend() != "tpu":
+        raise RuntimeError(
+            "banded wisdom must be learned on the TPU backend "
+            f"(current: {jax.default_backend()})"
+        )
+    params = smoothing.SmoothParams()
+    pos = np.arange(sz, dtype=np.float64) / sz
+    rng = np.random.default_rng(0)
+    tex = jnp.asarray(
+        rng.standard_normal((streams, sz)).astype(np.float32) * 0.1)
+
+    results: dict[str, float] = {}
+    cands = [("dense", 0)] + [("banded", t) for t in BANDED_TILES]
+    for mode, tile in cands:
+        name = mode if mode == "dense" else f"banded{tile}"
+        try:
+            op = smoothing.build_resample(
+                sz, pos, params, banded=(mode == "banded"),
+                banded_tile=tile or None)
+
+            def many(t, op=op):
+                def body(acc, k):
+                    return acc + op(t * (1.0 + 1e-3 * k)).sum(), None
+
+                acc, _ = jax.lax.scan(
+                    body, jnp.float32(0.0),
+                    jnp.arange(scan_len, dtype=jnp.float32))
+                return acc
+
+            f = jax.jit(many)
+            float(f(tex))
+
+            def once():
+                return f(tex)
+
+            results[name] = probed_slope(once, 3, 9) / scan_len
+        except Exception as e:
+            import sys
+
+            print(f"banded candidate {name!r} failed: {e}",
+                  file=sys.stderr)
+            continue
+
+    if not results:
+        raise RuntimeError("every banded candidate failed")
+    best = min(results, key=results.get)
+    rec = {
+        "mode": "dense" if best == "dense" else "banded",
+        "tile": 128 if best == "dense" else int(best[len("banded"):]),
+        "source": "measured",
+        "streams": streams,
+        "us_per_apply": {k: round(v * 1e6, 1) for k, v in results.items()},
+    }
+    cache = _load()
+    cache[_banded_key(sz)] = rec
+    _save(cache)
+    return rec

@@ -196,7 +196,9 @@ def _span(tex_sz: int, idx: float, p: SmoothParams) -> tuple[float, float]:
     return float(smin), float(smax)
 
 
-def build_resample(tex_sz: int, positions, params: SmoothParams) -> ResampleOp:
+def build_resample(tex_sz: int, positions, params: SmoothParams,
+                   banded: bool | None = None,
+                   banded_tile: int | None = None) -> ResampleOp:
     """Bake ``smooth_audio(tex, tex_sz, idx)`` for each static position.
 
     Mirrors smooth.glsl:23-64: the sample loop steps ``s`` from ``smin``
@@ -242,16 +244,40 @@ def build_resample(tex_sz: int, positions, params: SmoothParams) -> ResampleOp:
         band = min(-(-band // 128) * 128, tex_sz)
         mat = np.ascontiguousarray(mat[:, :band])
         # large kernels go block-banded: same weights, a fraction of
-        # the storage/FLOPs, and no multi-hundred-MB HLO constant
-        # (GLAVA_TPU_BANDED=1/0 forces/disables; default: band > 2048)
+        # the storage/FLOPs, and no multi-hundred-MB HLO constant.
+        # Selection order: GLAVA_TPU_BANDED=1/0 forces, then the
+        # persisted wisdom entry for this size (autotune.learn_banded —
+        # the dense<->banded crossover and block tile are part of the
+        # wisdom search), then the band > 2048 heuristic.
         import os
 
         force = os.environ.get("GLAVA_TPU_BANDED", "")
-        use_banded = (force == "1" or (force != "0" and band > 2048))
+        tile = banded_tile or 128
+        if banded is not None:       # explicit caller override
+            use_banded = banded
+        elif force == "1":
+            use_banded = True
+        elif force == "0":
+            use_banded = False
+        else:
+            rec = None
+            try:
+                from glava_tpu.ops import autotune
+
+                rec = autotune.selected_banded(tex_sz)
+            except Exception:
+                rec = None
+            if rec is not None:
+                use_banded = rec.get("mode") == "banded"
+                tile = int(rec.get("tile", 128))
+            else:
+                use_banded = band > 2048
         if use_banded:
-            banded = _make_banded(mat)
-            banded_re = _make_banded(np.ascontiguousarray(mat[:, 0::2]))
-            banded_im = _make_banded(np.ascontiguousarray(mat[:, 1::2]))
+            banded = _make_banded(mat, tile=tile)
+            banded_re = _make_banded(
+                np.ascontiguousarray(mat[:, 0::2]), tile=tile)
+            banded_im = _make_banded(
+                np.ascontiguousarray(mat[:, 1::2]), tile=tile)
             return ResampleOp("average", None, None, None,
                               params.hybrid_weight, banded,
                               banded_re, banded_im)

@@ -102,9 +102,15 @@ class Engine:
         wire instead of RGBA8's 4 — when the geometry is even and the
         golden test mode (which asserts on RGBA) is off."""
         w, h = self.renderer.screen
+        # only pack when the frame is large enough that the wire
+        # saving beats the device-side u8 reshape/concat relayout:
+        # measured on the tunnel, 1080p goes 2.6 -> 5.3 fps while
+        # 512x256 REGRESSES (17 -> 7.5) — small frames are
+        # RTT-dominated, not bandwidth-dominated
         want_yuv = (getattr(self.sink, "wire_format", "rgba8")
                     == "yuv420"
                     and w % 2 == 0 and h % 2 == 0
+                    and w * h >= (1 << 19)
                     and not self.opts.test_mode)
         self._wire = ("yuv420", w, h) if want_yuv else ("rgba8",)
         return self.renderer.jit_step(quantize=True, yuv420=want_yuv)

@@ -2,7 +2,7 @@
 """Streams x bufsize throughput sweep on the update chain.
 
 Shows where the chip saturates: windows/s and achieved algorithmic
-GFLOP/s for streams in {64, 128, 256, 512} x bufsize in {1024, 4096,
+GFLOP/s for streams in {64..1024} x bufsize in {1024, 4096,
 16384}. Honest protocol throughout (scan-amortized, fresh audio per
 iteration, scalar probes, two-point slopes). Output: a markdown table
 on stdout (paste into docs/STATUS.md) + one JSON line on stderr.
@@ -77,7 +77,7 @@ def main() -> None:
     _enable_compile_cache()
     rows = []
     for bufsize in (1024, 4096, 16384):
-        for streams in (64, 128, 256, 512):
+        for streams in (64, 128, 256, 512, 1024):
             try:
                 rows.append(measure(streams, bufsize))
                 print("done", rows[-1], file=sys.stderr)

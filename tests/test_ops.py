@@ -281,3 +281,37 @@ def test_fetch_1d_static_routing_parity(monkeypatch):
                                    sz))
     assert not _STATIC_LK_CACHE, "device array leaked into static bake"
     assert np.array_equal(got_dev, want)
+
+
+def test_build_resample_banded_override_and_wisdom(monkeypatch):
+    """build_resample honors the explicit banded override (any tile,
+    exact parity with dense) and consults the persisted wisdom record
+    for the crossover + tile when no override/env is present."""
+    import jax.numpy as jnp
+
+    from glava_tpu.ops import autotune, smoothing
+
+    p = smoothing.SmoothParams()
+    pos = np.arange(640) / 640.0
+    dense = smoothing.build_resample(640, pos, p, banded=False)
+    rng = np.random.default_rng(3)
+    t = jnp.asarray(rng.random(640).astype(np.float32))
+    want = np.asarray(dense(t))
+    for tile in (64, 256):
+        op = smoothing.build_resample(640, pos, p, banded=True,
+                                      banded_tile=tile)
+        assert op.banded is not None
+        assert op.banded.blocks.shape[1] == tile
+        np.testing.assert_allclose(np.asarray(op(t)), want, atol=2e-6)
+
+    # wisdom consult: a persisted record drives both mode and tile
+    monkeypatch.delenv("GLAVA_TPU_BANDED", raising=False)
+    monkeypatch.setattr(
+        autotune, "selected_banded",
+        lambda sz: {"mode": "banded", "tile": 64, "source": "measured"})
+    op = smoothing.build_resample(640, pos, p)
+    assert op.banded is not None and op.banded.blocks.shape[1] == 64
+    monkeypatch.setattr(autotune, "selected_banded",
+                        lambda sz: {"mode": "dense", "tile": 128})
+    op = smoothing.build_resample(640, pos, p)
+    assert op.banded is None and op.matrix is not None

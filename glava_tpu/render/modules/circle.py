@@ -107,7 +107,8 @@ def build(ctx: base.ModuleContext) -> base.ModuleBuild:
             vals = _lk(table) * amplify
             return [v.reshape(h, w) for v in vals]
 
-    def pass1(inputs: base.PassInputs) -> jnp.ndarray:
+    def draw_mask(inputs: base.PassInputs) -> jnp.ndarray:
+        """The (H, W) bool draw predicate of circle/1.frag:44-66."""
         tl, tr = inputs.textures["audio_l"], inputs.textures["audio_r"]
 
         def smoothv(pos_c, left_c):
@@ -130,13 +131,62 @@ def build(ctx: base.ModuleContext) -> base.ModuleBuild:
             bounds = ((d > -(c_line / 2.0)) & (d < (c_line / 2.0))) | (
                 (d <= dmax) & (d >= dmin)
             )
-        mask = active_c & bounds
+        return active_c & bounds
+
+    def pass1(inputs: base.PassInputs) -> jnp.ndarray:
+        mask = draw_mask(inputs)
         return jnp.where(mask[..., None], outline, 0.0).astype(jnp.float32)
 
+    smooth_on = c_smooth > 0 and use_alpha
+    premult_on = bool(ctx.cfg.premultiply_alpha)
+
+    # -- fused scalar-field chain (default; GLAVA_TPU_CIRCLE_SCALAR=0
+    # restores the literal three-pass form). Every circle pass output
+    # is the CONSTANT outline color times a scalar field: pass 1 is
+    # outline (x) mask, the circle/2.frag neighborhood average of that
+    # frame is outline (x) (weighted neighbor count / 8), and
+    # premultiply maps channelwise products of the same field — so the
+    # whole chain runs on ONE (H, W) plane instead of four, and only
+    # the final RGBA materializes. Within 1 ulp of the general path
+    # (the per-channel partial-sum rounding of _smooth_pass is
+    # replaced by one scalar sum; tests pin atol=2e-6).
+    import os
+
+    use_scalar = os.environ.get("GLAVA_TPU_CIRCLE_SCALAR", "1") != "0"
+    # inter-pass stage FBOs clamp to [0, 1] (base.ModuleBuild.render);
+    # fold the clamp into the static color once
+    o_cl = np.clip(np.asarray(outline, np.float32), 0.0, 1.0)
+
+    def pass_fused(inputs: base.PassInputs) -> jnp.ndarray:
+        mask = draw_mask(inputs)
+        m = mask.astype(jnp.float32)
+        coef = m
+        if smooth_on:
+            p = jnp.pad(m, ((1, 1), (1, 1)))
+
+            def sh(dy, dx):
+                return p[1 + dy: 1 + dy + h, 1 + dx: 1 + dx + w]
+
+            wsum = (
+                2.0 * sh(0, 1) + sh(1, 1) + sh(1, 0) + 2.0 * sh(0, -1)
+                + sh(-1, -1) + sh(-1, 0)
+            ) / 8.0
+            # circle/2.frag replaces pixels whose alpha is 0; with a
+            # zero-alpha outline every pixel qualifies
+            coef = wsum if o_cl[3] == 0.0 else jnp.where(mask, 1.0, wsum)
+        if premult_on:
+            a = o_cl[3] * coef
+            rgb = jnp.stack([(o_cl[c] * coef) * a for c in range(3)], -1)
+            return jnp.concatenate([rgb, a[..., None]], -1)
+        return o_cl[None, None, :] * coef[..., None]
+
+    if use_scalar:
+        return base.ModuleBuild("circle", [pass_fused])
+
     passes = [pass1]
-    if c_smooth > 0 and use_alpha:
+    if smooth_on:
         passes.append(_smooth_pass)  # circle/2.frag
-    if ctx.cfg.premultiply_alpha:
+    if premult_on:
         passes.append(base.premultiply_pass)  # circle/3.frag
     return base.ModuleBuild("circle", passes)
 

@@ -120,6 +120,56 @@ def test_graph_antialias_inverted(tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# circle fused scalar-field chain vs the literal three-pass form: the
+# fused path (GLAVA_TPU_CIRCLE_SCALAR=1, the default) runs the whole
+# mask -> smooth -> premultiply chain on one (H, W) plane; it must match
+# the literal pass list across every gating branch (smooth on/off, fill,
+# premultiply on/off, zero-alpha outline).
+# ---------------------------------------------------------------------------
+
+CIRCLE_FUSED_VARIANTS = [
+    ("default", "", "native"),
+    ("fill", "#define C_FILL 1\n", "native"),
+    ("nosmooth", "#define C_SMOOTH 0\n", "native"),
+    ("nopremult", "", "none"),
+    ("alpha0", "#define OUTLINE #33333300\n", "native"),
+    ("alpha0-nopremult", "#define OUTLINE #33333300\n", "none"),
+]
+
+
+@pytest.mark.parametrize("name,knobs,opacity", CIRCLE_FUSED_VARIANTS,
+                         ids=[v[0] for v in CIRCLE_FUSED_VARIANTS])
+def test_circle_fused_scalar_matches_literal(tmp_path, monkeypatch, name,
+                                             knobs, opacity):
+    def render(scalar):
+        monkeypatch.setenv("GLAVA_TPU_CIRCLE_SCALAR", scalar)
+        (tmp_path / "rc.glsl").write_text(
+            "#request mod circle\n#request setgeometry 0 0 300 300\n"
+            f"#request setopacity {opacity}\n"
+            "#request setbufsize 1024\n#request setsamplesize 256\n"
+            "#request setprintframes false\n"
+        )
+        (tmp_path / "circle.glsl").write_text(knobs)
+        lc = loader.load(user_dir=tmp_path)
+        r = Renderer(lc)
+        state = r.init_state()
+        step = r.jit_step()
+        rng = np.random.default_rng(7)
+        snap = jnp.asarray(
+            rng.standard_normal((2, lc.cfg.bufsize)).astype(np.float32) * 0.3
+        )
+        for _ in range(6):
+            state, frame = step(state, snap, True, np.float32(0.1),
+                                np.float32(1.0), np.float32(0.05), {})
+        return np.asarray(frame)
+
+    fused = render("1")
+    literal = render("0")
+    assert (literal[..., 3] > 0).any() or name.startswith("alpha0")
+    np.testing.assert_allclose(fused, literal, atol=2e-6)
+
+
+# ---------------------------------------------------------------------------
 # Interpreter-vs-native PARITY over the documented knob matrix: each
 # module's verbatim reference .frag files run through the GLSL
 # interpreter with the knob override and must match the native jnp

@@ -242,6 +242,68 @@ def index_store(v, idx, value):
     return GlslArray(out)
 
 
+# ---------------------------------------------------------------------------
+# user-declared GLSL structs (`struct Ray { vec2 o; vec2 d; };`)
+# ---------------------------------------------------------------------------
+
+_GLSL_STRUCT_REGISTERED = False
+
+
+class GlslStruct:
+    """A GLSL struct value: field names (declaration order) + values
+    (scalars, component tuples, mats, arrays, or nested structs).
+    Registered as a jax pytree so structs ride `lax.while_loop`
+    carries like arrays."""
+
+    __slots__ = ("typename", "names", "vals")
+
+    def __init__(self, typename, names, vals):
+        self.typename = typename
+        self.names = tuple(names)
+        self.vals = tuple(vals)
+        if len(self.names) != len(self.vals):
+            raise ExprError(
+                f"struct {typename} constructor takes {len(self.names)} "
+                f"arguments, got {len(self.vals)}")
+        _register_glsl_struct()
+
+    def get(self, field: str):
+        try:
+            return self.vals[self.names.index(field)]
+        except ValueError:
+            raise ExprError(
+                f"struct {self.typename} has no field '{field}' "
+                f"(fields: {', '.join(self.names)})") from None
+
+    def replace(self, field: str, value) -> "GlslStruct":
+        try:
+            i = self.names.index(field)
+        except ValueError:
+            raise ExprError(
+                f"struct {self.typename} has no field '{field}' "
+                f"(fields: {', '.join(self.names)})") from None
+        vals = list(self.vals)
+        vals[i] = value
+        return GlslStruct(self.typename, self.names, vals)
+
+    def __repr__(self):  # pragma: no cover
+        return f"GlslStruct({self.typename}, {dict(zip(self.names, self.vals))!r})"
+
+
+def _register_glsl_struct():
+    global _GLSL_STRUCT_REGISTERED
+    if _GLSL_STRUCT_REGISTERED:
+        return
+    from jax import tree_util
+
+    tree_util.register_pytree_node(
+        GlslStruct,
+        lambda s: (s.vals, (s.typename, s.names)),
+        lambda aux, vals: GlslStruct(aux[0], aux[1], vals),
+    )
+    _GLSL_STRUCT_REGISTERED = True
+
+
 def _is_jax(x) -> bool:
     import jax
 
@@ -736,6 +798,9 @@ class _Parser:
                 k, name = self.next()
                 if k != "ident":
                     raise ExprError("expected swizzle after '.'")
+                if isinstance(v, GlslStruct):
+                    v = v.get(name)
+                    continue
                 if not _is_vec(v):
                     raise ExprError(f"cannot swizzle non-vector with '.{name}'")
                 idxs = [_SWIZZLE[c] for c in name]

@@ -84,6 +84,10 @@ class Decl:
     # (name, init token list or None, array-size token list or None)
     names: list[tuple[str, list | None, list | None]]
     line: int = 0
+    # declared type name — consulted for default-init of struct-typed
+    # declarations (`Ray r;` zero-fills per field); None for the
+    # builtin types whose default-init has always been scalar 0.0
+    dtype: str | None = None
 
 
 @dataclass
@@ -93,6 +97,21 @@ class Assign:
     op: str               # '=', '+=', '-=', '*=', '/='
     expr: list            # token list
     index: list | None = None  # a[i] = ... lvalue index tokens
+    line: int = 0
+
+
+@dataclass
+class AssignPath:
+    """Nested lvalue chain: ``name(.member | [idx])+ op expr`` with at
+    least two path items (single-item forms use :class:`Assign`).
+    Items are ("m", member-name) or ("i", index token list) — e.g.
+    ``ray.dir.x = v`` or ``pts[i].pos = v`` (struct fields, vector
+    components, array elements, in any nesting order)."""
+
+    target: str
+    items: list
+    op: str               # '=', '+=', '-=', '*=', '/='
+    expr: list
     line: int = 0
 
 
@@ -178,10 +197,15 @@ class _StmtParser:
     """Token-stream statement parser for main()'s body."""
 
     def __init__(self, toks: list[tuple[str, str]],
-                 lines: list[int] | None = None):
+                 lines: list[int] | None = None,
+                 struct_types: frozenset = frozenset()):
         self.toks = toks
         self.lines = lines
         self.pos = 0
+        self.struct_types = struct_types
+
+    def _is_type(self, v: str) -> bool:
+        return v in _TYPES or v in self.struct_types
 
     def cur_line(self) -> int:
         if not self.lines:
@@ -341,10 +365,14 @@ class _StmtParser:
             # inside a do-while jumps to the condition, not past it
             return WhileLoop([("ident", "true"), ("end", "")],
                              body, epilogue=[If(neg, [Break()])])
-        if v in _TYPES:
+        if self._is_type(v):
             # declaration: type [precision] name[size?] [= expr] {, ...}
-            while self.peek()[1] in _TYPES:
-                self.next()
+            dtype = None
+            while self._is_type(self.peek()[1]):
+                t = self.next()[1]
+                if dtype is None and t not in ("highp", "lowp",
+                                               "mediump", "const"):
+                    dtype = t
             names = []
             while True:
                 kk, name = self.next()
@@ -366,34 +394,52 @@ class _StmtParser:
                     continue
                 break
             self.expect(";")
-            return Decl(names)
+            return Decl(names, dtype=dtype)
         # assignment or expression statement
         save = self.pos
         if k == "ident":
             name = self.next()[1]
-            swiz = None
-            index = None
-            if self.peek()[1] == "[":
-                self.next()
-                index = self.collect_expr(stops=("]",))
-                self.expect("]")
-            if self.peek()[1] == ".":
-                # could be a swizzled lvalue OR an expression like a.x + b
-                save2 = self.pos
-                self.next()
-                kk, sw = self.next()
-                if kk == "ident" and self.peek()[1] in ("=", "+=", "-=",
-                                                        "*=", "/="):
-                    swiz = sw
+            # collect a full lvalue path (`[idx]` / `.member` items);
+            # if no assignment operator follows, backtrack — it was an
+            # expression like `a.x + b` or a call statement
+            items: list = []
+            while True:
+                nxt = self.peek()[1]
+                if nxt == "[":
+                    self.next()
+                    items.append(("i", self.collect_expr(stops=("]",))))
+                    self.expect("]")
+                elif nxt == ".":
+                    save2 = self.pos
+                    self.next()
+                    kk, mem = self.next()
+                    if kk != "ident":
+                        self.pos = save2
+                        break
+                    items.append(("m", mem))
                 else:
-                    self.pos = save2
+                    break
             if self.peek()[1] in ("=", "+=", "-=", "*=", "/="):
                 op = self.next()[1]
                 expr = self.collect_expr(stops=(";",))
                 self.expect(";")
-                return self._maybe_assign_expr(
-                    Assign(name, swiz, op, expr, index)
-                )
+                # single-item paths keep the legacy Assign shapes (all
+                # downstream fast paths match on them); `a[i].f = x`
+                # keeps the index+swizzle form it always had
+                if not items:
+                    return self._maybe_assign_expr(
+                        Assign(name, None, op, expr))
+                if len(items) == 1 and items[0][0] == "m":
+                    return self._maybe_assign_expr(
+                        Assign(name, items[0][1], op, expr))
+                if len(items) == 1 and items[0][0] == "i":
+                    return self._maybe_assign_expr(
+                        Assign(name, None, op, expr, items[0][1]))
+                if (len(items) == 2 and items[0][0] == "i"
+                        and items[1][0] == "m"):
+                    return self._maybe_assign_expr(
+                        Assign(name, items[1][1], op, expr, items[0][1]))
+                return AssignPath(name, items, op, expr)
             self.pos = save
         expr = self.collect_expr(stops=(";",))
         self.expect(";")
@@ -422,7 +468,7 @@ class _StmtParser:
         at execution."""
         self.next()  # 'for'
         self.expect("(")
-        while self.peek()[1] in _TYPES:
+        while self._is_type(self.peek()[1]):
             self.next()
         k, var = self.next()
         if k != "ident":
@@ -523,16 +569,76 @@ class ParsedShader:
     pixel_center_integer: bool
     funcs: dict[str, FuncDef] = field(default_factory=dict)
     pre_body: list = field(default_factory=list)  # file-scope declarations
+    # user `struct` declarations: name -> [(field type, field name), ...]
+    structs: dict[str, list] = field(default_factory=dict)
     # error-location support: the pass file name and the preprocessor's
     # per-line source map (PREPROCESSED line -> (origin file, line))
     fname: str = "<shader>"
     srcmap: list | None = None
 
 
+_FUNC_TYPES = "float|int|bool|void|vec2|vec3|vec4|highp|lowp|mediump"
 _FUNC_DEF = re.compile(
-    r"\b(float|int|bool|void|vec2|vec3|vec4|highp|lowp|mediump)\s+"
-    r"(\w+)\s*\(([^)]*)\)\s*\{"
+    rf"\b({_FUNC_TYPES})\s+(\w+)\s*\(([^)]*)\)\s*\{{"
 )
+
+
+def _func_def_re(struct_names) -> "re.Pattern":
+    """The helper-definition matcher, extended with user struct names
+    so struct-returning helpers are extracted too."""
+    if not struct_names:
+        return _FUNC_DEF
+    alts = "|".join(re.escape(n) for n in sorted(struct_names))
+    return re.compile(
+        rf"\b({_FUNC_TYPES}|{alts})\s+(\w+)\s*\(([^)]*)\)\s*\{{")
+
+
+_STRUCT_DEF = re.compile(r"\bstruct\s+(\w+)\s*\{([^}]*)\}\s*(\w+)?\s*;")
+
+
+def extract_structs(text: str) -> tuple[dict[str, list], str, list]:
+    """Pull `struct Name { type field; ... } [var];` declarations out of
+    the source. Returns (structs, text-with-spans-blanked, trailing
+    variable declarations as (typename, varname) pairs). Removed spans
+    become newlines so line numbering survives for error source maps.
+    Nested braces inside struct bodies are not GLSL, so the regex's
+    flat-body assumption is safe."""
+    structs: dict[str, list] = {}
+    trailing: list[tuple[str, str]] = []
+    out = []
+    i = 0
+    while True:
+        m = _STRUCT_DEF.search(text, i)
+        if not m:
+            out.append(text[i:])
+            break
+        out.append(text[i:m.start()])
+        name = m.group(1)
+        fields: list[tuple[str, str]] = []
+        for part in m.group(2).split(";"):
+            part = part.strip()
+            if not part:
+                continue
+            toks = part.split()
+            if len(toks) < 2:
+                raise ShaderError(
+                    f"struct {name}: cannot parse field '{part}'")
+            ftype = next((t for t in toks[:-1]
+                          if t not in ("highp", "lowp", "mediump")),
+                         toks[0])
+            # `type a, b` field lists
+            for fn_ in " ".join(toks[1:]).split(","):
+                fn_ = fn_.strip()
+                if fn_:
+                    fields.append((ftype, fn_))
+        if not fields:
+            raise ShaderError(f"struct {name} has no fields")
+        structs[name] = fields
+        if m.group(3):
+            trailing.append((name, m.group(3)))
+        out.append("\n" * text.count("\n", m.start(), m.end()))
+        i = m.end()
+    return structs, "".join(out), trailing
 
 # helpers provided as interpreter builtins: their GLSL definitions
 # (from inlined utility includes) are discarded
@@ -549,18 +655,20 @@ def _param_names(sig: str) -> list[str]:
     return names
 
 
-def extract_functions(text: str) -> tuple[dict[str, FuncDef], str]:
+def extract_functions(text: str, struct_types: frozenset = frozenset()
+                      ) -> tuple[dict[str, FuncDef], str]:
     """Pull helper-function definitions out of the source (parsed into
     executable FuncDefs unless they shadow interpreter builtins).
     Removed spans are replaced by equivalent newlines so the remaining
     text keeps its original line numbering (error source maps)."""
     from glava_tpu.config.glsl_expr import tokenize_lines
 
+    fdef_re = _func_def_re(struct_types)
     funcs: dict[str, FuncDef] = {}
     out = []
     i = 0
     while True:
-        m = _FUNC_DEF.search(text, i)
+        m = fdef_re.search(text, i)
         if not m:
             out.append(text[i:])
             break
@@ -592,7 +700,7 @@ def extract_functions(text: str) -> tuple[dict[str, FuncDef], str]:
             # of body_text is the line of m.end() in the full text
             base = text.count("\n", 0, m.end())
             toks, lns = tokenize_lines(body_text, base=base)
-            p = _StmtParser(toks, lns)
+            p = _StmtParser(toks, lns, struct_types)
             try:
                 body = p.parse_block()
             except ShaderError as e:
@@ -640,8 +748,11 @@ def parse_shader(text: str, fname: str = "<shader>",
                  srcmap: list | None = None) -> ParsedShader:
     from glava_tpu.config.glsl_expr import tokenize_lines
 
+    structs, text, struct_vars = extract_structs(text)
+    stypes = frozenset(structs)
+
     def located_block(toks, lns):
-        p = _StmtParser(toks, lns)
+        p = _StmtParser(toks, lns, stypes)
         try:
             return p.parse_block()
         except ShaderError as e:
@@ -655,7 +766,7 @@ def parse_shader(text: str, fname: str = "<shader>",
         decls.pixel_center_integer
 
     try:
-        funcs, ftext = extract_functions(text)
+        funcs, ftext = extract_functions(text, stypes)
     except ShaderError as e:
         if e.fname is None and e.line:
             f, ln = _resolve_srcline(fname, srcmap, e.line)
@@ -675,8 +786,11 @@ def parse_shader(text: str, fname: str = "<shader>",
     base = ftext.count("\n", 0, m.end())
     toks, lns = tokenize_lines(rest, base=base)
     body = located_block(toks, lns)
+    # `struct Foo {...} bar;` also declares a file-scope variable
+    for tname, vname in struct_vars:
+        pre_body.insert(0, Decl([(vname, None, None)], dtype=tname))
     return ParsedShader(uniforms, transforms, body, pci, funcs, pre_body,
-                        fname=fname, srcmap=srcmap)
+                        structs=structs, fname=fname, srcmap=srcmap)
 
 
 def _resolve_srcline(fname: str, srcmap: list | None, ln: int):
@@ -723,6 +837,7 @@ class _Exec:
         # and folds the plane into its carry
         self._ret_stack: list[dict] = []
         self._user_funcs: dict[str, FuncDef] = {}
+        self._structs: dict[str, list] = {}
         # fetch provenance: planes whose texel-fetch can be resolved
         # structurally (first-hit walk results and their masked
         # merges) — see texelFetch's _prov_resolved_prev fast path
@@ -782,6 +897,42 @@ class _Exec:
                 lambda *a, f=fdef: self.call_function(f, a)
             )
 
+    def bind_structs(self, structs: dict) -> None:
+        """Register user struct types: `Name(...)` constructors become
+        callables and `Name v;` declarations zero-fill per field."""
+        self._structs = dict(structs)
+        for sname, fields in structs.items():
+            fnames = tuple(fn for _, fn in fields)
+
+            def ctor(*args, sname=sname, fnames=fnames, fields=fields):
+                if len(args) != len(fnames):
+                    raise ShaderError(
+                        f"struct {sname} constructor takes "
+                        f"{len(fnames)} arguments, got {len(args)}")
+                return glsl_expr.GlslStruct(sname, fnames, args)
+
+            self.env.functions[sname] = ctor
+
+    def _zero_struct(self, tname: str):
+        """Default-init value for a struct-typed declaration."""
+        fields = self._structs[tname]
+        vals = []
+        for ftype, _ in fields:
+            if ftype in self._structs:
+                vals.append(self._zero_struct(ftype))
+            elif ftype in ("vec2", "vec3", "vec4"):
+                vals.append((0.0,) * int(ftype[-1]))
+            elif ftype in ("mat2", "mat3", "mat4"):
+                n = int(ftype[-1])
+                vals.append(glsl_expr.GlslMat(
+                    tuple((0.0,) * n for _ in range(n))))
+            elif ftype == "bool":
+                vals.append(False)
+            else:
+                vals.append(0.0)
+        return glsl_expr.GlslStruct(
+            tname, tuple(fn for _, fn in fields), vals)
+
     def _eval(self, toks) -> Any:
         return glsl_expr._Parser(list(toks), self.env).parse()
 
@@ -807,6 +958,16 @@ class _Exec:
             return out
 
         def merge(value, old):
+            if isinstance(value, glsl_expr.GlslStruct) \
+                    or isinstance(old, glsl_expr.GlslStruct):
+                if not (isinstance(value, glsl_expr.GlslStruct)
+                        and isinstance(old, glsl_expr.GlslStruct)
+                        and value.typename == old.typename):
+                    raise ShaderError(
+                        f"assignment changes struct type of '{name}'")
+                return glsl_expr.GlslStruct(
+                    value.typename, value.names,
+                    [merge(a, b) for a, b in zip(value.vals, old.vals)])
             if isinstance(value, glsl_expr.GlslMat) \
                     or isinstance(old, glsl_expr.GlslMat):
                 if not (isinstance(value, glsl_expr.GlslMat)
@@ -866,8 +1027,12 @@ class _Exec:
             for name, init, arrsize in stmt.names:
                 if arrsize is not None:
                     val = self._decl_array(name, init, arrsize)
+                elif init is not None:
+                    val = self._eval(init)
+                elif stmt.dtype in self._structs:
+                    val = self._zero_struct(stmt.dtype)
                 else:
-                    val = self._eval(init) if init is not None else 0.0
+                    val = 0.0
                 if self._frames:  # function locals: save the shadowed value
                     frame = self._frames[-1]
                     if name not in frame:
@@ -906,6 +1071,13 @@ class _Exec:
                       "/=": lambda a, b: _bin(a, b, "/")}[stmt.op]
                 rhs = fn(base, rhs)
             if stmt.swizzle:
+                if isinstance(elem, glsl_expr.GlslStruct):
+                    # struct field assignment: v.field [op]= expr
+                    rhs = elem.replace(stmt.swizzle, rhs)
+                    if idx is not None:
+                        rhs = glsl_expr.index_store(cur, idx, rhs)
+                    self._masked_set(stmt.target, rhs)
+                    return
                 if not isinstance(elem, tuple):
                     raise ShaderError(
                         f"cannot swizzle-assign non-vector '{stmt.target}'"
@@ -920,6 +1092,51 @@ class _Exec:
                 rhs = tuple(comps)
             if idx is not None:
                 rhs = glsl_expr.index_store(cur, idx, rhs)
+            self._masked_set(stmt.target, rhs)
+        elif isinstance(stmt, AssignPath):
+            root = self.env.variables.get(stmt.target)
+            if root is None:
+                raise ShaderError(
+                    f"'{stmt.target}' used before assignment")
+            # resolve the chain downward, caching parents + indices
+            chain: list[tuple] = []   # (parent value, kind, key)
+            cur = root
+            for kind, it in stmt.items:
+                if kind == "m":
+                    child = self._component(cur, it)
+                else:
+                    it = self._eval(it)
+                    child = glsl_expr.index_value(cur, it)
+                chain.append((cur, kind, it))
+                cur = child
+            rhs = self._eval(stmt.expr)
+            if stmt.op != "=":
+                fn = {"+=": lambda a, b: _bin(a, b, "+"),
+                      "-=": lambda a, b: _bin(a, b, "-"),
+                      "*=": lambda a, b: _bin(a, b, "*"),
+                      "/=": lambda a, b: _bin(a, b, "/")}[stmt.op]
+                rhs = fn(cur, rhs)
+            # rebuild outward
+            for parent, kind, key in reversed(chain):
+                if kind == "m":
+                    if isinstance(parent, glsl_expr.GlslStruct):
+                        rhs = parent.replace(key, rhs)
+                    elif isinstance(parent, tuple):
+                        idxs = [glsl_expr._SWIZZLE[c] for c in key]
+                        comps = list(parent)
+                        rt = (rhs if isinstance(rhs, tuple)
+                              else (rhs,) * len(idxs))
+                        if len(rt) != len(idxs):
+                            raise ShaderError(
+                                "swizzle assignment size mismatch")
+                        for i, r in zip(idxs, rt):
+                            comps[i] = r
+                        rhs = tuple(comps)
+                    else:
+                        raise ShaderError(
+                            f"cannot assign member '.{key}' of a scalar")
+                else:
+                    rhs = glsl_expr.index_store(parent, key, rhs)
             self._masked_set(stmt.target, rhs)
         elif isinstance(stmt, If):
             cond = self._eval(stmt.cond)
@@ -1732,6 +1949,9 @@ class _Exec:
         def canon(v):
             if isinstance(v, glsl_expr.GlslArray):
                 return glsl_expr.GlslArray([canon(e) for e in v.elems])
+            if isinstance(v, glsl_expr.GlslStruct):
+                return glsl_expr.GlslStruct(
+                    v.typename, v.names, [canon(c) for c in v.vals])
             if isinstance(v, tuple):
                 return tuple(canon(c) for c in v)
             a = jnp.asarray(v)
@@ -1755,7 +1975,9 @@ class _Exec:
             carry0["_returned"] = jnp.zeros((h, w), bool)
         if carry_val:
             if fr["value"] is None:
-                fr["value"] = _zero_retval(fr.get("rettype", "float"), h, w)
+                rt = fr.get("rettype", "float")
+                fr["value"] = (self._zero_struct(rt) if rt in self._structs
+                               else _zero_retval(rt, h, w))
             fr["value"] = canon(fr["value"])
             carry0["_fnval"] = fr["value"]
 
@@ -1857,6 +2079,8 @@ class _Exec:
     def _component(val, swizzle):
         if swizzle is None:
             return val
+        if isinstance(val, glsl_expr.GlslStruct):
+            return val.get(swizzle)
         idxs = [glsl_expr._SWIZZLE[c] for c in swizzle]
         if len(idxs) == 1:
             return val[idxs[0]]
@@ -1909,6 +2133,18 @@ def _collect_writes(body, funcs: dict | None = None,
                 assigns.add(s.target)
                 scan_tokens(s.expr)
                 scan_tokens(s.index)
+            elif isinstance(s, AssignPath):
+                assigns.add(s.target)
+                scan_tokens(s.expr)
+                for kind, it in s.items:
+                    if kind == "i":
+                        scan_tokens(it)
+            elif isinstance(s, Switch):
+                scan_tokens(s.expr)
+                for labels, body in s.cases:
+                    for lab in labels or ():
+                        scan_tokens(lab)
+                    walk(body)
             elif isinstance(s, If):
                 scan_tokens(s.cond)
                 walk(s.then)
@@ -1946,6 +2182,9 @@ def _contains_return(body, valued: bool = False) -> bool:
                 and (_contains_return(s.body, valued)
                      or _contains_return(getattr(s, "epilogue", []) or [],
                                          valued)):
+            return True
+        if isinstance(s, Switch) and any(
+                _contains_return(b, valued) for _, b in s.cases):
             return True
     return False
 
@@ -2274,6 +2513,16 @@ def _np_concrete(*xs) -> bool:
 def _merge_masked(mask, new, old):
     """Per-pixel merge of a return value at one return site."""
     jnp = _jnp()
+    if isinstance(new, glsl_expr.GlslStruct):
+        if old is None:
+            old = glsl_expr.GlslStruct(
+                new.typename, new.names,
+                [(tuple(0.0 for _ in v) if isinstance(v, tuple) else 0.0)
+                 for v in new.vals])
+        return glsl_expr.GlslStruct(
+            new.typename, new.names,
+            [_merge_masked(mask, a, b)
+             for a, b in zip(new.vals, old.vals)])
     if old is None:
         old = (tuple(0.0 for _ in new) if isinstance(new, tuple) else 0.0)
 

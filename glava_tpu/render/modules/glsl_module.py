@@ -192,6 +192,7 @@ def _build(name: str, files: list[Path], ctx: base.ModuleContext,
                     # would otherwise emit RuntimeWarnings for e.g. the
                     # polar center pixel's divide-by-zero
                     with np.errstate(all="ignore"):
+                        ex.bind_structs(program.structs)
                         ex.bind_functions(program.funcs)
                         ex.run(program.pre_body)
                         ex.run(program.body)

@@ -920,6 +920,46 @@ def test_switch_continue_targets_enclosing_loop(tmp_path):
     np.testing.assert_allclose(f[..., 0], want, atol=1e-6)
 
 
+def test_switch_write_rides_while_carry(tmp_path):
+    """A variable assigned ONLY inside a switch nested in a
+    data-dependent while loop must ride the loop carry
+    (_collect_writes walks switch case bodies)."""
+    mod = tmp_path / "swl"
+    mod.mkdir()
+    (mod / "1.frag").write_text(
+        "in vec4 gl_FragCoord;\n"
+        "out vec4 fragment;\n"
+        "void main() {\n"
+        "    float acc = 0.0;\n"
+        "    float i = 0.0;\n"
+        "    float limit = gl_FragCoord.x + 0.5;\n"
+        "    while (i < limit) {\n"
+        "        switch (int(mod(i, 2.0))) {\n"
+        "        case 0: acc += 1.0; break;\n"
+        "        default: acc += 10.0;\n"
+        "        }\n"
+        "        i += 1.0;\n"
+        "    }\n"
+        "    fragment = vec4(acc / 100.0, i / 100.0, 0, 1);\n"
+        "}\n"
+    )
+    (tmp_path / "rc.glsl").write_text(
+        "#request mod swl\n#request setgeometry 0 0 6 2\n"
+        "#request setbufsize 1024\n#request setsamplesize 256\n"
+        "#request setprintframes false\n"
+    )
+    lc = loader.load(user_dir=tmp_path)
+    f = _render(lc, n=1)
+    x = np.arange(6)
+    iters = x + 1  # while (i < x + 0.5) runs x+1 times from i=0... no:
+    # i goes 0..ceil(limit)-1; limit = x+0.5 -> iterations = x+1
+    evens = (iters + 1) // 2       # i = 0, 2, 4, ... -> +1 each
+    odds = iters // 2              # i = 1, 3, 5, ... -> +10 each
+    want = (evens * 1.0 + odds * 10.0) / 100.0
+    np.testing.assert_allclose(f[0, :, 0], want, atol=1e-6)
+    np.testing.assert_allclose(f[0, :, 1], iters / 100.0, atol=1e-6)
+
+
 MAT_FRAG = """
 in vec4 gl_FragCoord;
 #request uniform "screen" screen

@@ -1026,7 +1026,8 @@ class _Exec:
         if isinstance(stmt, Decl):
             for name, init, arrsize in stmt.names:
                 if arrsize is not None:
-                    val = self._decl_array(name, init, arrsize)
+                    val = self._decl_array(name, init, arrsize,
+                                           stmt.dtype)
                 elif init is not None:
                     val = self._eval(init)
                 elif stmt.dtype in self._structs:
@@ -1103,6 +1104,10 @@ class _Exec:
             cur = root
             for kind, it in stmt.items:
                 if kind == "m":
+                    if not isinstance(cur, (tuple, glsl_expr.GlslStruct)):
+                        raise ShaderError(
+                            f"cannot access member '.{it}' of a scalar "
+                            f"in '{stmt.target}' lvalue chain")
                     child = self._component(cur, it)
                 else:
                     it = self._eval(it)
@@ -1354,7 +1359,7 @@ class _Exec:
                                    (self.h, self.w))
         return jnp.broadcast_to(jnp.asarray(c, bool), (self.h, self.w))
 
-    def _decl_array(self, name: str, init, arrsize):
+    def _decl_array(self, name: str, init, arrsize, dtype=None):
         """`TYPE name[N];` / `TYPE name[] = TYPE[](...)` declaration."""
         size_toks = [t for t in arrsize if t[0] != "end"]
         n = None
@@ -1368,6 +1373,9 @@ class _Exec:
         if init is None:
             if n is None:
                 raise ShaderError(f"array '{name}' needs a size or initializer")
+            if dtype in self._structs:   # struct arrays zero per element
+                return glsl_expr.GlslArray(
+                    [self._zero_struct(dtype) for _ in range(n)])
             return glsl_expr.GlslArray([0.0] * n)
         val = self._eval(init)
         if not isinstance(val, glsl_expr.GlslArray):

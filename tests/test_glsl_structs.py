@@ -161,6 +161,29 @@ void main() {
     np.testing.assert_allclose(f[0, :, 1], steps / 16.0, atol=1e-6)
 
 
+def test_struct_array_default_init_and_element_field_write(tmp_path):
+    """`S a[N];` zero-fills struct elements; `a[i].field = v` chains
+    index + member through the nested-lvalue path."""
+    frag = """
+in vec4 gl_FragCoord;
+out vec4 fragment;
+struct Pt { vec2 pos; float wgt; };
+void main() {
+    Pt pts[2];
+    pts[0].pos = vec2(0.25, 0.5);
+    pts[1].wgt = 0.75;
+    pts[1].pos.y = 0.125;            // three-level chain
+    fragment = vec4(pts[0].pos.x, pts[0].wgt + pts[1].pos.y,
+                    pts[1].wgt, pts[0].pos.y + 0.5);
+}
+"""
+    f = _render_module(tmp_path, "sa", frag)
+    np.testing.assert_allclose(f[..., 0], 0.25, atol=1e-6)
+    np.testing.assert_allclose(f[..., 1], 0.125, atol=1e-6)  # 0 + 0.125
+    np.testing.assert_allclose(f[..., 2], 0.75, atol=1e-6)
+    np.testing.assert_allclose(f[..., 3], 1.0, atol=1e-6)
+
+
 def test_struct_returning_helper_multiple_sites(tmp_path):
     """Struct-returning helpers merge per-pixel across return sites."""
     frag = """

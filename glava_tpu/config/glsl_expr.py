@@ -863,15 +863,27 @@ class _Parser:
             if self.peek()[1] == "(":
                 self.next()
                 args = []
+                arg_toks = []
                 if self.peek()[1] != ")":
+                    start = self.pos
                     args.append(self.ternary())
+                    arg_toks.append(self.toks[start:self.pos])
                     while self.peek()[1] == ",":
                         self.next()
+                        start = self.pos
                         args.append(self.ternary())
+                        arg_toks.append(self.toks[start:self.pos])
                 self.expect(")")
                 fn = self.env.functions.get(val) or self.funcs.get(val)
                 if fn is None:
                     raise ExprError(f"unknown function '{val}'")
+                needs = getattr(fn, "_needs_lvalues", None)
+                if needs is not None:
+                    # out/inout params: hand the callee each such
+                    # argument's token slice so it can write back
+                    lv = {i: arg_toks[i] for i in needs
+                          if i < len(arg_toks)}
+                    return fn(*args, _lvalues=lv)
                 return fn(*args)
             return self.env.lookup(val)
         raise ExprError(f"unexpected token {val!r}")

@@ -559,6 +559,9 @@ class FuncDef:
     # declared return type — used to build a typed zero when a valued
     # `return` inside a data-dependent loop must ride the loop carry
     rettype: str = "void"
+    # per-param qualifiers ('', 'in', 'out', 'inout'): out/inout params
+    # copy their final value back to the caller's argument lvalue
+    quals: tuple = ()
 
 
 @dataclass
@@ -655,6 +658,17 @@ def _param_names(sig: str) -> list[str]:
     return names
 
 
+def _param_quals(sig: str) -> tuple:
+    """Per-param in/out/inout qualifiers ('' when unqualified)."""
+    quals = []
+    for part in sig.split(","):
+        toks = part.strip().split()
+        if toks:
+            quals.append(next((t for t in toks[:-1]
+                               if t in ("in", "out", "inout")), ""))
+    return tuple(quals)
+
+
 def extract_functions(text: str, struct_types: frozenset = frozenset()
                       ) -> tuple[dict[str, FuncDef], str]:
     """Pull helper-function definitions out of the source (parsed into
@@ -713,7 +727,8 @@ def extract_functions(text: str, struct_types: frozenset = frozenset()
             if rettype in ("highp", "lowp", "mediump"):
                 rettype = "float"
             funcs[name] = FuncDef(name, _param_names(m.group(3)), body,
-                                  rettype=rettype)
+                                  rettype=rettype,
+                                  quals=_param_quals(m.group(3)))
         out.append("\n" * text.count("\n", m.start(), j))
         i = j
     return funcs, "".join(out)
@@ -860,7 +875,8 @@ class _Exec:
                 (out, {"kind": "merge", "mask": mask,
                        "new": new, "old": old}))
 
-    def call_function(self, fdef: FuncDef, args) -> Any:
+    def call_function(self, fdef: FuncDef, args, out_sink: dict | None = None,
+                      capture: tuple = ()) -> Any:
         """Execute a helper function inline under the current pixel mask.
 
         GLSL scoping: params/locals shadow and are restored afterwards;
@@ -879,6 +895,9 @@ class _Exec:
                     frame[p] = (p in env.variables, env.variables.get(p))
                 env.variables[p] = a
             self.run(fdef.body)
+            if out_sink is not None:
+                for p in capture:
+                    out_sink[p] = env.variables.get(p)
             return self._fn_stack[-1]["value"]
         finally:
             self._fn_stack.pop()
@@ -893,9 +912,46 @@ class _Exec:
     def bind_functions(self, funcs: dict) -> None:
         self._user_funcs = dict(funcs)
         for fname, fdef in funcs.items():
-            self.env.functions[fname] = (
-                lambda *a, f=fdef: self.call_function(f, a)
-            )
+            outs = tuple(i for i, q in enumerate(fdef.quals or ())
+                         if q in ("out", "inout"))
+            if outs:
+                wrapper = (lambda *a, _lvalues=None, f=fdef, o=outs:
+                           self._call_with_outparams(f, a, o, _lvalues))
+                # the expression parser sees this marker and supplies
+                # each out-argument's lvalue token slice
+                wrapper._needs_lvalues = outs
+                self.env.functions[fname] = wrapper
+            else:
+                self.env.functions[fname] = (
+                    lambda *a, f=fdef: self.call_function(f, a)
+                )
+
+    def _call_with_outparams(self, fdef: FuncDef, args, outs, lvalues):
+        """Call a helper with out/inout params: after the body runs,
+        each out param's final value is written back to the caller's
+        argument lvalue (GLSL copy-out semantics), merged under the
+        call-site pixel mask."""
+        sink: dict = {}
+        names = [fdef.params[i] for i in outs if i < len(fdef.params)]
+        ret = self.call_function(fdef, args, out_sink=sink,
+                                 capture=tuple(names))
+        for i in outs:
+            if i >= len(fdef.params):
+                continue
+            toks = (lvalues or {}).get(i)
+            path = _lvalue_path(toks) if toks is not None else None
+            if path is None:
+                raise ShaderError(
+                    f"argument {i + 1} of '{fdef.name}' is declared "
+                    f"'{(fdef.quals or ())[i]}' and must be a variable "
+                    "(or member/index chain), got an expression")
+            name, items = path
+            val = sink.get(fdef.params[i])
+            if items:
+                chain, _leaf = self._resolve_lvalue(name, items)
+                val = self._rebuild_lvalue(chain, val)
+            self._masked_set(name, val)
+        return ret
 
     def bind_structs(self, structs: dict) -> None:
         """Register user struct types: `Name(...)` constructors become
@@ -1095,54 +1151,15 @@ class _Exec:
                 rhs = glsl_expr.index_store(cur, idx, rhs)
             self._masked_set(stmt.target, rhs)
         elif isinstance(stmt, AssignPath):
-            root = self.env.variables.get(stmt.target)
-            if root is None:
-                raise ShaderError(
-                    f"'{stmt.target}' used before assignment")
-            # resolve the chain downward, caching parents + indices
-            chain: list[tuple] = []   # (parent value, kind, key)
-            cur = root
-            for kind, it in stmt.items:
-                if kind == "m":
-                    if not isinstance(cur, (tuple, glsl_expr.GlslStruct)):
-                        raise ShaderError(
-                            f"cannot access member '.{it}' of a scalar "
-                            f"in '{stmt.target}' lvalue chain")
-                    child = self._component(cur, it)
-                else:
-                    it = self._eval(it)
-                    child = glsl_expr.index_value(cur, it)
-                chain.append((cur, kind, it))
-                cur = child
+            chain, leaf = self._resolve_lvalue(stmt.target, stmt.items)
             rhs = self._eval(stmt.expr)
             if stmt.op != "=":
                 fn = {"+=": lambda a, b: _bin(a, b, "+"),
                       "-=": lambda a, b: _bin(a, b, "-"),
                       "*=": lambda a, b: _bin(a, b, "*"),
                       "/=": lambda a, b: _bin(a, b, "/")}[stmt.op]
-                rhs = fn(cur, rhs)
-            # rebuild outward
-            for parent, kind, key in reversed(chain):
-                if kind == "m":
-                    if isinstance(parent, glsl_expr.GlslStruct):
-                        rhs = parent.replace(key, rhs)
-                    elif isinstance(parent, tuple):
-                        idxs = [glsl_expr._SWIZZLE[c] for c in key]
-                        comps = list(parent)
-                        rt = (rhs if isinstance(rhs, tuple)
-                              else (rhs,) * len(idxs))
-                        if len(rt) != len(idxs):
-                            raise ShaderError(
-                                "swizzle assignment size mismatch")
-                        for i, r in zip(idxs, rt):
-                            comps[i] = r
-                        rhs = tuple(comps)
-                    else:
-                        raise ShaderError(
-                            f"cannot assign member '.{key}' of a scalar")
-                else:
-                    rhs = glsl_expr.index_store(parent, key, rhs)
-            self._masked_set(stmt.target, rhs)
+                rhs = fn(leaf, rhs)
+            self._masked_set(stmt.target, self._rebuild_lvalue(chain, rhs))
         elif isinstance(stmt, If):
             cond = self._eval(stmt.cond)
             # concrete conditions keep NUMPY masks so masked writes of
@@ -2083,6 +2100,53 @@ class _Exec:
             # passthrough) instead of becoming traced planes
             self.mask = outer_mask
 
+    def _resolve_lvalue(self, target: str, items):
+        """Descend a nested lvalue chain; returns (chain, leaf value)
+        where chain is [(parent value, kind, evaluated key), ...]."""
+        root = self.env.variables.get(target)
+        if root is None:
+            raise ShaderError(f"'{target}' used before assignment")
+        chain: list[tuple] = []
+        cur = root
+        for kind, it in items:
+            if kind == "m":
+                if not isinstance(cur, (tuple, glsl_expr.GlslStruct)):
+                    raise ShaderError(
+                        f"cannot access member '.{it}' of a scalar "
+                        f"in '{target}' lvalue chain")
+                child = self._component(cur, it)
+            else:
+                it = self._eval(it)
+                child = glsl_expr.index_value(cur, it)
+            chain.append((cur, kind, it))
+            cur = child
+        return chain, cur
+
+    @staticmethod
+    def _rebuild_lvalue(chain, rhs):
+        """Rebuild outward after replacing the leaf with ``rhs``."""
+        for parent, kind, key in reversed(chain):
+            if kind == "m":
+                if isinstance(parent, glsl_expr.GlslStruct):
+                    rhs = parent.replace(key, rhs)
+                elif isinstance(parent, tuple):
+                    idxs = [glsl_expr._SWIZZLE[c] for c in key]
+                    comps = list(parent)
+                    rt = (rhs if isinstance(rhs, tuple)
+                          else (rhs,) * len(idxs))
+                    if len(rt) != len(idxs):
+                        raise ShaderError(
+                            "swizzle assignment size mismatch")
+                    for i, r in zip(idxs, rt):
+                        comps[i] = r
+                    rhs = tuple(comps)
+                else:
+                    raise ShaderError(
+                        f"cannot assign member '.{key}' of a scalar")
+            else:
+                rhs = glsl_expr.index_store(parent, key, rhs)
+        return rhs
+
     @staticmethod
     def _component(val, swizzle):
         if swizzle is None:
@@ -2122,6 +2186,37 @@ def _collect_writes(body, funcs: dict | None = None,
         d, a = _collect_writes(fdef.body, funcs, seen_funcs)
         return a - d - set(fdef.params)
 
+    def out_arg_roots(toks, i, fdef):
+        """Caller variables written via out/inout args of the call at
+        toks[i] (ident) — they must count as assigned at the call
+        site (e.g. to ride a surrounding while-loop's carry)."""
+        outs = [j for j, q in enumerate(fdef.quals or ())
+                if q in ("out", "inout")]
+        if not outs or i + 1 >= len(toks) or toks[i + 1][1] != "(":
+            return
+        depth = 0
+        j = i + 1
+        arg_slices = []
+        cur_start = i + 2
+        while j < len(toks):
+            v = toks[j][1]
+            if v == "(":
+                depth += 1
+            elif v == ")":
+                depth -= 1
+                if depth == 0:
+                    arg_slices.append(toks[cur_start:j])
+                    break
+            elif v == "," and depth == 1:
+                arg_slices.append(toks[cur_start:j])
+                cur_start = j + 1
+            j += 1
+        for oi in outs:
+            if oi < len(arg_slices):
+                path = _lvalue_path(arg_slices[oi])
+                if path is not None:
+                    assigns.add(path[0])
+
     def scan_tokens(toks):
         if not toks:
             return
@@ -2129,6 +2224,7 @@ def _collect_writes(body, funcs: dict | None = None,
             if (k == "ident" and v in funcs
                     and i + 1 < len(toks) and toks[i + 1][1] == "("):
                 assigns.update(fn_globals(v))
+                out_arg_roots(toks, i, funcs[v])
 
     def walk(stmts):
         for s in stmts:
@@ -2516,6 +2612,39 @@ def _np_concrete(*xs) -> bool:
     path (static lookups, axis-constant sampling, walk detection)."""
     return all(isinstance(x, (np.ndarray, np.generic, bool, int, float))
                for x in xs)
+
+
+def _lvalue_path(toks):
+    """Parse an argument token slice as an lvalue: ``ident (('.' m) |
+    ('[' ... ']'))*`` -> (name, items) for :meth:`_Exec._resolve_lvalue`,
+    or None when the tokens are not a plain lvalue chain."""
+    tl = [t for t in toks if t[0] != "end"]
+    if not tl or tl[0][0] != "ident":
+        return None
+    name = tl[0][1]
+    items = []
+    i = 1
+    while i < len(tl):
+        k, v = tl[i]
+        if v == "." and i + 1 < len(tl) and tl[i + 1][0] == "ident":
+            items.append(("m", tl[i + 1][1]))
+            i += 2
+        elif v == "[":
+            depth = 1
+            j = i + 1
+            while j < len(tl) and depth:
+                if tl[j][1] == "[":
+                    depth += 1
+                elif tl[j][1] == "]":
+                    depth -= 1
+                j += 1
+            if depth:
+                return None
+            items.append(("i", tl[i + 1:j - 1] + [("end", "")]))
+            i = j
+        else:
+            return None
+    return name, items
 
 
 def _merge_masked(mask, new, old):

@@ -361,7 +361,9 @@ def build_static_table_lookup(idx, table_size: int, tile_rows: int = 64,
     hi = idxp >> 7
     perm = np.argsort(hi.min(1), kind="stable")
     if os.environ.get("GLAVA_TPU_STATIC_LK_V1", "") != "1":
-        return _static_lookup_subgroup(idxp, perm, P, T, shape, interpret)
+        base = _static_lookup_subgroup(idxp, perm, P, T, shape, interpret)
+        return _maybe_dense_single(base, flat, table_size, P, nrows, T,
+                                   shape, interpret)
     nblk = -(-nrows // R)
     perm_p = np.concatenate([perm, np.repeat(perm[-1:], nblk * R - nrows)])
     rows_sorted = idxp[perm_p]
@@ -401,6 +403,47 @@ def build_static_table_lookup(idx, table_size: int, tile_rows: int = 64,
         allout = parts[0] if len(parts) == 1 else jnp.concatenate(parts, 0)
         ordered = allout[final_perm]
         return ordered.reshape(-1)[:P].reshape(shape)
+
+    return lookup
+
+
+# Small-plane single-table crossover: the subgroup kernel's grid /
+# scalar-prefetch overheads dominate below a few thousand index rows,
+# where the dense all-chunk kernel is ~6x faster UNBATCHED (measured
+# v5e, 3x131k pts / 4096-entry table: dense 33 us vs subgroup 192) —
+# but the subgroup kernel vmaps far better (x16 tables: 292 us vs the
+# dense kernel's 815). custom_vmap routes each call to the winner.
+# Bounds are the measured-safe region: dense cost scales with
+# nrows * chunks, so both guards pin to the measured win point.
+_DENSE_SINGLE_MAX_ROWS = 4096
+_DENSE_SINGLE_MAX_WORK = 3072 * 32  # nrows * (table chunks)
+
+
+def _maybe_dense_single(base, flat, table_size, P, nrows, T, shape,
+                        interpret):
+    """Wrap a batched-friendly lookup so UNBATCHED calls take the
+    dense all-chunk kernel when the plane is small enough for it to
+    win; vmapped calls keep ``base``. Bit-exact either way (both
+    kernels are pinned against the jnp gather)."""
+    chunks = max(T // _LANES, 1)
+    if nrows > _DENSE_SINGLE_MAX_ROWS \
+            or nrows * chunks > _DENSE_SINGLE_MAX_WORK:
+        return base
+    import jax
+    from jax.custom_batching import custom_vmap
+
+    lkd = build_table_lookup(1, table_size, P, interpret=interpret)
+    idx_c = jnp.asarray(flat.astype(np.int32))[None, :]
+
+    @custom_vmap
+    def lookup(table):
+        return lkd(table, idx_c)[0].reshape(shape)
+
+    @lookup.def_vmap
+    def _rule(axis_size, in_batched, table):  # noqa: ANN001
+        (tb,) = in_batched
+        out = jax.vmap(base)(table) if tb else base(table)
+        return out, tb
 
     return lookup
 

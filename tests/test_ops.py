@@ -242,6 +242,8 @@ def test_static_table_lookup_matches_gather():
         ((2, 40000), 8192, True),   # large, coherent
         ((2, 40000), 8192, False),  # large, incoherent (tail bucket)
     ]
+    import jax
+
     for shape, T, coherent in cases:
         idx = rng.integers(0, T, shape).astype(np.int32)
         if coherent:
@@ -251,6 +253,13 @@ def test_static_table_lookup_matches_gather():
         out = np.asarray(lk(jnp.asarray(tab)))
         assert out.shape == shape
         assert np.array_equal(out, tab[idx]), (shape, T, coherent)
+        # batched: the custom_vmap rule routes to the subgroup kernel;
+        # must stay exact per table
+        tabs = rng.random((3, T), dtype=np.float32)
+        outs = np.asarray(jax.vmap(lk)(jnp.asarray(tabs)))
+        for s in range(3):
+            assert np.array_equal(outs[s], tabs[s][idx]), \
+                (shape, T, coherent, "vmapped")
 
 
 def test_fetch_1d_static_routing_parity(monkeypatch):

@@ -208,6 +208,11 @@ def _build(name: str, files: list[Path], ctx: base.ModuleContext,
                 arr = glsl_expr.to_rgba(frag)
                 return jnp.broadcast_to(arr, (h, w, 4)).astype(jnp.float32)
 
+            # expose the parsed AST + knob defines + effective uniform
+            # list for differential oracles (tests/scalar_oracle.py)
+            pass_fn.program = program
+            pass_fn.defines = defines
+            pass_fn.uniforms = parsed.uniforms
             return pass_fn
 
         passes.append(make_pass())

@@ -198,6 +198,9 @@ def test_walk_pass_matches_oracle(tmp_path):
 @pytest.mark.parametrize("module,knobs", [
     ("bars", ""),
     ("graph", "#define ANTI_ALIAS 1\n#define DRAW_HIGHLIGHT 0\n"),
+    ("radial", "#define C_RADIUS 12\n#define NBARS 32\n"),
+    ("wave", ""),
+    ("circle", "#define C_RADIUS 12\n"),
 ])
 def test_reference_shaders_match_oracle(tmp_path, module, knobs):
     """The reference's own shipped .frag files: vectorized executor vs

@@ -2853,7 +2853,29 @@ def make_builtins(prev, sz: int, h: int, w: int, smooth_fetch):
             return None
         return px, py
 
+    # shared zero halo for small neighbor shifts: every outline/smooth
+    # pass taps prev at (dx, dy) in {-2..2}, and a per-tap shift costs
+    # two concat-with-zeros chains on the full (h, w, 4) frame (XLA
+    # lowers each to a pad — measured 43 standalone pads in interpreted
+    # circle's TPU program, ~1/3 of its HBM traffic). One padded buffer
+    # serves every such tap as a slice, which fuses into consumers.
+    # Built at the OUTER trace level like _prevT (tracer-leak safety);
+    # XLA DCEs it when no tap uses it.
+    _HALO = 2
+    _halo = (jnp.pad(prev, ((_HALO, _HALO), (_HALO, _HALO), (0, 0)))
+             if prev is not None else None)
+
     def _shifted_prev(px, py):
+        if (px[0] == "shift" and py[0] == "shift"
+                and abs(px[1]) <= _HALO and abs(py[1]) <= _HALO
+                and _halo is not None):
+            dy, dx = py[1], px[1]
+            if dy == 0 and dx == 0:
+                out = prev
+            else:
+                out = _halo[_HALO + dy:_HALO + dy + h,
+                            _HALO + dx:_HALO + dx + w]
+            return tuple(out[..., i] for i in range(4))
         out = _apply_axis(prev, py, 0, h)
         out = _apply_axis(out, px, 1, w)
         return tuple(out[..., i] for i in range(4))

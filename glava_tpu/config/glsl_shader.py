@@ -2853,29 +2853,71 @@ def make_builtins(prev, sz: int, h: int, w: int, smooth_fetch):
             return None
         return px, py
 
-    # shared zero halo for small neighbor shifts: every outline/smooth
+    # Shared halo buffers for small neighbor taps: every outline/smooth
     # pass taps prev at (dx, dy) in {-2..2}, and a per-tap shift costs
-    # two concat-with-zeros chains on the full (h, w, 4) frame (XLA
-    # lowers each to a pad — measured 43 standalone pads in interpreted
-    # circle's TPU program, ~1/3 of its HBM traffic). One padded buffer
-    # serves every such tap as a slice, which fuses into consumers.
-    # Built at the OUTER trace level like _prevT (tracer-leak safety);
-    # XLA DCEs it when no tap uses it.
+    # two concat chains on the full (h, w, 4) frame (XLA lowers each to
+    # a standalone pad — measured 43 pads in interpreted circle's TPU
+    # program, ~1/3 of its 825 MB/frame HBM traffic; removing just the
+    # pure-shift ones took it 963 -> 1,597 fps @1080p). One padded
+    # buffer per (y-mode, x-mode) combination serves every such tap as
+    # a slice, which fuses into consumers. Per-axis modes: 'shift'
+    # reads out-of-range as transparent black (zero pad), 'clamp0'
+    # clamps below at 0 (edge pad) — the pattern half-integer pixel
+    # centers produce under GLSL's truncate-toward-zero int cast
+    # (ivec2(gl_FragCoord.x - 1, ...)). Built lazily but cached at the
+    # OUTER trace level via this dict (make_builtins runs in the pass
+    # trace; nothing is created inside while-body subtraces because
+    # _shifted_prev is only reached for concrete coordinate patterns,
+    # and a subtrace-created halo is keyed per (modes) and reused only
+    # within that trace — see _halos_depth guard).
+    # Shared zero-padded halo for the pure-shift neighbor taps: every
+    # outline/smooth pass taps prev at (dx, dy) in {-2..2}, and a
+    # per-tap shift costs two concat-with-zeros chains on the full
+    # (h, w, 4) frame (XLA lowers each to a standalone pad -- a TPU-HLO
+    # census of interpreted circle counted 43 pads, ~1/3 of its
+    # 825 MB/frame HBM traffic). One padded buffer serves every such
+    # tap as a slice that fuses into consumers. A tap qualifies when
+    # EVERY axis either has d == 0 (the center slice reads only
+    # in-range positions) or is a pure shift; 'clamp0' axes (the
+    # truncate-toward-zero pattern of ivec2(gl_FragCoord.x - 1, ...))
+    # keep the per-tap concat path. Controlled same-process A/B on
+    # v5e @1080p interpreted (scripts/exp_halo_ab.py): halo off /
+    # zero-only / zero+edge = circle 935 / 1,799 / 608; graph+AA
+    # 986 / 2,174 / 1,765; wave 2,853 / 5,728 / 4,162 fps -- the
+    # zero-only halo wins everywhere, and the edge-replicated halo
+    # for clamp0 axes HURTS everywhere (jnp.pad mode="edge" lowers to
+    # unfused concat chains), so the default is "zero".
+    # GLAVA_TPU_PREV_HALO: zero (default) | both | 0 (off).
+    # Built at the OUTER trace level like _prevT (tracer-leak
+    # safety); XLA DCEs it when no tap qualifies.
+    import os as _os
+
+    _halo_mode = _os.environ.get("GLAVA_TPU_PREV_HALO", "zero")
     _HALO = 2
-    _halo = (jnp.pad(prev, ((_HALO, _HALO), (_HALO, _HALO), (0, 0)))
-             if prev is not None else None)
+    _halo_zero = _halo_edge = None
+    if prev is not None and _halo_mode != "0":
+        _halo_zero = jnp.pad(prev, ((_HALO, _HALO), (_HALO, _HALO),
+                                    (0, 0)))
+        if _halo_mode == "both":
+            _halo_edge = jnp.pad(prev, ((_HALO, _HALO), (_HALO, _HALO),
+                                        (0, 0)), mode="edge")
 
     def _shifted_prev(px, py):
-        if (px[0] == "shift" and py[0] == "shift"
+        if (px[0] in ("shift", "clamp0") and py[0] in ("shift", "clamp0")
                 and abs(px[1]) <= _HALO and abs(py[1]) <= _HALO
-                and _halo is not None):
+                and prev is not None and _halo_zero is not None):
             dy, dx = py[1], px[1]
             if dy == 0 and dx == 0:
-                out = prev
-            else:
-                out = _halo[_HALO + dy:_HALO + dy + h,
-                            _HALO + dx:_HALO + dx + w]
-            return tuple(out[..., i] for i in range(4))
+                return tuple(prev[..., i] for i in range(4))
+            for halo, mode in ((_halo_zero, "shift"),
+                               (_halo_edge, "clamp0")):
+                if halo is None:
+                    continue
+                if (dy == 0 or py[0] == mode) and \
+                        (dx == 0 or px[0] == mode):
+                    out = halo[_HALO + dy:_HALO + dy + h,
+                               _HALO + dx:_HALO + dx + w]
+                    return tuple(out[..., i] for i in range(4))
         out = _apply_axis(prev, py, 0, h)
         out = _apply_axis(out, px, 1, w)
         return tuple(out[..., i] for i in range(4))

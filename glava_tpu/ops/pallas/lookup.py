@@ -350,9 +350,10 @@ def build_static_table_lookup(idx, table_size: int, tile_rows: int = 64,
     R = tile_rows
     if nrows < 2 * R:  # too small to amortize; use the dense kernel
         lk = build_table_lookup(1, table_size, P, interpret=interpret)
+        flat32 = flat.astype(np.int32)  # numpy: converted per call
 
         def small(table):
-            return lk(table, jnp.asarray(flat.astype(np.int32))[None, :]
+            return lk(table, jnp.asarray(flat32)[None, :]
                       )[0].reshape(shape)
 
         return small
@@ -383,8 +384,8 @@ def build_static_table_lookup(idx, table_size: int, tile_rows: int = 64,
         rows = rows_sorted.reshape(nblk, R, _LANES)[ids].reshape(-1, _LANES)
         buckets.append((
             _build_bucket(len(ids), Tpad, R, K, interpret),
-            jnp.asarray(bases[ids]),
-            jnp.asarray(rows.astype(np.int32)),
+            bases[ids],
+            rows.astype(np.int32),
         ))
     order = np.concatenate([b for b, K in ((b1, 0), (b2, 0)) if b.size]) \
         if (b1.size and b2.size) else (b1 if b1.size else b2)
@@ -393,15 +394,15 @@ def build_static_table_lookup(idx, table_size: int, tile_rows: int = 64,
     inv_sorted[out_rows_order] = np.arange(nblk * R)
     pos_of_orig = np.empty(nblk * R, np.int64)
     pos_of_orig[perm_p] = np.arange(nblk * R)
-    final_perm = jnp.asarray(
-        inv_sorted[pos_of_orig[:nrows]].astype(np.int32))
+    final_perm = inv_sorted[pos_of_orig[:nrows]].astype(np.int32)
 
     def lookup(table):
         tab = jnp.asarray(table, jnp.float32).reshape(-1)
         tab = jnp.pad(tab, (0, Tpad - tab.shape[0]))[None, :]
-        parts = [fn(bs, tab, rows) for fn, bs, rows in buckets]
+        parts = [fn(jnp.asarray(bs), tab, jnp.asarray(rows))
+                 for fn, bs, rows in buckets]
         allout = parts[0] if len(parts) == 1 else jnp.concatenate(parts, 0)
-        ordered = allout[final_perm]
+        ordered = allout[jnp.asarray(final_perm)]
         return ordered.reshape(-1)[:P].reshape(shape)
 
     return lookup
@@ -433,11 +434,11 @@ def _maybe_dense_single(base, flat, table_size, P, nrows, T, shape,
     from jax.custom_batching import custom_vmap
 
     lkd = build_table_lookup(1, table_size, P, interpret=interpret)
-    idx_c = jnp.asarray(flat.astype(np.int32))[None, :]
+    idx_np = flat.astype(np.int32)  # numpy: converted per call
 
     @custom_vmap
     def lookup(table):
-        return lkd(table, idx_c)[0].reshape(shape)
+        return lkd(table, jnp.asarray(idx_np)[None, :])[0].reshape(shape)
 
     @lookup.def_vmap
     def _rule(axis_size, in_batched, table):  # noqa: ANN001
@@ -489,11 +490,14 @@ def _static_lookup_subgroup(idxp, perm, P, T, shape, interpret):
             [ids, np.repeat(ids[-1:], npad - ids.size)])
         rows = rows_sorted.reshape(nsub, _SUB, _LANES)[ids_p] \
             .reshape(-1, _LANES)
+        # NUMPY at build time: the closure may be cached across jit
+        # programs (glsl_shader._STATIC_LK_CACHE), so jnp conversion
+        # must happen per call or the cache leaks tracers
         buckets.append((
             _build_subgroup_bucket(npad // _SUB_G, Tpad, _SUB_G, K,
                                    interpret),
-            jnp.asarray(bases[ids_p]),
-            jnp.asarray(rows.astype(np.int32)),
+            bases[ids_p],
+            rows.astype(np.int32),
         ))
         sub_out_start[ids] = ofs + np.arange(ids.size) * _SUB
         ofs += npad * _SUB
@@ -501,15 +505,15 @@ def _static_lookup_subgroup(idxp, perm, P, T, shape, interpret):
     inv_sorted = sub_out_start[ar // _SUB] + ar % _SUB
     pos_of_orig = np.empty(nsub * _SUB, np.int64)
     pos_of_orig[perm_p] = ar
-    final_perm = jnp.asarray(
-        inv_sorted[pos_of_orig[:nrows]].astype(np.int32))
+    final_perm = inv_sorted[pos_of_orig[:nrows]].astype(np.int32)
 
     def lookup(table):
         tab = jnp.asarray(table, jnp.float32).reshape(-1)
         tab = jnp.pad(tab, (0, Tpad - tab.shape[0]))[None, :]
-        parts = [fn(bs, tab, rows) for fn, bs, rows in buckets]
+        parts = [fn(jnp.asarray(bs), tab, jnp.asarray(rows))
+                 for fn, bs, rows in buckets]
         allout = parts[0] if len(parts) == 1 else jnp.concatenate(parts, 0)
-        ordered = allout[final_perm]
+        ordered = allout[jnp.asarray(final_perm)]
         return ordered.reshape(-1)[:P].reshape(shape)
 
     return lookup

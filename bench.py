@@ -217,7 +217,15 @@ def main() -> None:
                 stm, probe = fm(stm, snap, g)
                 return probe
 
-            return 16.0 / probed_slope(mod_once, 3, 9)
+            fps = 16.0 / probed_slope(mod_once, 3, 9)
+            if fps > 25_000:
+                # physical ceiling: a 1080p RGBA raster writes
+                # >= 33 MB/frame; faster than ~25k fps exceeds HBM
+                # bandwidth, so the slope collapsed under link jitter
+                # — remeasure at longer runs and keep the smaller
+                fps = min(fps, 16.0 / probed_slope(mod_once, 6, 18,
+                                                   repeats=3))
+            return fps
         except Exception as e:
             print(f"{module} bench skipped: {e}",
                   file=__import__("sys").stderr)

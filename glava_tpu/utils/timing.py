@@ -32,18 +32,23 @@ def _slope_or_avg(t1: float, t2: float, n1: int, n2: int) -> float:
 
 def slope_time(run: Callable[[int], float], n1: int = 5, n2: int = 15,
                repeats: int = 2) -> float:
-    """Marginal seconds per call: best-of-``repeats`` two-point slope.
+    """Marginal seconds per call: MEDIAN-of-``repeats`` two-point slope.
 
     ``run(k)`` must perform k calls of the function under test and
     force completion (scalar-probe fetch) before returning elapsed
-    wall seconds.
+    wall seconds. Median (not min): a slope is the difference of two
+    noisy wall times, so min-combining selects jitter-collapsed
+    samples and reports absurd rates on a drifting link (observed: an
+    interpreted 1080p raster "measured" 870k fps when one t(n2) ran
+    short; the median of repeats discards such samples).
     """
-    best = float("inf")
-    for _ in range(repeats):
-        t1 = run(n1)
-        t2 = run(n2)
-        best = min(best, _slope_or_avg(t1, t2, n1, n2))
-    return best
+    slopes = sorted(
+        _slope_or_avg(run(n1), run(n2), n1, n2) for _ in range(repeats)
+    )
+    m = len(slopes) // 2
+    if len(slopes) % 2:
+        return slopes[m]
+    return 0.5 * (slopes[m - 1] + slopes[m])
 
 
 def probed_slope(step_once: Callable[[], object], n1: int = 5,

@@ -80,7 +80,13 @@ def bench_module(module: str, knobs: str = "", screen=(1920, 1080),
         st, probe = f(st, snap, g)
         return probe
 
-    return scan_len / probed_slope(once, 3, 9)
+    fps = scan_len / probed_slope(once, 3, 9)
+    # physical ceiling: a 1080p RGBA raster writes >= 33 MB/frame, so
+    # >25k fps exceeds HBM bandwidth — remeasure at longer runs and
+    # keep the smaller (slope collapse under link jitter reads fast)
+    if fps > 25_000 and screen[0] * screen[1] >= 1 << 20:
+        fps = min(fps, scan_len / probed_slope(once, 6, 18, repeats=3))
+    return fps
 
 
 def main() -> None:

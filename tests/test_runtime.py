@@ -276,6 +276,64 @@ def test_engine_reload_rebuilds():
     assert eng.loaded is not first_loaded  # rebuilt after reload
 
 
+def test_engine_reload_with_cached_static_lookup(tmp_path, monkeypatch):
+    """Reload re-jits a NEW program; static-lookup closures cached in
+    _STATIC_LK_CACHE (keyed by index-plane sha1) are shared across the
+    programs and must not capture trace-level values — pre-fix this
+    raised UnexpectedTracerError on the first post-reload frame
+    (ops/pallas/lookup.py builders now keep numpy captures)."""
+    from glava_tpu.config.glsl_shader import _STATIC_LK_CACHE
+
+    mod = tmp_path / "lkmod"
+    mod.mkdir()
+    # a per-pixel 2-D concrete index plane (depends on BOTH axes, so
+    # no axis-constant fast path) >= 2^16 points -> the static
+    # sorted-block lookup route inside the jit trace
+    (mod / "1.frag").write_text(
+        "in vec4 gl_FragCoord;\n"
+        "#request uniform \"screen\" screen\n"
+        "uniform ivec2 screen;\n"
+        "#request uniform \"audio_l\" audio_l\n"
+        "#request transform audio_l \"window\"\n"
+        "#request transform audio_l \"fft\"\n"
+        "uniform sampler1D audio_l;\n"
+        "#request uniform \"audio_sz\" audio_sz\n"
+        "uniform int audio_sz;\n"
+        "out vec4 fragment;\n"
+        "void main() {\n"
+        "    float p = fract((gl_FragCoord.x * 0.7 + gl_FragCoord.y * 0.3)"
+        " / screen.x);\n"
+        "    float v = smooth_audio(audio_l, audio_sz, p);\n"
+        "    fragment = vec4(clamp(v * 40.0, 0.0, 1.0), 0.2, 0.3, 1.0);\n"
+        "}\n")
+    (tmp_path / "rc.glsl").write_text(
+        "#request mod lkmod\n#request setgeometry 0 0 320 240\n"
+        "#request setbufsize 1024\n#request setsamplesize 256\n"
+        "#request setprintframes false\n")
+    monkeypatch.setenv("GLAVA_TPU_STATIC_LK", "interpret")
+    _STATIC_LK_CACHE.clear()
+    frames = []
+    eng = Engine(
+        EngineOptions(audio_backend="synth", user_dir=str(tmp_path)),
+        sink=sinks.CallbackSink(lambda f, t: frames.append(f)),
+    )
+
+    def trigger(f, t):
+        frames.append(f)
+        if len(frames) == 3:
+            eng.reload()
+        if len(frames) >= 6:
+            eng.terminate()
+
+    eng.sink = sinks.CallbackSink(trigger)
+    eng.run(max_seconds=60.0)
+    assert len(frames) >= 6
+    assert _STATIC_LK_CACHE, "static lookup path did not engage"
+    import numpy as np
+
+    assert np.isfinite(np.asarray(frames[-1], dtype=np.float32)).all()
+
+
 def test_engine_fifo_missing_path_fails_fast(tmp_path):
     """Capture errors surface instead of silent stale rendering
     (reference exits on source errors, fifo.c:45-48)."""

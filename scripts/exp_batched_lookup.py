@@ -70,6 +70,29 @@ def main():
     tl = scan_cost(lambda t: sum(lk(t[s]).sum() for s in range(S)), tables)
     print(f"python-loop x{S}:              {tl*1e6:8.1f} us")
 
+    # dense all-chunk kernel at the same size (is the sorted-block
+    # kernel overhead-bound at small planes?)
+    from glava_tpu.ops.pallas.lookup import build_table_lookup
+
+    lkd = build_table_lookup(3, 2 * SZ, idx3.shape[1])
+    ic = jnp.asarray(idx3.astype(np.int32))
+    td1 = scan_cost(lambda t: lkd(t[0], ic).sum(), tables)
+    print(f"dense single table:            {td1*1e6:8.1f} us")
+    vmd = jax.vmap(lambda t: lkd(t, ic))
+    tdv = scan_cost(lambda t: vmd(t).sum(), tables)
+    print(f"dense vmapped x{S}:            {tdv*1e6:8.1f} us")
+
+    # v1 sorted-block kernel
+    import os
+    os.environ["GLAVA_TPU_STATIC_LK_V1"] = "1"
+    lk1 = build_static_table_lookup(idx3, 2 * SZ)
+    os.environ.pop("GLAVA_TPU_STATIC_LK_V1")
+    tv1 = scan_cost(lambda t: lk1(t[0]).sum(), tables)
+    print(f"v1-sorted single table:        {tv1*1e6:8.1f} us")
+    vm1 = jax.vmap(lk1)
+    tv1v = scan_cost(lambda t: vm1(t).sum(), tables)
+    print(f"v1-sorted vmapped x{S}:        {tv1v*1e6:8.1f} us")
+
 
 if __name__ == "__main__":
     main()

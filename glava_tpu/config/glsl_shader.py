@@ -2809,9 +2809,20 @@ def make_builtins(prev, sz: int, h: int, w: int, smooth_fetch):
     smooth_audio evaluator (render/modules/circle._per_pixel_sampler).
     Texture arguments arrive as the evaluated uniform values: (sz,)
     arrays for audio textures, the string marker "prev" for the
-    previous-pass sampler2D.
+    previous-pass sampler2D. ``prev`` is the previous pass's CHANNEL
+    PLANES (render/base.py planar frame convention) — every fetch path
+    below operates per channel, so XLA dead-codes channels the pass
+    never reads and no (H, W, 4) interleave ever materializes.
     """
     jnp = _jnp()
+
+    if prev is not None:
+        # normalize each channel to a traced (h, w) plane (matching
+        # the pre-planar behavior where prev was one traced array)
+        prev = tuple(
+            jnp.broadcast_to(jnp.asarray(p, jnp.float32), (h, w))
+            for p in prev
+        )
 
     def texture(tex, x):
         # NEAREST + REPEAT (render.c:512-517); audio textures are
@@ -2896,11 +2907,14 @@ def make_builtins(prev, sz: int, h: int, w: int, smooth_fetch):
     _HALO = 2
     _halo_zero = _halo_edge = None
     if prev is not None and _halo_mode != "0":
-        _halo_zero = jnp.pad(prev, ((_HALO, _HALO), (_HALO, _HALO),
-                                    (0, 0)))
+        _halo_zero = tuple(
+            jnp.pad(p, ((_HALO, _HALO), (_HALO, _HALO))) for p in prev
+        )
         if _halo_mode == "both":
-            _halo_edge = jnp.pad(prev, ((_HALO, _HALO), (_HALO, _HALO),
-                                        (0, 0)), mode="edge")
+            _halo_edge = tuple(
+                jnp.pad(p, ((_HALO, _HALO), (_HALO, _HALO)), mode="edge")
+                for p in prev
+            )
 
     def _shifted_prev(px, py):
         if (px[0] in ("shift", "clamp0") and py[0] in ("shift", "clamp0")
@@ -2908,27 +2922,28 @@ def make_builtins(prev, sz: int, h: int, w: int, smooth_fetch):
                 and prev is not None and _halo_zero is not None):
             dy, dx = py[1], px[1]
             if dy == 0 and dx == 0:
-                return tuple(prev[..., i] for i in range(4))
+                return prev
             for halo, mode in ((_halo_zero, "shift"),
                                (_halo_edge, "clamp0")):
                 if halo is None:
                     continue
                 if (dy == 0 or py[0] == mode) and \
                         (dx == 0 or px[0] == mode):
-                    out = halo[_HALO + dy:_HALO + dy + h,
-                               _HALO + dx:_HALO + dx + w]
-                    return tuple(out[..., i] for i in range(4))
-        out = _apply_axis(prev, py, 0, h)
-        out = _apply_axis(out, px, 1, w)
-        return tuple(out[..., i] for i in range(4))
+                    return tuple(
+                        p[_HALO + dy:_HALO + dy + h,
+                          _HALO + dx:_HALO + dx + w]
+                        for p in halo
+                    )
+        return tuple(
+            _apply_axis(_apply_axis(p, py, 0, h), px, 1, w) for p in prev
+        )
 
     # transposed prev for the column-aligned fast path, built at the
     # OUTER trace level (make_builtins runs in the pass trace): values
     # created inside one while-body subtrace must never be reused in
     # another (tracer leak), so nothing jnp is cached per call — XLA
     # CSEs/hoists the loop-invariant shift+transpose out of the loop.
-    _prevT = (jnp.transpose(prev, (1, 0, 2))
-              if prev is not None else None)
+    _prevT = (tuple(p.T for p in prev) if prev is not None else None)
 
     def _walk_match(v):
         for frame in reversed(_WALK_STACK):
@@ -2960,15 +2975,15 @@ def make_builtins(prev, sz: int, h: int, w: int, smooth_fetch):
         px = _axis_pattern(xn[0, :].astype(np.int64), w)
         if px is None:
             return None
-        base = _apply_axis(prev, px, 1, w)  # loop-invariant: hoisted
+        # loop-invariant per-channel column shift: hoisted by XLA
+        base = [_apply_axis(p, px, 1, w) for p in prev]
         # clip range [-(h+1), h]: offsets beyond either end are fully
         # out of range for EVERY row, and -(h+1) keeps one all-black
         # row below the fracpos nearrow so a deeper-than-h walk does
         # not alias onto the int(-0.5)==0 row-0 copy
         s = jnp.clip(e.offset, -(h + 1), h)
         out = []
-        for c in range(4):
-            ch = base[..., c]
+        for ch in base:
             nearrow = (ch[0:1, :] if e.fracpos
                        else jnp.zeros((1, w), ch.dtype))
             padded = jnp.concatenate(
@@ -2988,14 +3003,16 @@ def make_builtins(prev, sz: int, h: int, w: int, smooth_fetch):
         pattern `px`)."""
         if prev is None:
             return None
-        base = _apply_axis(prev, px, 1, w)
-        z = lambda n: jnp.zeros((n, w, 4), base.dtype)  # noqa: E731
-        nearrow = base[0:1] if fracpos else z(1)
-        parts = ([z(-1 - lo)] if lo < -1 else []) + [nearrow, base]
-        if hi > h:
-            parts.append(z(hi - h))
-        ext = jnp.concatenate(parts, axis=0)
-        return tuple(ext[..., c] for c in range(4))
+        out = []
+        for p in prev:
+            b = _apply_axis(p, px, 1, w)
+            z = lambda n: jnp.zeros((n, w), b.dtype)  # noqa: E731
+            nearrow = b[0:1] if fracpos else z(1)
+            parts = ([z(-1 - lo)] if lo < -1 else []) + [nearrow, b]
+            if hi > h:
+                parts.append(z(hi - h))
+            out.append(jnp.concatenate(parts, axis=0))
+        return tuple(out)
 
     def _col_aligned_prev(xi, yi):
         """Fast path for ``texelFetch(prev, ivec2(col + d, y))`` with a
@@ -3036,13 +3053,13 @@ def make_builtins(prev, sz: int, h: int, w: int, smooth_fetch):
         (e.g. a fragment-color fetch at a walk boundary); the default
         keeps four separate calls so XLA can DCE unused channels
         (e.g. an in-loop alpha test)."""
-        # x shift rides axis 0 of the (w, h, 4) transposed planes
+        # x shift rides axis 0 of the transposed (w, h) channel planes
         # (x OOB semantics: 'shift' reads transparent black, 'clamp0'
         # replicates column 0 per the int-cast idiom). Derived fresh
         # per call — it is loop-invariant, so XLA hoists it out of
         # while bodies, and caching jnp values across body subtraces
         # would leak tracers.
-        shiftedT = _apply_axis(_prevT, px, 0, w)
+        shiftedT = [_apply_axis(pT, px, 0, w) for pT in _prevT]
         yi32 = jnp.broadcast_to(jnp.asarray(yi, jnp.int32), (h, w))
         inside = (yi32 >= 0) & (yi32 < h)   # y OOB: transparent black
         idxT = jnp.clip(yi32, 0, h - 1).T
@@ -3053,27 +3070,26 @@ def make_builtins(prev, sz: int, h: int, w: int, smooth_fetch):
 
             lk = build_rowwise_lookup_mc(w, h, h, 4, tile_rows=128,
                                          interpret=interpret)
-            outs = lk(tuple(shiftedT[..., c] for c in range(4)), idxT)
+            outs = lk(tuple(shiftedT), idxT)
             return tuple(jnp.where(inside, o.T, 0.0) for o in outs)
         from glava_tpu.ops.pallas.lookup import build_rowwise_lookup
 
         lk = build_rowwise_lookup(w, h, h, tile_rows=128,
                                   interpret=interpret)
         return tuple(
-            jnp.where(inside, lk(shiftedT[..., c], idxT).T, 0.0)
-            for c in range(4)
+            jnp.where(inside, lk(sT, idxT).T, 0.0)
+            for sT in shiftedT
         )
 
     def _general_fetch(xi, yi):
         """Reference-semantics fetch at arbitrary index planes (the
-        slow path: an XLA gather)."""
+        slow path: per-channel XLA gathers)."""
         xi = jnp.asarray(xi, jnp.int32)
         yi = jnp.asarray(yi, jnp.int32)
         inside = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
         x = jnp.clip(xi, 0, w - 1)
         y = jnp.clip(yi, 0, h - 1)
-        out = prev[y, x]
-        return tuple(jnp.where(inside, out[..., i], 0.0) for i in range(4))
+        return tuple(jnp.where(inside, p[y, x], 0.0) for p in prev)
 
     class _Unresolvable(Exception):
         pass

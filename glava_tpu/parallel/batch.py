@@ -20,17 +20,18 @@ from glava_tpu.config.loader import LoadedConfig
 from glava_tpu.renderer import Renderer, RenderState
 
 
-def _composite_bg(rend: Renderer, frame: "jax.Array") -> "jax.Array":
-    """xroot/none-opacity background composite, matching the
-    single-stream Renderer.step exactly (render.c:1468-1469, 1700,
-    2028): blend over the `setbgimg` wallpaper when supplied, else the
-    `setbg` clear color. No-op for premultiplied (native) opacity."""
+def _composite_bg(rend: Renderer, planes):
+    """xroot/none-opacity background composite over channel planes,
+    matching the single-stream Renderer.step_planes exactly
+    (render.c:1468-1469, 1700, 2028): blend over the `setbgimg`
+    wallpaper when supplied, else the `setbg` clear color. No-op for
+    premultiplied (native) opacity."""
     if rend.cfg.premultiply_alpha:
-        return frame
-    bg = (rend._bg_image if rend._bg_image is not None
-          else jnp.asarray(rend.cfg.clear_color, jnp.float32))
-    a = frame[..., 3:4]
-    return frame * a + bg * (1.0 - a)
+        return planes
+    a = planes[3]
+    return tuple(
+        c * a + b * (1.0 - a) for c, b in zip(planes, rend._bg_planes)
+    )
 
 
 @dataclass
@@ -85,7 +86,9 @@ class BatchedRenderer:
             chains, feed[:, 0, :], feed[:, 1, :]
         )
 
-        from glava_tpu.render.base import PassInputs
+        from glava_tpu.render.base import PassInputs, interleave
+
+        h, w = rend.screen[1], rend.screen[0]
 
         def raster(tex, ti, pi):
             if pi:
@@ -98,10 +101,10 @@ class BatchedRenderer:
                     )
                 rend.module_env.pipe_values.clear()
                 rend.module_env.pipe_values.update(vals)
-            frame = rend.module.render(
+            planes = rend.module.render(
                 PassInputs(prev=None, textures=tex, time=ti)
             )
-            return _composite_bg(rend, frame)
+            return interleave(_composite_bg(rend, planes), h, w)
 
         frames = jax.vmap(raster)(textures, time, pipe if pipe else {})
         return RenderState(chains, key_start, key_end), frames
@@ -253,7 +256,7 @@ class MixedBatchedRenderer:
             chains, feed[:, 0, :], feed[:, 1, :]
         )
 
-        from glava_tpu.render.base import PassInputs
+        from glava_tpu.render.base import PassInputs, interleave
 
         w, h = self.screen
         parts = []
@@ -282,10 +285,10 @@ class MixedBatchedRenderer:
                         )
                     rend.module_env.pipe_values.clear()
                     rend.module_env.pipe_values.update(vals)
-                frame = rend.module.render(
+                planes = rend.module.render(
                     PassInputs(prev=None, textures=tex, time=ti)
                 )
-                return _composite_bg(rend, frame)
+                return interleave(_composite_bg(rend, planes), h, w)
 
             parts.append(jax.vmap(raster)(sub_tex, sub_time, sub_pipe))
             order.extend(idxs)

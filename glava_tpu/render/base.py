@@ -1,13 +1,26 @@
 """Module protocol and shared rasterization helpers.
 
-Frame convention: (H, W, 4) float32 RGBA with **row 0 at the bottom**
-(GL fragment coordinates, matching the reference's offscreen renders
-read with glReadPixels). Frame sinks flip to image convention when
+Frame convention: **planar** — a 4-tuple of channel planes
+``(r, g, b, a)``, each broadcastable to (H, W) float32, with **row 0
+at the bottom** (GL fragment coordinates, matching the reference's
+offscreen renders read with glReadPixels). The interleaved (H, W, 4)
+RGBA array is materialized exactly once, by :func:`interleave` in
+``Renderer.step`` — frame sinks then flip to image convention when
 exporting.
+
+Planar is the TPU-native layout: an interleaved (H, W, 4) array maps
+its minor dim onto 4 of 128 vector lanes, and every pass boundary
+would pay a 33 MB concatenate + re-slice at 1080p (measured ~1/3 of
+the interpreted modules' HBM traffic). With per-channel planes those
+relayouts vanish, XLA dead-codes channels a pass never reads (the
+outline passes consume only alpha), and constant channels stay numpy
+(concrete) across pass boundaries.
 
 A module build produces a list of pass functions; pass ``k+1`` receives
 pass ``k``'s output as ``prev`` (the reference's indirect FBO chain,
-render.c:1556-1563, 2314-2330). A pass that raises
+render.c:1556-1563, 2314-2330). A pass may return either channel
+planes (a 3/4-tuple; alpha defaults to 1) or a legacy interleaved
+(H, W, 4) array — :func:`as_planes` normalizes. A pass that raises
 :class:`StageDisabled` at build time is skipped — the equivalent of the
 ``#error __disablestage`` convention (render.c:358-371, e.g.
 shaders/glava/graph/2.frag:12-14).
@@ -31,13 +44,68 @@ class StageDisabled(Exception):
     """Raised by a pass builder to skip itself (``#error __disablestage``)."""
 
 
+# one channel plane: a jnp/numpy array or scalar broadcastable to (H, W)
+Chan = Any
+# a frame: (r, g, b, a) channel planes
+Planes = tuple
+
+
 class PassInputs(NamedTuple):
-    prev: jax.Array | None          # (H, W, 4) previous pass output
+    prev: Planes | None             # previous pass output channel planes
     textures: dict[str, jax.Array]  # uniform name -> (sz,) spectrum texture
     time: jax.Array                 # traced seconds (wraps at `timecycle`)
 
 
-PassFn = Callable[[PassInputs], jax.Array]
+PassFn = Callable[[PassInputs], Any]
+
+
+def _np_like(v) -> bool:
+    return isinstance(v, (np.ndarray, np.generic, int, float, bool))
+
+
+def as_planes(out) -> Planes:
+    """Normalize a pass return value to 4 float32 channel planes.
+
+    Accepts a 3/4-tuple of channels (alpha defaults to 1), or a legacy
+    interleaved (H, W, 4) array (split per channel). Numpy channels
+    stay numpy (concrete constants fold at trace time); traced channels
+    are cast to float32 like the old per-pass ``astype``."""
+    if isinstance(out, (tuple, list)):
+        comps = list(out)
+        if len(comps) == 3:
+            comps.append(1.0)
+        if len(comps) != 4:
+            raise TypeError(f"pass returned {len(comps)} channels")
+    elif hasattr(out, "ndim") and out.ndim == 3 and out.shape[-1] == 4:
+        comps = [out[..., c] for c in range(4)]
+    else:
+        raise TypeError(f"pass returned {type(out).__name__}, expected "
+                        "channel planes or an (H, W, 4) array")
+
+    def cast(p):
+        if _np_like(p):
+            return np.asarray(p, np.float32)
+        return p if p.dtype == jnp.float32 else p.astype(jnp.float32)
+
+    return tuple(cast(p) for p in comps)
+
+
+def clip_planes(planes: Planes, lo: float = 0.0, hi: float = 1.0) -> Planes:
+    """Per-channel [lo, hi] clamp, numpy-preserving."""
+    return tuple(
+        np.clip(p, np.float32(lo), np.float32(hi)) if _np_like(p)
+        else jnp.clip(p, lo, hi)
+        for p in planes
+    )
+
+
+def interleave(planes: Planes, h: int, w: int) -> jax.Array:
+    """Channel planes -> the final (H, W, 4) float32 RGBA array (the
+    single interleaved materialization per frame)."""
+    comps = [
+        jnp.broadcast_to(jnp.asarray(p, jnp.float32), (h, w)) for p in planes
+    ]
+    return jnp.stack(comps, axis=-1)
 
 
 @dataclass
@@ -133,13 +201,13 @@ class ModuleBuild:
     name: str
     passes: list[PassFn] = field(default_factory=list)
 
-    def render(self, inputs: PassInputs) -> jax.Array:
+    def render(self, inputs: PassInputs) -> Planes:
         out = inputs.prev
         for fn in self.passes:
-            out = fn(PassInputs(out, inputs.textures, inputs.time))
+            out = as_planes(fn(PassInputs(out, inputs.textures, inputs.time)))
             # stage FBOs are 8-bit normalized color attachments
             # (render.c:543-556): every pass write clamps to [0, 1]
-            out = jnp.clip(out, 0.0, 1.0)
+            out = clip_planes(out)
         return out
 
 
@@ -147,14 +215,14 @@ class ModuleBuild:
 # shared pass pieces
 # ---------------------------------------------------------------------------
 
-def premultiply_pass(inputs: PassInputs) -> jax.Array:
+def premultiply_pass(inputs: PassInputs) -> Planes:
     """util/premultiply.frag: rgb *= a."""
-    f = inputs.prev
-    return jnp.concatenate([f[..., :3] * f[..., 3:4], f[..., 3:4]], axis=-1)
+    r, g, b, a = inputs.prev
+    return (r * a, g * a, b * a, a)
 
 
-def transparent(h: int, w: int) -> jax.Array:
-    return jnp.zeros((h, w, 4), jnp.float32)
+def transparent() -> Planes:
+    return (np.float32(0.0),) * 4
 
 
 def frag_coords(w: int, h: int, pixel_center_integer: bool) -> tuple[np.ndarray, np.ndarray]:
@@ -166,12 +234,21 @@ def frag_coords(w: int, h: int, pixel_center_integer: bool) -> tuple[np.ndarray,
     return x, y
 
 
-def rgba(value, h: int, w: int) -> jax.Array:
-    """Broadcast an evaluated color (component tuple) to (H, W, 4)."""
-    arr = glsl_expr.to_rgba(value)
-    return jnp.broadcast_to(arr, (h, w, 4)).astype(jnp.float32)
+def color_planes(value) -> list:
+    """Evaluated color (component tuple / scalar) -> 4 broadcastable
+    float32 channel components, numpy-preserving (concrete colors stay
+    concrete so downstream masks fold)."""
+    if not isinstance(value, tuple):
+        value = (value, value, value, value)
+    if len(value) == 3:
+        value = (*value, 1.0)
+    return [
+        np.asarray(c, np.float32) if _np_like(c)
+        else jnp.asarray(c, jnp.float32)
+        for c in value
+    ]
 
 
-def over_where(mask: jax.Array, color: jax.Array, base: jax.Array) -> jax.Array:
-    """Select `color` where mask (H, W) is true."""
-    return jnp.where(mask[..., None], color, base)
+def over_where(mask: jax.Array, color: Planes, base: Planes) -> Planes:
+    """Per-channel select of `color` where mask (H, W) is true."""
+    return tuple(jnp.where(mask, c, b) for c, b in zip(color, base))

@@ -16,7 +16,6 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from glava_tpu.config import glsl_expr
 from glava_tpu.render import base
 from glava_tpu.render.modules import register
 
@@ -84,7 +83,7 @@ def build(ctx: base.ModuleContext) -> base.ModuleBuild:
     color_fn = ctx.color_fn("COLOR")
     outline_fn = ctx.color_fn("BAR_OUTLINE")
 
-    def pass1(inputs: base.PassInputs) -> jnp.ndarray:
+    def pass1(inputs: base.PassInputs) -> base.Planes:
         vl = sample(inputs.textures["audio_l"])
         vr = sample(inputs.textures["audio_r"])
         v = jnp.where(use_right_c, vr, vl) * amplify
@@ -93,18 +92,19 @@ def build(ctx: base.ModuleContext) -> base.ModuleBuild:
         body = d_col < (v - bow)[None, :]       # (AH, AW)
         edge = d_col <= v[None, :]
 
-        color = glsl_expr.to_rgba(color_fn(d=d_col))
-        outline = glsl_expr.to_rgba(outline_fn(d=d_col))
-        out = jnp.zeros((ah, aw, 4), jnp.float32)
-        if bow > 0:
-            out = jnp.where((edge & ~body)[..., None], outline, out)
-            out = jnp.where((body & ~inner_c[None, :])[..., None], outline, out)
-            out = jnp.where((body & inner_c[None, :])[..., None], color, out)
-        else:
-            out = jnp.where(body[..., None], color, out)
-        if mirror_yx:
-            out = jnp.transpose(out, (1, 0, 2))
-        return out.astype(jnp.float32)
+        color = base.color_planes(color_fn(d=d_col))
+        outline = base.color_planes(outline_fn(d=d_col))
+        chans = []
+        for c in range(4):
+            out = jnp.float32(0.0)
+            if bow > 0:
+                out = jnp.where(edge & ~body, outline[c], out)
+                out = jnp.where(body & ~inner_c[None, :], outline[c], out)
+                out = jnp.where(body & inner_c[None, :], color[c], out)
+            else:
+                out = jnp.where(body, color[c], out)
+            chans.append(out.T if mirror_yx else out)
+        return tuple(chans)
 
     passes = [pass1]
     # bars/2.frag: premultiply, compiled only when USE_ALPHA == 1

@@ -14,7 +14,6 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from glava_tpu.config import glsl_expr
 from glava_tpu.ops import smoothing
 from glava_tpu.render import base
 from glava_tpu.render.modules import register
@@ -45,7 +44,7 @@ def build(ctx: base.ModuleContext) -> base.ModuleBuild:
     c_fill = ctx.knob_i("C_FILL", 0)
     c_smooth = ctx.knob_i("C_SMOOTH", 1)
     use_alpha = ctx.knob_i("_USE_ALPHA", 1) > 0
-    outline = glsl_expr.to_rgba(ctx.color_fn("OUTLINE")())
+    outline = base.color_planes(ctx.color_fn("OUTLINE")())
 
     # static polar geometry; pixel_center_integer (circle/1.frag:1)
     x, y = base.frag_coords(w, h, pixel_center_integer=True)
@@ -133,9 +132,9 @@ def build(ctx: base.ModuleContext) -> base.ModuleBuild:
             )
         return active_c & bounds
 
-    def pass1(inputs: base.PassInputs) -> jnp.ndarray:
+    def pass1(inputs: base.PassInputs) -> base.Planes:
         mask = draw_mask(inputs)
-        return jnp.where(mask[..., None], outline, 0.0).astype(jnp.float32)
+        return tuple(jnp.where(mask, outline[c], 0.0) for c in range(4))
 
     smooth_on = c_smooth > 0 and use_alpha
     premult_on = bool(ctx.cfg.premultiply_alpha)
@@ -157,7 +156,7 @@ def build(ctx: base.ModuleContext) -> base.ModuleBuild:
     # fold the clamp into the static color once
     o_cl = np.clip(np.asarray(outline, np.float32), 0.0, 1.0)
 
-    def pass_fused(inputs: base.PassInputs) -> jnp.ndarray:
+    def pass_fused(inputs: base.PassInputs) -> base.Planes:
         mask = draw_mask(inputs)
         m = mask.astype(jnp.float32)
         coef = m
@@ -176,9 +175,9 @@ def build(ctx: base.ModuleContext) -> base.ModuleBuild:
             coef = wsum if o_cl[3] == 0.0 else jnp.where(mask, 1.0, wsum)
         if premult_on:
             a = o_cl[3] * coef
-            rgb = jnp.stack([(o_cl[c] * coef) * a for c in range(3)], -1)
-            return jnp.concatenate([rgb, a[..., None]], -1)
-        return o_cl[None, None, :] * coef[..., None]
+            return ((o_cl[0] * coef) * a, (o_cl[1] * coef) * a,
+                    (o_cl[2] * coef) * a, a)
+        return tuple(o_cl[c] * coef for c in range(4))
 
     if use_scalar:
         return base.ModuleBuild("circle", [pass_fused])
@@ -245,19 +244,22 @@ def _per_pixel_sampler(ctx: base.ModuleContext):
     return fetch
 
 
-def _smooth_pass(inputs: base.PassInputs) -> jnp.ndarray:
+def _smooth_pass(inputs: base.PassInputs) -> base.Planes:
     """circle/2.frag: fill fully-transparent pixels with the 8-neighbor
     average (duplicated +-x fetches, like the other outline passes)."""
     frame = inputs.prev
-    h, w = frame.shape[:2]
-    p = jnp.pad(frame, ((1, 1), (1, 1), (0, 0)))
+    mask = frame[3] == 0
+    out = []
+    for ch in frame:
+        h, w = ch.shape
+        p = jnp.pad(ch, ((1, 1), (1, 1)))
 
-    def sh(dy, dx):
-        return p[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w]
+        def sh(dy, dx):
+            return p[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w]
 
-    avg = (
-        2.0 * sh(0, 1) + sh(1, 1) + sh(1, 0) + 2.0 * sh(0, -1)
-        + sh(-1, -1) + sh(-1, 0)
-    ) / 8.0
-    mask = frame[..., 3] == 0
-    return jnp.where(mask[..., None], avg, frame).astype(jnp.float32)
+        avg = (
+            2.0 * sh(0, 1) + sh(1, 1) + sh(1, 0) + 2.0 * sh(0, -1)
+            + sh(-1, -1) + sh(-1, 0)
+        ) / 8.0
+        out.append(jnp.where(mask, avg, ch))
+    return tuple(out)

@@ -205,8 +205,12 @@ def _build(name: str, files: list[Path], ctx: base.ModuleContext,
 
                     if _gs._CURRENT_EXEC is ex:
                         _gs._CURRENT_EXEC = None
-                arr = glsl_expr.to_rgba(frag)
-                return jnp.broadcast_to(arr, (h, w, 4)).astype(jnp.float32)
+                # channel planes out — numpy (concrete) channels stay
+                # numpy across the pass boundary, so downstream passes
+                # see constant planes concretely
+                return base.as_planes(
+                    frag if isinstance(frag, tuple) else (frag,) * 4
+                )
 
             # expose the parsed AST + knob defines + effective uniform
             # list for differential oracles (tests/scalar_oracle.py)

@@ -22,7 +22,6 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from glava_tpu.config import glsl_expr
 from glava_tpu.render import base
 from glava_tpu.render.modules import register
 
@@ -37,7 +36,7 @@ def build(ctx: base.ModuleContext) -> base.ModuleBuild:
     anti_alias = ctx.knob_i("ANTI_ALIAS", 0)
     join = ctx.knob_i("JOIN_CHANNELS", 0)
     invert = ctx.knob_i("INVERT", 0)
-    outline = glsl_expr.to_rgba(ctx.color_fn("OUTLINE")())
+    outline = base.color_planes(ctx.color_fn("OUTLINE")())
     color_fn = ctx.color_fn("COLOR")
 
     # ---- static column math (graph/1.frag:62-104) -----------------------
@@ -90,25 +89,25 @@ def build(ctx: base.ModuleContext) -> base.ModuleBuild:
             s = s * fact_c_j
         return s * fact_e_j
 
-    def pass1(inputs: base.PassInputs) -> jnp.ndarray:
+    def pass1(inputs: base.PassInputs) -> base.Planes:
         s = line_heights(inputs.textures)
         mask = (d_col + 1.5) <= s[None, :]
-        color = glsl_expr.to_rgba(color_fn(pos=d_col))
-        color = jnp.broadcast_to(color, (h, w, 4))
-        return jnp.where(mask[..., None], color, 0.0).astype(jnp.float32)
+        color = base.color_planes(color_fn(pos=d_col))
+        return tuple(jnp.where(mask, color[c], 0.0) for c in range(4))
 
     passes = [pass1]
 
     # graph/2.frag — outline + highlight
     if draw_outline > 0 or draw_highlight > 0:
-        def pass2(inputs: base.PassInputs) -> jnp.ndarray:
+        def pass2(inputs: base.PassInputs) -> base.Planes:
             frame = inputs.prev
-            hh, ww = frame.shape[:2]
+            alpha = frame[3]
+            hh, ww = alpha.shape
             # graph/2.frag only ever consumes avg.A (the outline
             # branch writes a constant; the highlight multiplies by
-            # avg.a) — average the alpha plane alone, 4x less traffic
-            # than the full-RGBA neighborhood, identical output
-            ap = jnp.pad(frame[..., 3], ((1, 1), (1, 1)))
+            # avg.a) — so only the alpha plane feeds the neighborhood
+            # average; the rgb planes see one select each
+            ap = jnp.pad(alpha, ((1, 1), (1, 1)))
 
             def sh(dy, dx):
                 return ap[1 + dy: 1 + dy + hh, 1 + dx: 1 + dx + ww]
@@ -118,22 +117,24 @@ def build(ctx: base.ModuleContext) -> base.ModuleBuild:
                 + sh(-1, -1) + sh(-1, 0)
             ) / 8.0
             near = avg_a > 0
-            out = frame
+            out = list(frame)
             if draw_outline > 0:
-                m = near & (frame[..., 3] <= 0)
-                out = jnp.where(m[..., None], outline, out)
+                m = near & (alpha <= 0)
+                out = [jnp.where(m, outline[c], out[c]) for c in range(4)]
             if draw_highlight > 0:
-                m = near & (frame[..., 3] > 0) & (avg_a < 1)
-                hi = out.at[..., :3].multiply((avg_a * 2.0)[..., None])
-                out = jnp.where(m[..., None], hi, out)
-            return out.astype(jnp.float32)
+                m = near & (alpha > 0) & (avg_a < 1)
+                out[:3] = [
+                    jnp.where(m, out[c] * (avg_a * 2.0), out[c])
+                    for c in range(3)
+                ]
+            return tuple(out)
 
         passes.append(pass2)
 
     # graph/3.frag — anti-alias: alpha-feather empty pixels between the
     # tops of adjacent columns.
     if anti_alias > 0:
-        def pass3(inputs: base.PassInputs) -> jnp.ndarray:
+        def pass3(inputs: base.PassInputs) -> base.Planes:
             frame = inputs.prev
             # contiguous fill: colored rows of column x are d in
             # [0, s-1.5] -> top index ty = floor(s - 1.5) in d-space
@@ -142,7 +143,7 @@ def build(ctx: base.ModuleContext) -> base.ModuleBuild:
             ty_l = jnp.concatenate([jnp.full((1,), -1.0), ty[:-1]])
             ty_r = jnp.concatenate([ty[1:], jnp.full((1,), -1.0)])
             dpix = d_col  # (H, 1) distance-from-base of each row
-            empty = frame[..., 3] <= 0
+            empty = frame[3] <= 0
             # left neighbor colored at this row?
             lcol = dpix <= ty_l[None, :]
             rcol = dpix <= ty_r[None, :]
@@ -155,7 +156,8 @@ def build(ctx: base.ModuleContext) -> base.ModuleBuild:
             else:
                 rows_pix = rows
             col_ids = jnp.arange(w)
-            top_col = frame[rows_pix, col_ids]  # (W, 4)
+            # (W,) per-channel top-of-column colors
+            top_col = [frame[c][rows_pix, col_ids] for c in range(4)]
             af_l = jnp.clip(
                 jnp.abs((ty_l[None, :] - dpix) / (h2 - ty_l)[None, :]), 0.0, 1.0
             )
@@ -165,14 +167,11 @@ def build(ctx: base.ModuleContext) -> base.ModuleBuild:
             a_fact = jnp.where(lcol, af_l, 0.0)
             a_fact = jnp.maximum(a_fact, jnp.where(rcol, af_r, 0.0))
             feather = empty & (lcol | rcol)
-            new = jnp.concatenate(
-                [
-                    jnp.broadcast_to(top_col[None, :, :3], (h, w, 3)),
-                    (top_col[None, :, 3] * a_fact)[..., None],
-                ],
-                axis=-1,
+            new = [top_col[c][None, :] for c in range(3)]
+            new.append(top_col[3][None, :] * a_fact)
+            return tuple(
+                jnp.where(feather, new[c], frame[c]) for c in range(4)
             )
-            return jnp.where(feather[..., None], new, frame).astype(jnp.float32)
 
         passes.append(pass3)
 

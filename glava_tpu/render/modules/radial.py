@@ -17,7 +17,6 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from glava_tpu.config import glsl_expr
 from glava_tpu.render import base
 from glava_tpu.render.modules import register
 
@@ -25,14 +24,14 @@ TWOPI = 6.28318530718
 PI = 3.14159265359
 
 
-def _apply_frag(f: jnp.ndarray, c: jnp.ndarray, use_alpha: bool) -> jnp.ndarray:
-    """APPLY_FRAG (radial/1.frag:35): alpha blend c over premultiplied f."""
+def _apply_frag(f, c, use_alpha: bool):
+    """APPLY_FRAG (radial/1.frag:35): alpha blend channel planes c over
+    premultiplied channel planes f."""
     if not use_alpha:
-        return jnp.broadcast_to(c, f.shape)
-    fa = jnp.clip(f[..., 3:4], 0.0, 1.0)
-    rgb = f[..., :3] * f[..., 3:4] + c[..., :3] * (1.0 - fa)
-    a = jnp.maximum(c[..., 3:4], f[..., 3:4])
-    return jnp.concatenate([rgb, a], axis=-1)
+        return tuple(c)
+    fa = jnp.clip(f[3], 0.0, 1.0)
+    rgb = [f[k] * f[3] + c[k] * (1.0 - fa) for k in range(3)]
+    return (*rgb, jnp.maximum(c[3], f[3]))
 
 
 @register("radial")
@@ -97,7 +96,7 @@ def build(ctx: base.ModuleContext) -> base.ModuleBuild:
     alias_c = jnp.asarray(alias.astype(np.float32))
     bar_d_c = jnp.asarray(bar_d.astype(np.float32))
 
-    outline_col = glsl_expr.to_rgba(ctx.color_fn("OUTLINE")())
+    outline_col = base.color_planes(ctx.color_fn("OUTLINE")())
     color_fn = ctx.color_fn("COLOR")
     bar_outline_fn = ctx.color_fn("BAR_OUTLINE")
 
@@ -139,13 +138,11 @@ def build(ctx: base.ModuleContext) -> base.ModuleBuild:
         ).astype(np.float32)
     )
 
-    def pass1_fast(inputs: base.PassInputs) -> jnp.ndarray:
+    def pass1_fast(inputs: base.PassInputs) -> base.Planes:
         """Default-config path (no bar outline, alpha AA, scalar COLOR
         alpha): assemble the frame from per-channel scalar fields with
         no gathers and 3 packed input planes — ~6x less HBM traffic
         than frame blending at 1080p."""
-        import jax
-
         vl = sample(inputs.textures["audio_l"])
         vr = sample(inputs.textures["audio_r"])
         if radial_lk is not None:
@@ -155,7 +152,7 @@ def build(ctx: base.ModuleContext) -> base.ModuleBuild:
         body = (alias_enc >= 0.0) & (bar_d_c <= v)
 
         # ring layer as premultiplied scalar fields (constant rgb)
-        color = ctx_color_components(color_fn, bar_d_c)
+        color = base.color_planes(color_fn(d=bar_d_c))
         ca = color[3] * jnp.maximum(alias_enc, 0.0)
         one_m = 1.0 - jnp.clip(f0a_c, 0.0, 1.0)
         chans = []
@@ -163,11 +160,9 @@ def build(ctx: base.ModuleContext) -> base.ModuleBuild:
             prem = outline_col[k] * f0a_c
             chans.append(jnp.where(body, prem + color[k] * one_m, prem))
         chans.append(jnp.where(body, jnp.maximum(ca, f0a_c), f0a_c))
-        return jnp.stack(chans, axis=-1).astype(jnp.float32)
+        return tuple(chans)
 
-    def pass1(inputs: base.PassInputs) -> jnp.ndarray:
-        import jax
-
+    def pass1(inputs: base.PassInputs) -> base.Planes:
         vl = sample(inputs.textures["audio_l"])
         vr = sample(inputs.textures["audio_r"])
         if radial_lk is not None:
@@ -179,63 +174,53 @@ def build(ctx: base.ModuleContext) -> base.ModuleBuild:
             # would be a large regression there
             v = jnp.where(use_left_c, vl[bar_id_c], vr[bar_id_c]) * amplify
 
-        frag = jnp.zeros((h, w, 4), jnp.float32)
+        frag = (jnp.float32(0.0),) * 4
         # center ring (radial/1.frag:49-56)
-        ring_col = _apply_frag(frag, outline_col, use_alpha)
+        ring_col = list(_apply_frag(frag, outline_col, use_alpha))
         if use_alpha:
-            ring_col = ring_col.at[..., 3].multiply(ring_alpha_c)
-            frag = jnp.where(ring_c[..., None], ring_col, frag)
-        else:
-            frag = jnp.where(ring_c[..., None], ring_col, frag)
+            ring_col[3] = ring_col[3] * ring_alpha_c
+        frag = tuple(
+            jnp.where(ring_c, rc, f) for rc, f in zip(ring_col, frag)
+        )
 
         # bars: COLOR / BAR_OUTLINE with d = distance past the circle
         body = in_bar_c & (bar_d_c <= v - bow)
         edge = in_bar_c & (bar_d_c <= v) & ~body if bow > 0 else jnp.zeros_like(body)
         # `return`ed pixels skip the final premultiply blend; ring pixels
         # under a drawn bar were already blended over.
-        color = glsl_expr.to_rgba(color_fn(d=bar_d_c))
-        color = jnp.broadcast_to(color, (h, w, 4))
+        color = base.color_planes(color_fn(d=bar_d_c))
+
+        def aliased(col):
+            return (*col[:3], col[3] * jnp.clip(alias_c, 0.0, 1.0))
+
         if bow > 0:
             inner = in_bar_c & (jnp.asarray(np.abs(ym)) < (bar_width / 2.0 - bow))
-            bar_out = glsl_expr.to_rgba(bar_outline_fn(d=bar_d_c))
-            bar_out = jnp.broadcast_to(bar_out, (h, w, 4))
-            r = jnp.where(inner[..., None], color, bar_out)
+            bar_out = base.color_planes(bar_outline_fn(d=bar_d_c))
+            r = [jnp.where(inner, c, bo) for c, bo in zip(color, bar_out)]
         else:
             r = color
         if use_alpha:
-            r = jnp.concatenate(
-                [r[..., :3], r[..., 3:4] * jnp.clip(alias_c, 0.0, 1.0)[..., None]],
-                axis=-1,
-            )
+            r = aliased(r)
         drawn_body = _apply_frag(frag, r, use_alpha)
-        frag2 = jnp.where(body[..., None], drawn_body, frag)
+        frag2 = tuple(
+            jnp.where(body, db, f) for db, f in zip(drawn_body, frag)
+        )
         if bow > 0:
-            bar_out2 = glsl_expr.to_rgba(bar_outline_fn(d=bar_d_c))
-            bar_out2 = jnp.broadcast_to(bar_out2, (h, w, 4))
+            bar_out2 = base.color_planes(bar_outline_fn(d=bar_d_c))
             if use_alpha:
-                bar_out2 = jnp.concatenate(
-                    [bar_out2[..., :3],
-                     bar_out2[..., 3:4] * jnp.clip(alias_c, 0.0, 1.0)[..., None]],
-                    axis=-1,
-                )
-            frag2 = jnp.where(edge[..., None], _apply_frag(frag, bar_out2, use_alpha), frag2)
+                bar_out2 = aliased(bar_out2)
+            drawn_edge = _apply_frag(frag, bar_out2, use_alpha)
+            frag2 = tuple(
+                jnp.where(edge, de, f2) for de, f2 in zip(drawn_edge, frag2)
+            )
         returned = body | edge
         # final: APPLY_FRAG(fragment, transparent) premultiplies leftovers
-        final = _apply_frag(frag2, jnp.zeros(4, jnp.float32), use_alpha)
-        out = jnp.where(returned[..., None], frag2, final)
-        return out.astype(jnp.float32)
+        final = _apply_frag(frag2, (jnp.float32(0.0),) * 4, use_alpha)
+        return tuple(
+            jnp.where(returned, f2, fi) for f2, fi in zip(frag2, final)
+        )
 
     passes = [pass1_fast if (bow <= 0 and use_alpha) else pass1]
     if ctx.cfg.premultiply_alpha:
         passes.append(base.premultiply_pass)  # radial/2.frag
     return base.ModuleBuild("radial", passes)
-
-
-def ctx_color_components(color_fn, d):
-    """Evaluate a COLOR expression into 4 broadcastable components."""
-    v = color_fn(d=d)
-    if not isinstance(v, tuple):
-        v = (v, v, v, v)
-    if len(v) == 3:
-        v = (*v, 1.0)
-    return [jnp.asarray(c, jnp.float32) for c in v]

@@ -19,18 +19,17 @@ from glava_tpu.render.modules import register
 
 @register("test")
 def build(ctx: base.ModuleContext) -> base.ModuleBuild:
-    w, h = ctx.screen
-
-    def pass1(inputs: base.PassInputs) -> jnp.ndarray:
+    def pass1(inputs: base.PassInputs) -> base.Planes:
         # touch both textures like test/1.frag's dummy smooth_audio
         # calls, so the full transform chain stays live in the graph
         tl = inputs.textures["audio_l"]
         tr = inputs.textures["audio_r"]
         dummy = (jnp.sum(tl) + jnp.sum(tr)) * 0.0
-        col = jnp.asarray([1.0, 0.0, 0.0, 1.0 / 3.0], jnp.float32) + dummy
-        return jnp.broadcast_to(col, (h, w, 4)).astype(jnp.float32)
+        return tuple(
+            jnp.float32(c) + dummy for c in (1.0, 0.0, 0.0, 1.0 / 3.0)
+        )
 
-    def pass2(inputs: base.PassInputs) -> jnp.ndarray:
+    def pass2(inputs: base.PassInputs) -> base.Planes:
         return inputs.prev  # test/2.frag: texelFetch pass-through
 
     passes = [pass1, pass2]

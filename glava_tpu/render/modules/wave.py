@@ -14,7 +14,6 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from glava_tpu.config import glsl_expr
 from glava_tpu.render import base
 from glava_tpu.render.modules import register
 
@@ -35,8 +34,8 @@ def build(ctx: base.ModuleContext) -> base.ModuleBuild:
     min_t = ctx.knob_f("MIN_THICKNESS", 1)
     max_t = ctx.knob_f("MAX_THICKNESS", 6)
     amplify = ctx.knob_f("AMPLIFY", 500)
-    base_color = glsl_expr.to_rgba(ctx.color_fn("BASE_COLOR")())
-    outline = glsl_expr.to_rgba(ctx.color_fn("OUTLINE")())
+    base_color = base.color_planes(ctx.color_fn("BASE_COLOR")())
+    outline = base.color_planes(ctx.color_fn("OUTLINE")())
 
     # pixel_center_integer: integer fragment coords (wave/1.frag:2)
     x, y = base.frag_coords(w, h, pixel_center_integer=True)
@@ -66,30 +65,31 @@ def build(ctx: base.ModuleContext) -> base.ModuleBuild:
 
         # BASE_COLOR + scalar brightens all components incl. alpha
         # (wave/1.frag:35)
-        col = base_color + (jnp.abs((h * 0.5) - s) * 0.02)[None, :, None]
-        out = jnp.where(mask[..., None], col, 0.0)
-        return out.astype(jnp.float32)
+        bright = (jnp.abs((h * 0.5) - s) * 0.02)[None, :]
+        return tuple(
+            jnp.where(mask, base_color[c] + bright, 0.0) for c in range(4)
+        )
 
-    def pass2(inputs: base.PassInputs) -> jnp.ndarray:
+    def pass2(inputs: base.PassInputs) -> base.Planes:
         return neighbor_outline_pass(inputs.prev, outline, edge_columns=True)
 
     return base.ModuleBuild("wave", [pass1, pass2])
 
 
 def neighbor_outline_pass(
-    frame: jnp.ndarray, outline: jnp.ndarray, edge_columns: bool
-) -> jnp.ndarray:
+    frame: base.Planes, outline: list, edge_columns: bool
+) -> base.Planes:
     """The 8-fetch neighborhood average outline (wave/2.frag:14-32).
 
     The reference fetches (+1,0) and (-1,0) twice each (a0==a3,
     a4==a7); we reproduce that weighting. Out-of-bounds texelFetch
-    reads as transparent black (zero padding).
+    reads as transparent black (zero padding). Operating on channel
+    planes, only the alpha plane feeds the neighborhood average — the
+    rgb planes are touched by one select each.
     """
-    h, w = frame.shape[:2]
-    # wave/2.frag only consumes avg.A (the branch writes a constant
-    # OUTLINE) — average the alpha plane alone, 4x less traffic,
-    # identical output
-    p = jnp.pad(frame[..., 3], ((1, 1), (1, 1)))
+    alpha = frame[3]
+    h, w = alpha.shape
+    p = jnp.pad(alpha, ((1, 1), (1, 1)))
 
     def sh(dy, dx):  # neighbor alpha at (x+dx, y+dy)
         return p[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w]
@@ -99,9 +99,9 @@ def neighbor_outline_pass(
         + sh(-1, -1) + sh(-1, 0)
     ) / 8.0
     cond = avg_a > 0
-    inner = frame[..., 3] <= 0
+    inner = alpha <= 0
     if edge_columns:
         col = jnp.arange(w)
         inner = inner | (col == 0)[None, :] | (col == w - 1)[None, :]
     mask = cond & inner
-    return jnp.where(mask[..., None], outline, frame).astype(jnp.float32)
+    return tuple(jnp.where(mask, outline[c], frame[c]) for c in range(4))

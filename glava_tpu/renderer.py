@@ -20,7 +20,7 @@ import numpy as np
 
 from glava_tpu.config.loader import LoadedConfig, builtin_variables
 from glava_tpu.pipeline import AudioPipeline, UniformSpec
-from glava_tpu.render.base import ModuleContext, PassInputs
+from glava_tpu.render.base import ModuleContext, PassInputs, interleave
 from glava_tpu.render.modules import build_module, module_uniforms
 
 
@@ -76,6 +76,14 @@ class Renderer:
                 canvas[y0 - gy:y1 - gy, x0 - gx:x1 - gx] = img[y0:y1, x0:x1]
             canvas[..., 3] = 1.0  # the root pixmap is opaque
             self._bg_image = jnp.asarray(canvas[::-1].copy())  # bottom-up
+        # per-channel background for the planar composite: (H, W)
+        # wallpaper planes, or the scalar clear color components
+        if self._bg_image is not None:
+            self._bg_planes = tuple(self._bg_image[..., c] for c in range(4))
+        else:
+            self._bg_planes = tuple(
+                np.float32(c) for c in cfg.clear_color
+            )
 
     # -- state -------------------------------------------------------------
 
@@ -89,7 +97,7 @@ class Renderer:
 
     # -- the jittable step ---------------------------------------------------
 
-    def step(
+    def step_planes(
         self,
         state: RenderState,
         audio: jax.Array,       # (..., 2, bufsize) current ring snapshot
@@ -141,7 +149,7 @@ class Renderer:
         textures = self.pipeline.textures_from(
             chains, feed[..., 0, :], feed[..., 1, :]
         )
-        frame = self.module.render(
+        planes = self.module.render(
             PassInputs(prev=None, textures=textures, time=jnp.asarray(time))
         )
         if not cfg.premultiply_alpha:
@@ -149,12 +157,21 @@ class Renderer:
             # the background (render.c:1468-1469, 1700, 2028). xroot
             # mode composites over a `setbgimg` wallpaper when supplied
             # (the root-pixmap-copy capability, xwin.c:345-472),
-            # falling back to the `setbg` clear color.
-            bg = (self._bg_image if self._bg_image is not None
-                  else jnp.asarray(cfg.clear_color, jnp.float32))
-            a = frame[..., 3:4]
-            frame = frame * a + bg * (1.0 - a)
-        return RenderState(chains, key_start, key_end), frame
+            # falling back to the `setbg` clear color. Per channel —
+            # alpha composites against the background alpha too, like
+            # the interleaved `frame * a + bg * (1 - a)`.
+            a = planes[3]
+            planes = tuple(
+                c * a + b * (1.0 - a)
+                for c, b in zip(planes, self._bg_planes)
+            )
+        return RenderState(chains, key_start, key_end), planes
+
+    def step(self, *args, **kwargs) -> tuple[RenderState, jax.Array]:
+        """:meth:`step_planes` + the single interleaved (H, W, 4)
+        materialization (the only point the RGBA layout exists)."""
+        st, planes = self.step_planes(*args, **kwargs)
+        return st, interleave(planes, self.screen[1], self.screen[0])
 
     def jit_step(self, quantize: bool = False, yuv420: bool = False):
         """Jitted step; with ``quantize`` the frame is converted to
@@ -165,23 +182,25 @@ class Renderer:
         slow links, docs/STATUS.md in-flight table). BT.601 full-range
         matrix, planes flipped to top-down scan order, every stage
         round-to-nearest (pinned by tests/test_runtime.py yuv goldens).
-        Requires even frame dimensions."""
+        Requires even frame dimensions. Both wire formats consume the
+        channel planes directly — the interleaved RGBA layout never
+        materializes for them."""
+        h, w = self.screen[1], self.screen[0]
         if yuv420:
-            h, w = self.screen[1], self.screen[0]
             if h % 2 or w % 2:
                 raise ValueError("yuv420 packing needs even dimensions")
 
             def step(state, audio, modified, time, interp_mod,
                      gravity_g, pipe):
-                st, frame = self.step(
+                st, planes = self.step_planes(
                     state, audio, modified, time, interp_mod,
                     gravity_g, pipe
                 )
                 # ONE contiguous buffer: three separate little D2H
                 # fetches would pay three link round-trips per frame
                 # (measured: it inverts the win on small frames)
-                planes = yuv420_pack(frame)
-                packed = jnp.concatenate([p.reshape(-1) for p in planes])
+                yuv = yuv420_pack_planes(planes, h, w)
+                packed = jnp.concatenate([p.reshape(-1) for p in yuv])
                 return st, packed
 
             return jax.jit(step, donate_argnums=(0,))
@@ -189,11 +208,21 @@ class Renderer:
             return jax.jit(self.step, donate_argnums=(0,))
 
         def step(state, audio, modified, time, interp_mod, gravity_g, pipe):
-            st, frame = self.step(
+            st, planes = self.step_planes(
                 state, audio, modified, time, interp_mod, gravity_g, pipe
             )
-            frame = jnp.clip(jnp.round(frame * 255.0), 0, 255).astype(jnp.uint8)
-            return st, frame
+            # quantize per channel, interleave in uint8 (4x smaller
+            # stack than f32)
+            q = [
+                jnp.clip(
+                    jnp.round(
+                        jnp.broadcast_to(jnp.asarray(p, jnp.float32), (h, w))
+                        * 255.0
+                    ), 0, 255,
+                ).astype(jnp.uint8)
+                for p in planes
+            ]
+            return st, jnp.stack(q, axis=-1)
 
         return jax.jit(step, donate_argnums=(0,))
 
@@ -221,6 +250,30 @@ def quantize_frame(frame: jax.Array) -> np.ndarray:
     """f32 RGBA [0,1] -> uint8, GL-style round-to-nearest."""
     arr = np.asarray(frame)
     return np.clip(np.rint(arr * 255.0), 0, 255).astype(np.uint8)
+
+
+def yuv420_pack_planes(planes, h: int, w: int):
+    """Planar form of :func:`yuv420_pack` — same per-element math
+    (bit-identical), but consumes the channel planes directly so the
+    interleaved RGBA buffer never materializes on the wire path."""
+    rgb = []
+    for p in planes[:3]:
+        p = jnp.broadcast_to(jnp.asarray(p, jnp.float32), (h, w))
+        v255 = jnp.clip(jnp.round(p * 255.0), 0.0, 255.0)
+        rgb.append(v255[::-1])
+    r, g, b = rgb
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    u = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    v = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    h2, w2 = h // 2, w // 2
+
+    def ds(p):
+        return p.reshape(h2, 2, w2, 2).mean(axis=(1, 3))
+
+    def to8(p):
+        return jnp.clip(jnp.round(p), 0.0, 255.0).astype(jnp.uint8)
+
+    return to8(y), to8(ds(u)), to8(ds(v))
 
 
 def yuv420_pack(frame: jax.Array):

@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Rank top-level instructions of a compiled interpreted-module step by
+HBM traffic (output + operand bytes), to locate the interpreter's
+residual plane traffic.  CPU lowering as proxy.
+
+Usage: python scripts/cost_hlo_rank.py <module> [top_n]
+"""
+
+import re
+import sys
+
+sys.path.insert(0, ".")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import jax.numpy as jnp
+
+from cost_interp import build  # noqa: E402
+
+DT_BYTES = {"f32": 4, "s32": 4, "u32": 4, "pred": 1, "u8": 1, "f64": 8,
+            "s64": 8, "bf16": 2, "f16": 2, "s16": 2, "u16": 2, "s8": 1}
+
+SHAPE_RE = re.compile(r"(f32|s32|u32|pred|u8|f64|s64|bf16|f16|s16|u16|s8)"
+                      r"\[([\d,]*)\]")
+
+
+def shape_bytes(s: str) -> int:
+    total = 0
+    for dt, dims in SHAPE_RE.findall(s):
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        total += n * DT_BYTES[dt]
+    return total
+
+
+def main() -> None:
+    module = sys.argv[1] if len(sys.argv) > 1 else "circle"
+    top_n = int(sys.argv[2]) if len(sys.argv) > 2 else 25
+    name, knobs = (("graph", "#define ANTI_ALIAS 1\n")
+                   if module == "graph_aa" else (module, ""))
+    r = build(name, knobs, True)
+
+    rng = np.random.default_rng(0)
+    snap = jnp.asarray(
+        rng.standard_normal((2, r.cfg.bufsize)).astype(np.float32) * 0.3)
+
+    def step(state, snap):
+        s, fr = r.step(state, snap, True, jnp.float32(0.0), jnp.float32(1.0),
+                       jnp.float32(0.05), {})
+        return s, fr.sum()
+
+    st = r.init_state()
+    compiled = jax.jit(step).lower(st, snap).compile()
+    txt = compiled.as_text()
+
+    # entry computation only: lines between "ENTRY" and its closing brace
+    entry = txt[txt.index("ENTRY"):]
+    rows = []
+    for line in entry.splitlines()[1:]:
+        line = line.strip()
+        if line == "}":
+            break
+        m = re.match(r"(%?[\w.\-]+) = (.*)", line)
+        if not m:
+            continue
+        lhs, rhs = m.groups()
+        opm = re.match(r"(\([^)]*\)|[^ ]+) ([\w\-]+)\(", rhs)
+        out_b = shape_bytes(rhs.split(" ", 1)[0] if rhs[0] != "(" else
+                            rhs[:rhs.index(")") + 1])
+        # operand bytes: shapes inside the operand list (first paren group
+        # after the op name) — approximate: all shapes on the line minus
+        # the output shape counted once
+        all_b = shape_bytes(rhs)
+        op = rhs.split("(")[0].split()[-1] if "(" in rhs else rhs.split()[0]
+        rows.append((out_b + (all_b - out_b), op, lhs, out_b, all_b - out_b))
+
+    rows.sort(reverse=True)
+    total = sum(r[0] for r in rows)
+    print(f"entry total (out+in) = {total/1e6:.1f} MB over "
+          f"{len(rows)} instructions")
+    for t, op, lhs, ob, ib in rows[:top_n]:
+        print(f"{t/1e6:9.1f} MB  out={ob/1e6:7.1f} in={ib/1e6:7.1f}  "
+              f"{op:<28} {lhs[:70]}")
+
+
+if __name__ == "__main__":
+    main()

@@ -618,6 +618,7 @@ def test_prev_fetch_shift_fast_path_matches_gather(tmp_path):
     h, w = 7, 11
     rng = np.random.default_rng(21)
     prev = jnp.asarray(rng.random((h, w, 4)).astype(np.float32))
+    prev_planes = tuple(prev[..., c] for c in range(4))
     xs = (np.arange(w) + 0.5).astype(np.float32)[None, :]
     ys = (np.arange(h) + 0.5).astype(np.float32)[:, None]
 
@@ -634,7 +635,7 @@ def test_prev_fetch_shift_fast_path_matches_gather(tmp_path):
             "tex": "prev",
             "fragment": (0.0, 0.0, 0.0, 0.0),
         })
-        env.functions.update(make_builtins(prev, 16, h, w, None))
+        env.functions.update(make_builtins(prev_planes, 16, h, w, None))
         ex = _Exec(env, h, w)
         ex.run(prog.body)
         return np.asarray(glsl_expr.to_rgba(env.variables["fragment"]))

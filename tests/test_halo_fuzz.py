@@ -93,12 +93,14 @@ def _render_pair(tmp_path, frag2, halo):
         chains = r.pipeline.advance(r.init_state().chains, snap[0],
                                     snap[1], gravity_g=g)
         textures = r.pipeline.textures_from(chains, snap[0], snap[1])
+        from glava_tpu.render.base import as_planes, clip_planes, interleave
         outs = []
         out = None
+        w, h = r.screen
         for fn in r.module.passes:
-            out = jnp.clip(fn(PassInputs(out, textures, jnp.float32(0.1))),
-                           0.0, 1.0)
-            outs.append(np.asarray(out))
+            out = clip_planes(as_planes(
+                fn(PassInputs(out, textures, jnp.float32(0.1)))))
+            outs.append(np.asarray(interleave(out, h, w)))
         tex_np = {k: np.asarray(v) for k, v in textures.items()}
         return r, outs, tex_np
     finally:

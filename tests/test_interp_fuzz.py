@@ -187,8 +187,10 @@ def test_random_program_matches_scalar_oracle(tmp_path, seed):
                                 gravity_g=g)
     textures = r.pipeline.textures_from(chains, snap[0], snap[1])
     fn = r.module.passes[0]
-    frame = np.asarray(jnp.clip(
-        fn(PassInputs(None, textures, jnp.float32(0.1))), 0.0, 1.0))
+    from glava_tpu.render.base import as_planes, clip_planes, interleave
+    planes = clip_planes(as_planes(
+        fn(PassInputs(None, textures, jnp.float32(0.1)))))
+    frame = np.asarray(interleave(planes, 16, 24))
     tex_np = {k: np.asarray(v) for k, v in textures.items()}
     sz = tex_np[next(iter(tex_np))].shape[-1]
     for x in range(0, 24, 5):

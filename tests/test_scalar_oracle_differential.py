@@ -20,7 +20,7 @@ import pytest
 import jax.numpy as jnp
 
 from glava_tpu.config import loader
-from glava_tpu.render.base import PassInputs
+from glava_tpu.render.base import PassInputs, as_planes, clip_planes, interleave
 from glava_tpu.renderer import Renderer
 from tests.scalar_oracle import ScalarExec
 
@@ -57,10 +57,11 @@ def _frames_and_textures(lc):
     textures = r.pipeline.textures_from(chains, snap[0], snap[1])
     outs = []
     out = None
+    w, h = r.screen
     for fn in r.module.passes:
-        out = fn(PassInputs(out, textures, jnp.float32(0.1)))
-        out = jnp.clip(out, 0.0, 1.0)
-        outs.append(np.asarray(out))
+        out = clip_planes(as_planes(fn(PassInputs(out, textures,
+                                                  jnp.float32(0.1)))))
+        outs.append(np.asarray(interleave(out, h, w)))
     tex_np = {k: np.asarray(v) for k, v in textures.items()}
     return r, outs, tex_np
 

@@ -56,8 +56,12 @@ class BatchedRenderer:
         interp_mod: jax.Array,       # (S,)
         gravity_g: jax.Array,        # (S,)
         pipe: dict[str, jax.Array] | None = None,  # each (S, ...) leading
+        quantize: bool = False,
     ) -> tuple[RenderState, jax.Array]:
-        """One frame for every stream: (S, H, W, 4) output.
+        """One frame for every stream: (S, H, W, 4) output — float32,
+        or uint8 when ``quantize`` (the serving wire format; quantizing
+        per channel plane before the interleave keeps the one RGBA
+        materialization 4x smaller).
 
         The pipeline runs natively batched (one fused kernel call for
         the whole fleet); per-stream update gating selects between
@@ -86,9 +90,10 @@ class BatchedRenderer:
             chains, feed[:, 0, :], feed[:, 1, :]
         )
 
-        from glava_tpu.render.base import PassInputs, interleave
+        from glava_tpu.render.base import PassInputs, interleave, interleave_u8
 
         h, w = rend.screen[1], rend.screen[0]
+        pack = interleave_u8 if quantize else interleave
 
         def raster(tex, ti, pi):
             if pi:
@@ -104,7 +109,7 @@ class BatchedRenderer:
             planes = rend.module.render(
                 PassInputs(prev=None, textures=tex, time=ti)
             )
-            return interleave(_composite_bg(rend, planes), h, w)
+            return pack(_composite_bg(rend, planes), h, w)
 
         frames = jax.vmap(raster)(textures, time, pipe if pipe else {})
         return RenderState(chains, key_start, key_end), frames
@@ -237,8 +242,9 @@ class MixedBatchedRenderer:
         )
 
     def step(self, state, audio, modified, time, interp_mod, gravity_g,
-             pipe=None):
-        """(S, H, W, 4) heterogeneous frames in one traced program."""
+             pipe=None, quantize=False):
+        """(S, H, W, 4) heterogeneous frames in one traced program
+        (float32, or uint8 when ``quantize`` — see BatchedRenderer)."""
         cfg = self.cfg
         m3 = modified[:, None, None]
         key_start = jnp.where(m3, state.key_end, state.key_start)
@@ -256,8 +262,9 @@ class MixedBatchedRenderer:
             chains, feed[:, 0, :], feed[:, 1, :]
         )
 
-        from glava_tpu.render.base import PassInputs, interleave
+        from glava_tpu.render.base import PassInputs, interleave, interleave_u8
 
+        pack = interleave_u8 if quantize else interleave
         w, h = self.screen
         parts = []
         order = []
@@ -288,7 +295,7 @@ class MixedBatchedRenderer:
                 planes = rend.module.render(
                     PassInputs(prev=None, textures=tex, time=ti)
                 )
-                return interleave(_composite_bg(rend, planes), h, w)
+                return pack(_composite_bg(rend, planes), h, w)
 
             parts.append(jax.vmap(raster)(sub_tex, sub_time, sub_pipe))
             order.extend(idxs)

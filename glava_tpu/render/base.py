@@ -108,6 +108,22 @@ def interleave(planes: Planes, h: int, w: int) -> jax.Array:
     return jnp.stack(comps, axis=-1)
 
 
+def interleave_u8(planes: Planes, h: int, w: int) -> jax.Array:
+    """Channel planes -> (H, W, 4) uint8 RGBA: round-to-nearest
+    quantize per channel plane, THEN interleave — the single RGBA
+    materialization is 4x smaller than stacking in f32 first. Matches
+    ``clip(round(f * 255))`` of the f32 frame bit-exactly."""
+    comps = [
+        jnp.clip(
+            jnp.round(
+                jnp.broadcast_to(jnp.asarray(p, jnp.float32), (h, w)) * 255.0
+            ), 0, 255,
+        ).astype(jnp.uint8)
+        for p in planes
+    ]
+    return jnp.stack(comps, axis=-1)
+
+
 @dataclass
 class ModuleContext:
     """Everything a module's build step needs."""

@@ -20,7 +20,9 @@ import numpy as np
 
 from glava_tpu.config.loader import LoadedConfig, builtin_variables
 from glava_tpu.pipeline import AudioPipeline, UniformSpec
-from glava_tpu.render.base import ModuleContext, PassInputs, interleave
+from glava_tpu.render.base import (
+    ModuleContext, PassInputs, interleave, interleave_u8,
+)
 from glava_tpu.render.modules import build_module, module_uniforms
 
 
@@ -213,16 +215,7 @@ class Renderer:
             )
             # quantize per channel, interleave in uint8 (4x smaller
             # stack than f32)
-            q = [
-                jnp.clip(
-                    jnp.round(
-                        jnp.broadcast_to(jnp.asarray(p, jnp.float32), (h, w))
-                        * 255.0
-                    ), 0, 255,
-                ).astype(jnp.uint8)
-                for p in planes
-            ]
-            return st, jnp.stack(q, axis=-1)
+            return st, interleave_u8(planes, h, w)
 
         return jax.jit(step, donate_argnums=(0,))
 

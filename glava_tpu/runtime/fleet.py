@@ -164,14 +164,16 @@ class FleetEngine:
         br = self.br
 
         def step(state, audio, modified, t, interp, g, pipe):
-            st, frames = br.step(state, audio, modified, t, interp, g, pipe)
+            # quantize=True: channel planes quantize to uint8 BEFORE
+            # the one per-frame interleave (4x smaller stack + wire)
+            st, frames = br.step(state, audio, modified, t, interp, g, pipe,
+                                 quantize=True)
             if self.mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
                 frames = jax.lax.with_sharding_constraint(
                     frames, NamedSharding(self.mesh, P("streams", "rows"))
                 )
-            frames = jnp.clip(jnp.round(frames * 255.0), 0, 255).astype(jnp.uint8)
             return st, frames
 
         if self.mesh is not None:

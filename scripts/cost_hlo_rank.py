@@ -58,9 +58,12 @@ def main() -> None:
     compiled = jax.jit(step).lower(st, snap).compile()
     txt = compiled.as_text()
 
-    # entry computation only: lines between "ENTRY" and its closing brace
+    # entry computation only: lines between "ENTRY" and its closing brace.
+    # Optimized HLO prints operands as bare names — resolve operand bytes
+    # by looking up each named operand's own output shape.
     entry = txt[txt.index("ENTRY"):]
-    rows = []
+    parsed = []
+    out_bytes: dict[str, int] = {}
     for line in entry.splitlines()[1:]:
         line = line.strip()
         if line == "}":
@@ -69,15 +72,28 @@ def main() -> None:
         if not m:
             continue
         lhs, rhs = m.groups()
-        opm = re.match(r"(\([^)]*\)|[^ ]+) ([\w\-]+)\(", rhs)
         out_b = shape_bytes(rhs.split(" ", 1)[0] if rhs[0] != "(" else
                             rhs[:rhs.index(")") + 1])
-        # operand bytes: shapes inside the operand list (first paren group
-        # after the op name) — approximate: all shapes on the line minus
-        # the output shape counted once
-        all_b = shape_bytes(rhs)
+        out_bytes[lhs.lstrip("%")] = out_b
         op = rhs.split("(")[0].split()[-1] if "(" in rhs else rhs.split()[0]
-        rows.append((out_b + (all_b - out_b), op, lhs, out_b, all_b - out_b))
+        # operand list: the first (...) after the op name
+        args = ""
+        paren = rhs.find("(", rhs.index(op) + len(op) - 1)
+        if paren >= 0:
+            depth, j = 0, paren
+            for j in range(paren, len(rhs)):
+                depth += rhs[j] == "("
+                depth -= rhs[j] == ")"
+                if depth == 0:
+                    break
+            args = rhs[paren + 1:j]
+        operands = re.findall(r"%([\w.\-]+)", args)
+        parsed.append((lhs, op, out_b, operands))
+
+    rows = []
+    for lhs, op, out_b, operands in parsed:
+        in_b = sum(out_bytes.get(o, 0) for o in operands)
+        rows.append((out_b + in_b, op, lhs, out_b, in_b))
 
     rows.sort(reverse=True)
     total = sum(r[0] for r in rows)

@@ -179,7 +179,18 @@ def main() -> None:
     # (radial = BASELINE config #2; circle exercises the Pallas
     # lane-shuffle lookup). Optional sections never break the headline
     # JSON line the driver consumes.
-    def module_fps_1080p(module: str, extra: tuple = ()) -> float | None:
+    def module_fps_1080p(module: str, extra: tuple = (),
+                         builds: int = 2) -> float | None:
+        """Best-of-``builds``: fresh builds of identical code draw a
+        ±2x compile/fusion lottery (see scripts/bench_interpreted.py);
+        noise only ever slows a run, and the median-of-slopes +
+        physical-ceiling guards catch collapsed-slope fast reads."""
+        vals = [module_fps_1080p_once(module, extra)
+                for _ in range(max(builds, 1))]
+        vals = [v for v in vals if v is not None]
+        return max(vals) if vals else None
+
+    def module_fps_1080p_once(module: str, extra: tuple = ()) -> float | None:
         try:
             lcm = loader.load(
                 cli_requests=("setgeometry 0 0 1920 1080",

@@ -237,10 +237,6 @@ def premultiply_pass(inputs: PassInputs) -> Planes:
     return (r * a, g * a, b * a, a)
 
 
-def transparent() -> Planes:
-    return (np.float32(0.0),) * 4
-
-
 def frag_coords(w: int, h: int, pixel_center_integer: bool) -> tuple[np.ndarray, np.ndarray]:
     """gl_FragCoord.x (W,) and .y (H,) — half-integer centers unless the
     pass declares ``layout(pixel_center_integer)``."""
@@ -263,8 +259,3 @@ def color_planes(value) -> list:
         else jnp.asarray(c, jnp.float32)
         for c in value
     ]
-
-
-def over_where(mask: jax.Array, color: Planes, base: Planes) -> Planes:
-    """Per-channel select of `color` where mask (H, W) is true."""
-    return tuple(jnp.where(mask, c, b) for c, b in zip(color, base))

@@ -60,7 +60,11 @@ class Renderer:
         # xroot opacity: composite over the supplied wallpaper image,
         # sampled at the window geometry — the capability equivalent of
         # the reference's root-pixmap copy (xwin.c:345-472)
-        self._bg_image = None
+        # per-channel background for the planar composite: (H, W)
+        # wallpaper planes (contiguous, built straight from the numpy
+        # canvas — no interleaved device copy), or the scalar clear
+        # color components
+        self._bg_planes = tuple(np.float32(c) for c in cfg.clear_color)
         if cfg.copy_desktop and cfg.background_image \
                 and not cfg.premultiply_alpha:
             from glava_tpu.runtime.sinks import read_png
@@ -77,14 +81,9 @@ class Renderer:
             if y1 > y0 and x1 > x0:
                 canvas[y0 - gy:y1 - gy, x0 - gx:x1 - gx] = img[y0:y1, x0:x1]
             canvas[..., 3] = 1.0  # the root pixmap is opaque
-            self._bg_image = jnp.asarray(canvas[::-1].copy())  # bottom-up
-        # per-channel background for the planar composite: (H, W)
-        # wallpaper planes, or the scalar clear color components
-        if self._bg_image is not None:
-            self._bg_planes = tuple(self._bg_image[..., c] for c in range(4))
-        else:
+            canvas = canvas[::-1]  # bottom-up
             self._bg_planes = tuple(
-                np.float32(c) for c in cfg.clear_color
+                jnp.asarray(canvas[..., c].copy()) for c in range(4)
             )
 
     # -- state -------------------------------------------------------------

@@ -68,17 +68,30 @@ def main() -> None:
         line = line.strip()
         if line == "}":
             break
-        m = re.match(r"(%?[\w.\-]+) = (.*)", line)
+        m = re.match(r"(?:ROOT )?(%?[\w.\-]+) = (.*)", line)
         if not m:
             continue
         lhs, rhs = m.groups()
-        out_b = shape_bytes(rhs.split(" ", 1)[0] if rhs[0] != "(" else
-                            rhs[:rhs.index(")") + 1])
+        # leading output shape: a single shape token, or a
+        # parenthesized tuple shape for multi-output instructions
+        if rhs[0] == "(":
+            depth = 0
+            for j, ch in enumerate(rhs):
+                depth += ch == "("
+                depth -= ch == ")"
+                if depth == 0:
+                    break
+            shape_s, rest = rhs[:j + 1], rhs[j + 1:].lstrip()
+        else:
+            shape_s, _, rest = rhs.partition(" ")
+        out_b = shape_bytes(shape_s)
         out_bytes[lhs.lstrip("%")] = out_b
-        op = rhs.split("(")[0].split()[-1] if "(" in rhs else rhs.split()[0]
+        if not rest.strip():
+            continue
+        op = rest.split("(")[0].strip() if "(" in rest else rest.split()[0]
         # operand list: the first (...) after the op name
         args = ""
-        paren = rhs.find("(", rhs.index(op) + len(op) - 1)
+        paren = rhs.find("(", rhs.index(rest) + len(op))
         if paren >= 0:
             depth, j = 0, paren
             for j in range(paren, len(rhs)):

@@ -25,7 +25,9 @@ import jax.numpy as jnp
 sys.path.insert(0, "/root/repo")
 
 from glava_tpu.config import loader
-from glava_tpu.render.base import PassInputs
+from glava_tpu.render.base import (
+    PassInputs, as_planes, clip_planes, interleave,
+)
 from glava_tpu.renderer import Renderer
 from glava_tpu.runtime.engine import _enable_compile_cache
 from glava_tpu.utils.timing import probed_slope
@@ -80,9 +82,10 @@ def prefix_cost(r, k, iters=8):
             inp = PassInputs(prev=None, textures=textures,
                              time=jnp.float32(0.1))
             for fn in sub:
-                out = fn(PassInputs(out, inp.textures, inp.time))
-                out = jnp.clip(out, 0.0, 1.0)
-            red = (out.sum() if out is not None
+                out = clip_planes(as_planes(
+                    fn(PassInputs(out, inp.textures, inp.time))))
+            red = (interleave(out, r.screen[1], r.screen[0]).sum()
+                   if out is not None
                    else sum(t.sum() for t in textures.values()))
             ns = type(s)(chains, key_start, key_end)
             return (ns, acc + red), None

@@ -166,3 +166,68 @@ def test_bufscale_decimation_path():
     assert r.pipeline.sz == 1024
     frame = _drive(r, n_updates=10)
     assert (frame[..., 3] > 0).any()
+
+
+def test_planar_constant_channels_stay_concrete(tmp_path):
+    """The planar pass contract keeps CONCRETE channels numpy across
+    the pass boundary (render/base.as_planes/clip_planes) — constant
+    colors must not taint into device arrays, so masks over them fold
+    at trace time (the mechanism behind the interpreted radial/circle
+    speedups, docs/STATUS.md)."""
+    from glava_tpu.render.base import PassInputs
+
+    mod = tmp_path / "pc"
+    mod.mkdir()
+    (mod / "1.frag").write_text(
+        "out vec4 fragment;\n"
+        '#request uniform "audio_l" audio_l\n'
+        '#request transform audio_l "window"\n'
+        '#request transform audio_l "fft"\n'
+        "uniform sampler1D audio_l;\n"
+        "void main() {\n"
+        "  fragment = vec4(0.25, 0.5,"
+        " texelFetch(audio_l, ivec2(3, 0), 0).r, 1.0);\n"
+        "}\n"
+    )
+    (tmp_path / "rc.glsl").write_text(
+        "#request mod pc\n#request setgeometry 0 0 48 32\n"
+        "#request setbufsize 1024\n#request setsamplesize 256\n"
+        "#request setprintframes false\n"
+    )
+    r = Renderer(loader.load(user_dir=tmp_path))
+    state = r.init_state()
+    snap = jnp.zeros((2, 1024), jnp.float32)
+    chains = r.pipeline.advance(state.chains, snap[0], snap[1],
+                                gravity_g=jnp.float32(0.05))
+    textures = r.pipeline.textures_from(chains, snap[0], snap[1])
+    planes = r.module.render(
+        PassInputs(prev=None, textures=textures, time=jnp.float32(0.0)))
+    # r, g, a were written from literals: still concrete numpy
+    for ch in (0, 1, 3):
+        assert isinstance(planes[ch], (np.ndarray, np.generic)), (
+            f"channel {ch} tainted to {type(planes[ch]).__name__}")
+    # b consumed the audio texture: a traced/device plane
+    assert not isinstance(planes[2], (np.ndarray, np.generic))
+    assert float(np.asarray(planes[0])) == 0.25
+    assert float(np.asarray(planes[3])) == 1.0
+
+
+def test_interleave_u8_matches_f32_quantize():
+    """interleave_u8 (quantize per plane, then stack) is bit-identical
+    to quantizing the f32 interleaved frame — the serving wire format
+    must not drift from quantize_frame's rounding."""
+    from glava_tpu.render.base import interleave, interleave_u8
+
+    rng = np.random.default_rng(11)
+    h, w = 17, 23
+    planes = (
+        jnp.asarray(rng.random((h, w)).astype(np.float32) * 1.4 - 0.2),
+        np.float32(0.34999),            # constant channel stays a scalar
+        jnp.asarray(rng.random((h, w)).astype(np.float32)),
+        np.float32(1.0),
+    )
+    f32 = np.asarray(interleave(planes, h, w))
+    want = np.clip(np.rint(f32 * 255.0), 0, 255).astype(np.uint8)
+    got = np.asarray(interleave_u8(planes, h, w))
+    assert got.dtype == np.uint8 and got.shape == (h, w, 4)
+    assert np.array_equal(got, want)

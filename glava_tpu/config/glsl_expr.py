@@ -304,6 +304,50 @@ def _register_glsl_struct():
     _GLSL_STRUCT_REGISTERED = True
 
 
+def _bool_all(parts):
+    """AND-fold per-pixel booleans, numpy-preserving (logic_and's
+    concreteness rule: one traced operand promotes the fold to jnp)."""
+    out = parts[0]
+    if not _host_concrete(out):
+        out = _jnp().asarray(out, bool)
+    else:
+        out = np.asarray(out, bool)
+    for p in parts[1:]:
+        if _host_concrete(out) and _host_concrete(p):
+            out = out & np.asarray(p, bool)
+        else:
+            jnp = _jnp()
+            out = jnp.asarray(out, bool) & jnp.asarray(p, bool)
+    return out
+
+
+def _aggregate_eq(a, b):
+    """GLSL aggregate `==`: a single per-pixel boolean, true iff every
+    member is equal (GLSL 4.60 §5.9 — equality on vectors, matrices,
+    arrays and structs yields a scalar bool, unlike equal())."""
+    if isinstance(a, GlslStruct) or isinstance(b, GlslStruct):
+        if not (isinstance(a, GlslStruct) and isinstance(b, GlslStruct)
+                and a.typename == b.typename and a.names == b.names):
+            raise ExprError("struct '==' needs two values of the same "
+                            "struct type")
+        parts = [_aggregate_eq(x, y) for x, y in zip(a.vals, b.vals)]
+    elif isinstance(a, GlslMat) or isinstance(b, GlslMat):
+        if not (isinstance(a, GlslMat) and isinstance(b, GlslMat)
+                and a.n == b.n):
+            raise ExprError("matrix '==' needs two matrices of the "
+                            "same size")
+        parts = [_aggregate_eq(x, y)
+                 for ca, cb in zip(a.cols, b.cols)
+                 for x, y in zip(ca, cb)]
+    elif isinstance(a, tuple) and isinstance(b, tuple):
+        if len(a) != len(b):
+            raise ExprError("vector '==' needs equal sizes")
+        parts = [_aggregate_eq(x, y) for x, y in zip(a, b)]
+    else:
+        return _map2(lambda x, y: x == y, lambda x, y: x == y, a, b)
+    return _bool_all(parts)
+
+
 def _is_jax(x) -> bool:
     import jax
 
@@ -712,6 +756,21 @@ class _Parser:
         while self.peek()[1] in ("==", "!=", "<", ">", "<=", ">="):
             op = self.next()[1]
             rhs = self.additive()
+            aggregate = (isinstance(v, (GlslStruct, GlslMat))
+                         or isinstance(rhs, (GlslStruct, GlslMat))
+                         or (isinstance(v, tuple) and isinstance(rhs, tuple)))
+            if aggregate:
+                if op not in ("==", "!="):
+                    raise ExprError(
+                        f"'{op}' is not defined for aggregate types")
+                eq = _aggregate_eq(v, rhs)
+                if op == "==":
+                    v = eq
+                elif _host_concrete(eq):
+                    v = ~np.asarray(eq, bool)
+                else:
+                    v = ~_jnp().asarray(eq, bool)
+                continue
             table = {
                 "==": (lambda a, b: a == b, lambda a, b: a == b),
                 "!=": (lambda a, b: a != b, lambda a, b: a != b),

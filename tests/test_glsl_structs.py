@@ -204,3 +204,35 @@ void main() {
     np.testing.assert_allclose(f[0, :4, 1], 0.0, atol=1e-6)
     np.testing.assert_allclose(f[0, 4:, 0], 0.0, atol=1e-6)
     np.testing.assert_allclose(f[0, 4:, 1], 1.0, atol=1e-6)
+
+
+def test_aggregate_equality_struct_vec_mat(tmp_path):
+    """GLSL 4.60 §5.9 aggregate equality: `==`/`!=` on structs,
+    vectors and matrices yield ONE per-pixel bool (all members equal),
+    unlike equal(). Mixed per-pixel outcome exercises the traced path;
+    the all-constant comparisons exercise the numpy-concrete fold."""
+    frag = """
+in vec4 gl_FragCoord;
+out vec4 fragment;
+struct Pt { vec2 pos; float wgt; };
+void main() {
+    Pt a = Pt(vec2(1.0, 2.0), 3.5);
+    Pt b = Pt(vec2(1.0, 2.0), 3.5);
+    Pt c = Pt(vec2(1.0, 2.0), gl_FragCoord.x);  // per-pixel field
+    float r = (a == b) ? 1.0 : 0.0;             // concrete: equal
+    float g = (a != c) ? 1.0 : 0.0;             // traced: x != 3.5 -> 1
+    vec2 v = vec2(gl_FragCoord.x, 2.0);
+    float bl = (v == vec2(3.5, 2.0)) ? 1.0 : 0.0;  // vec aggregate
+    mat2 m1 = mat2(1.0);
+    float al = (m1 == mat2(1.0)) ? 0.75 : 0.0;     // mat aggregate
+    fragment = vec4(r, g, bl, al);
+}
+"""
+    f = _render_module(tmp_path, "eq", frag, screen=(8, 2))
+    x = np.arange(8) + 0.5  # gl_FragCoord.x at pixel centers
+    np.testing.assert_allclose(f[0, :, 0], 1.0, atol=1e-6)
+    np.testing.assert_allclose(f[0, :, 1], (x != 3.5).astype(np.float32),
+                               atol=1e-6)
+    np.testing.assert_allclose(f[0, :, 2], (x == 3.5).astype(np.float32),
+                               atol=1e-6)
+    np.testing.assert_allclose(f[0, :, 3], 0.75, atol=1e-6)

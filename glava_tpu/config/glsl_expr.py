@@ -321,6 +321,28 @@ def _bool_all(parts):
     return out
 
 
+def _sel_tree(sel, a, b):
+    """Per-pixel select over matching aggregate values (structs, mats,
+    component tuples, scalars), fieldwise/elementwise recursive."""
+    if isinstance(a, GlslStruct):
+        if not (isinstance(b, GlslStruct) and a.typename == b.typename
+                and a.names == b.names):
+            raise ExprError("select on mismatched struct types")
+        return GlslStruct(a.typename, a.names,
+                          [_sel_tree(sel, x, y)
+                           for x, y in zip(a.vals, b.vals)])
+    if isinstance(a, GlslMat):
+        if not (isinstance(b, GlslMat) and a.n == b.n):
+            raise ExprError("select on mismatched matrix sizes")
+        return _mat_zip(sel, sel, a, b)
+    if isinstance(a, tuple) or isinstance(b, tuple):
+        if not (isinstance(a, tuple) and isinstance(b, tuple)
+                and len(a) == len(b)):
+            raise ExprError("select on mismatched aggregate shapes")
+        return tuple(_sel_tree(sel, x, y) for x, y in zip(a, b))
+    return sel(a, b)
+
+
 def _aggregate_eq(a, b):
     """GLSL aggregate `==`: a single per-pixel boolean, true iff every
     member is equal (GLSL 4.60 §5.9 — equality on vectors, matrices,
@@ -713,6 +735,20 @@ class _Parser:
                     def sel(x, y):
                         return jnp.where(cond, x, y)
 
+                if isinstance(a, GlslStruct) or isinstance(b, GlslStruct):
+                    if not (isinstance(a, GlslStruct)
+                            and isinstance(b, GlslStruct)
+                            and a.typename == b.typename
+                            and a.names == b.names):
+                        raise ExprError("'?:' needs two values of the "
+                                        "same struct type")
+                    return _sel_tree(sel, a, b)
+                if isinstance(a, GlslMat) or isinstance(b, GlslMat):
+                    if not (isinstance(a, GlslMat) and isinstance(b, GlslMat)
+                            and a.n == b.n):
+                        raise ExprError("'?:' needs two matrices of the "
+                                        "same size")
+                    return _mat_zip(sel, sel, a, b)
                 if _is_vec(a) or _is_vec(b):
                     at = a if _is_vec(a) else (a,) * len(b)
                     bt = b if _is_vec(b) else (b,) * len(at)

@@ -236,3 +236,26 @@ void main() {
     np.testing.assert_allclose(f[0, :, 2], (x == 3.5).astype(np.float32),
                                atol=1e-6)
     np.testing.assert_allclose(f[0, :, 3], 0.75, atol=1e-6)
+
+
+def test_struct_ternary_per_pixel_select(tmp_path):
+    """`cond ? structA : structB` with a per-pixel condition selects
+    fieldwise (including nested vec fields)."""
+    frag = """
+in vec4 gl_FragCoord;
+out vec4 fragment;
+struct Pt { vec2 pos; float wgt; };
+void main() {
+    Pt a = Pt(vec2(0.25, 0.5), 1.0);
+    Pt b = Pt(vec2(0.75, 0.125), 0.0);
+    Pt p = (gl_FragCoord.x < 4.0) ? a : b;
+    fragment = vec4(p.pos, p.wgt, 1.0);
+}
+"""
+    f = _render_module(tmp_path, "tern", frag, screen=(8, 2))
+    np.testing.assert_allclose(f[0, :4, 0], 0.25, atol=1e-6)
+    np.testing.assert_allclose(f[0, 4:, 0], 0.75, atol=1e-6)
+    np.testing.assert_allclose(f[0, :4, 1], 0.5, atol=1e-6)
+    np.testing.assert_allclose(f[0, 4:, 1], 0.125, atol=1e-6)
+    np.testing.assert_allclose(f[0, :4, 2], 1.0, atol=1e-6)
+    np.testing.assert_allclose(f[0, 4:, 2], 0.0, atol=1e-6)

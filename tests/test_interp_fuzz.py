@@ -151,6 +151,14 @@ class Gen:
         sbody = ("S s = S(vec2(px, py), v); s.w += 0.25; "
                  "s.p.x = clamp(s.p.x, 0.0, 4.0); "
                  "v = s.p.x * 0.5 + s.w * 0.25;\n    " if use_struct else "")
+        if use_struct and r.random() < 0.6:
+            # aggregate equality + struct ternary: the else-branch
+            # differs by a large constant so `==` is exact in both f32
+            # (executor) and f64 (oracle) — never a rounding tie
+            sbody += ("S s2 = (px < 0.5) ? s "
+                      ": S(vec2(s.p.x + 8.0, s.p.y), s.w); "
+                      "v += (s2 == s) ? 0.125 : -0.125; "
+                      "if (s2 != s) { v += 0.0625; }\n    ")
         body = "\n    ".join(self.stmts(0, n=5))
         outs = [f"clamp({self.expr(1)} * 0.25 + 0.5, 0.0, 1.0)"
                 for _ in range(3)]

@@ -191,6 +191,86 @@ def cmd_install(args) -> int:
     return copy_config(verbose=True)
 
 
+def cmd_interactive(args, stdin=None) -> int:
+    """Interactive editing session — the capability the reference's
+    GTK GUI aims at (glava-config/main.lua:47-54's module browser +
+    option editing), as a terminal session over the same engine as
+    the scriptable subcommands.
+
+        $ glava-tpu-config interactive
+        glava-config> use bars
+        glava-config bars> knobs
+        glava-config bars> set BAR_WIDTH 8
+        glava-config bars> quit
+
+    Reads EOF as quit, so it is scriptable too (pipe a command list).
+    """
+    stdin = stdin if stdin is not None else sys.stdin
+    tty = hasattr(stdin, "isatty") and stdin.isatty()
+    module = None
+    cfgflag = ["--config-dir", args.config_dir] if args.config_dir else []
+
+    def emit_prompt():
+        if tty:
+            mod = f" {module}" if module else ""
+            print(f"glava-config{mod}> ", end="", flush=True)
+
+    print("glava-tpu interactive config — 'help' lists commands, "
+          "'quit' exits.")
+    emit_prompt()
+    for line in stdin:
+        parts = line.split()
+        if not parts:
+            emit_prompt()
+            continue
+        cmd, rest = parts[0], parts[1:]
+        try:
+            if cmd in ("quit", "exit", "q"):
+                break
+            elif cmd == "help":
+                print("commands: modules | use <module> | knobs [module]"
+                      " | get <KNOB> | set <KNOB> <value> | requests"
+                      " | show | profile list|new|copy [name]"
+                      " | install | quit")
+            elif cmd == "use":
+                if not rest:
+                    print("usage: use <module>", file=sys.stderr)
+                else:
+                    module = rest[0]
+                    print(f"module: {module}")
+            elif cmd in ("modules", "requests", "show", "install"):
+                main(cfgflag + [cmd])
+            elif cmd == "knobs":
+                target = rest[0] if rest else module
+                if not target:
+                    print("no module selected — 'use <module>' first",
+                          file=sys.stderr)
+                else:
+                    main(cfgflag + ["knobs", target])
+            elif cmd in ("get", "set"):
+                if not module:
+                    print("no module selected — 'use <module>' first",
+                          file=sys.stderr)
+                elif (cmd == "get" and len(rest) != 1) or \
+                        (cmd == "set" and len(rest) != 2):
+                    print(f"usage: {cmd} <KNOB>"
+                          + (" <value>" if cmd == "set" else ""),
+                          file=sys.stderr)
+                else:
+                    main(cfgflag + [cmd, module, *rest])
+            elif cmd == "profile":
+                main(cfgflag + ["profile", *rest])
+            else:
+                print(f"unknown command '{cmd}' — try 'help'",
+                      file=sys.stderr)
+        except SystemExit:
+            pass  # argparse errors inside a session must not kill it
+        emit_prompt()
+    if tty:
+        print()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="glava-tpu-config")
     p.add_argument("--config-dir", default=None)
@@ -215,6 +295,7 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("name", nargs="?")
     pr.set_defaults(fn=cmd_profile)
     sub.add_parser("install").set_defaults(fn=cmd_install)
+    sub.add_parser("interactive").set_defaults(fn=cmd_interactive)
     args = p.parse_args(argv)
     return args.fn(args)
 

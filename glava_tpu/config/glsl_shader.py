@@ -2903,17 +2903,35 @@ def make_builtins(prev, sz: int, h: int, w: int, smooth_fetch):
     # safety); XLA DCEs it when no tap qualifies.
     import os as _os
 
+    # Materialization barrier for SHIFTED tap sources: without it XLA
+    # duplicates the producing pass's whole expression into every
+    # shifted-window fusion (HLO rank of interpreted circle @1080p:
+    # ~12 pad/slice/concat fusions each re-reading the same ~85 MB of
+    # pass-1 operands — ~1 GB of the 1.6 GB/frame total). A per-channel
+    # lax.optimization_barrier forces ONE materialization that every
+    # tap then slices. Per-channel (not tuple) so channel DCE survives;
+    # center (0,0) fetches keep the unbarriered planes so pure
+    # passthrough/select passes still fuse across the pass boundary
+    # (load-bearing for interpreted graph). GLAVA_TPU_PREV_MAT=1
+    # enables; default OFF until the one-process TPU A/B decides
+    # (scripts/exp_prevmat_ab.py) — the CPU proxy strips opt-barriers
+    # before fusion, so only a real-TPU measurement can validate it.
     _halo_mode = _os.environ.get("GLAVA_TPU_PREV_HALO", "zero")
+    _mat_mode = _os.environ.get("GLAVA_TPU_PREV_MAT", "0")
     _HALO = 2
     _halo_zero = _halo_edge = None
+    _prev_src = prev
+    if prev is not None and _mat_mode != "0":
+        from jax import lax as _lax
+        _prev_src = tuple(_lax.optimization_barrier(p) for p in prev)
     if prev is not None and _halo_mode != "0":
         _halo_zero = tuple(
-            jnp.pad(p, ((_HALO, _HALO), (_HALO, _HALO))) for p in prev
+            jnp.pad(p, ((_HALO, _HALO), (_HALO, _HALO))) for p in _prev_src
         )
         if _halo_mode == "both":
             _halo_edge = tuple(
                 jnp.pad(p, ((_HALO, _HALO), (_HALO, _HALO)), mode="edge")
-                for p in prev
+                for p in _prev_src
             )
 
     def _shifted_prev(px, py):
@@ -2935,7 +2953,8 @@ def make_builtins(prev, sz: int, h: int, w: int, smooth_fetch):
                         for p in halo
                     )
         return tuple(
-            _apply_axis(_apply_axis(p, py, 0, h), px, 1, w) for p in prev
+            _apply_axis(_apply_axis(p, py, 0, h), px, 1, w)
+            for p in _prev_src
         )
 
     # transposed prev for the column-aligned fast path, built at the
@@ -2943,7 +2962,8 @@ def make_builtins(prev, sz: int, h: int, w: int, smooth_fetch):
     # created inside one while-body subtrace must never be reused in
     # another (tracer leak), so nothing jnp is cached per call — XLA
     # CSEs/hoists the loop-invariant shift+transpose out of the loop.
-    _prevT = (tuple(p.T for p in prev) if prev is not None else None)
+    _prevT = (tuple(p.T for p in _prev_src)
+              if prev is not None else None)
 
     def _walk_match(v):
         for frame in reversed(_WALK_STACK):
@@ -2976,7 +2996,7 @@ def make_builtins(prev, sz: int, h: int, w: int, smooth_fetch):
         if px is None:
             return None
         # loop-invariant per-channel column shift: hoisted by XLA
-        base = [_apply_axis(p, px, 1, w) for p in prev]
+        base = [_apply_axis(p, px, 1, w) for p in _prev_src]
         # clip range [-(h+1), h]: offsets beyond either end are fully
         # out of range for EVERY row, and -(h+1) keeps one all-black
         # row below the fracpos nearrow so a deeper-than-h walk does
@@ -3004,7 +3024,7 @@ def make_builtins(prev, sz: int, h: int, w: int, smooth_fetch):
         if prev is None:
             return None
         out = []
-        for p in prev:
+        for p in _prev_src:
             b = _apply_axis(p, px, 1, w)
             z = lambda n: jnp.zeros((n, w), b.dtype)  # noqa: E731
             nearrow = b[0:1] if fracpos else z(1)

@@ -90,6 +90,30 @@ def as_planes(out) -> Planes:
     return tuple(cast(p) for p in comps)
 
 
+def tap_source(p):
+    """Materialization barrier for a plane that shifted neighbor taps
+    will slice (pad + offset windows).
+
+    Without it XLA duplicates the plane's producing expression into
+    every shifted-window consumer fusion instead of fusing it once —
+    each such fusion re-reads ALL the producer's operands from HBM
+    (TPU-HLO rank of interpreted circle @1080p: ~12 pad/slice/concat
+    fusions x ~85 MB of re-read operands ≈ 1 GB/frame of the total
+    1.6 GB). ``lax.optimization_barrier`` forces one materialization
+    that the taps then slice. Numpy planes pass through untouched
+    (concrete constants must stay foldable). Identity on values —
+    outputs are bit-identical. GLAVA_TPU_PREV_MAT=1 enables it
+    (shared with the interpreter's shifted-tap barrier); default OFF
+    until the one-process TPU A/B decides — the CPU proxy strips
+    opt-barriers before fusion, so only a real-TPU measurement can
+    validate the default (scripts/exp_tapmat_native_ab.py)."""
+    import os
+
+    if _np_like(p) or os.environ.get("GLAVA_TPU_PREV_MAT", "0") != "1":
+        return p
+    return jax.lax.optimization_barrier(p)
+
+
 def clip_planes(planes: Planes, lo: float = 0.0, hi: float = 1.0) -> Planes:
     """Per-channel [lo, hi] clamp, numpy-preserving."""
     return tuple(

@@ -161,6 +161,10 @@ def build(ctx: base.ModuleContext) -> base.ModuleBuild:
         m = mask.astype(jnp.float32)
         coef = m
         if smooth_on:
+            # tap_source: materialize the mask field once; the six
+            # shifted windows below slice it instead of each
+            # re-deriving draw_mask (3 table lookups) per fusion
+            m = base.tap_source(m)
             p = jnp.pad(m, ((1, 1), (1, 1)))
 
             def sh(dy, dx):
@@ -171,8 +175,10 @@ def build(ctx: base.ModuleContext) -> base.ModuleBuild:
                 + sh(-1, -1) + sh(-1, 0)
             ) / 8.0
             # circle/2.frag replaces pixels whose alpha is 0; with a
-            # zero-alpha outline every pixel qualifies
-            coef = wsum if o_cl[3] == 0.0 else jnp.where(mask, 1.0, wsum)
+            # zero-alpha outline every pixel qualifies. m > 0 is the
+            # mask read off the barrier'd field (m ∈ {0, 1}), so this
+            # select doesn't re-derive draw_mask either.
+            coef = wsum if o_cl[3] == 0.0 else jnp.where(m > 0, 1.0, wsum)
         if premult_on:
             a = o_cl[3] * coef
             return ((o_cl[0] * coef) * a, (o_cl[1] * coef) * a,
@@ -247,7 +253,7 @@ def _per_pixel_sampler(ctx: base.ModuleContext):
 def _smooth_pass(inputs: base.PassInputs) -> base.Planes:
     """circle/2.frag: fill fully-transparent pixels with the 8-neighbor
     average (duplicated +-x fetches, like the other outline passes)."""
-    frame = inputs.prev
+    frame = tuple(base.tap_source(ch) for ch in inputs.prev)
     mask = frame[3] == 0
     out = []
     for ch in frame:

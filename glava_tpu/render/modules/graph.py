@@ -107,6 +107,9 @@ def build(ctx: base.ModuleContext) -> base.ModuleBuild:
             # branch writes a constant; the highlight multiplies by
             # avg.a) — so only the alpha plane feeds the neighborhood
             # average; the rgb planes see one select each
+            # tap_source: one materialized alpha plane instead of
+            # re-deriving pass 1 inside every shifted-window fusion
+            alpha = base.tap_source(alpha)
             ap = jnp.pad(alpha, ((1, 1), (1, 1)))
 
             def sh(dy, dx):

@@ -87,7 +87,7 @@ def neighbor_outline_pass(
     planes, only the alpha plane feeds the neighborhood average — the
     rgb planes are touched by one select each.
     """
-    alpha = frame[3]
+    alpha = base.tap_source(frame[3])
     h, w = alpha.shape
     p = jnp.pad(alpha, ((1, 1), (1, 1)))
 

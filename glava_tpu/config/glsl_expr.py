@@ -127,6 +127,25 @@ def _host_concrete_tree(x) -> bool:
     return _host_concrete(x)
 
 
+def _as_i32(x):
+    """Cast one operand of a GLSL integer op to int32 (GLSL's int()
+    truncation for any float that sneaks in), numpy-preserving."""
+    if isinstance(x, (np.ndarray, np.generic, int, bool, float)):
+        return np.asarray(x).astype(np.int32)
+    jnp = _jnp()
+    return jnp.asarray(x).astype(jnp.int32)
+
+
+def _int_map2(opf, a, b):
+    """GLSL integer bit/shift op, componentwise with broadcasting;
+    both operands cast to int32, int32 result. The same callable
+    serves numpy and traced operands (dunder ops work on both)."""
+    def g(x, y):
+        return opf(_as_i32(x), _as_i32(y))
+
+    return _map2(g, g, a, b)
+
+
 def _map2(f, fj, a, b):
     """Binary op over scalars/vectors with GLSL broadcasting."""
     if _is_vec(a) and _is_vec(b):
@@ -612,7 +631,7 @@ _TOKEN_RE = re.compile(
   | (?P<num>(\d+\.\d*|\.\d+|\d+)([eE][+-]?\d+)?[fF]?)
   | (?P<bind>@[A-Za-z_][A-Za-z0-9_]*:?)
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<op>\+\+|--|\+=|-=|\*=|/=|==|!=|<=|>=|&&|\|\||[-+*/%(),.<>?:!={};\[\]])
+  | (?P<op>\+\+|--|\+=|-=|\*=|/=|%=|<<=|>>=|&=|\|=|\^=|==|!=|<<|>>|<=|>=|&&|\|\||[-+*/%(),.<>?:!={};\[\]~^&|])
     """,
     re.X,
 )
@@ -773,10 +792,10 @@ class _Parser:
         return v
 
     def logic_and(self):
-        v = self.compare()
+        v = self.bit_or()
         while self.peek()[1] == "&&":
             self.next()
-            rhs = self.compare()
+            rhs = self.bit_or()
             if _np_like(v) or _np_like(rhs):
                 if _host_concrete(v) and _host_concrete(rhs):
                     v = np.asarray(v, bool) & np.asarray(rhs, bool)
@@ -787,11 +806,39 @@ class _Parser:
                 v = _truthy(v) and _truthy(rhs)
         return v
 
+    # GLSL/C integer bit ops: precedence & > ^ > | (all between
+    # equality and &&); shifts bind tighter than relational
+    def bit_or(self):
+        v = self.compare()
+        while self.peek()[1] == "|":
+            self.next()
+            v = _int_map2(lambda a, b: a | b, v, self.compare())
+        return v
+
+    def bit_xor(self):
+        # GLSL places ^ between & and |; compare() calls bit_xor so
+        # `a & b ^ c | d` groups as ((a&b)^c)|d
+        v = self.bit_and()
+        while self.peek()[1] == "^":
+            self.next()
+            v = _int_map2(lambda a, b: a ^ b, v, self.bit_and())
+        return v
+
+    def bit_and(self):
+        v = self.equality()
+        while self.peek()[1] == "&":
+            self.next()
+            v = _int_map2(lambda a, b: a & b, v, self.equality())
+        return v
+
     def compare(self):
-        v = self.additive()
+        return self.bit_xor()
+
+    def equality(self):
+        v = self.shift_expr()
         while self.peek()[1] in ("==", "!=", "<", ">", "<=", ">="):
             op = self.next()[1]
-            rhs = self.additive()
+            rhs = self.shift_expr()
             aggregate = (isinstance(v, (GlslStruct, GlslMat))
                          or isinstance(rhs, (GlslStruct, GlslMat))
                          or (isinstance(v, tuple) and isinstance(rhs, tuple)))
@@ -817,6 +864,15 @@ class _Parser:
             }
             f, fj = table[op]
             v = _map2(f, fj, v, rhs)
+        return v
+
+    def shift_expr(self):
+        v = self.additive()
+        while self.peek()[1] in ("<<", ">>"):
+            op = self.next()[1]
+            rhs = self.additive()
+            v = _int_map2((lambda a, b: a << b) if op == "<<"
+                          else (lambda a, b: a >> b), v, rhs)
         return v
 
     def additive(self):
@@ -882,6 +938,12 @@ class _Parser:
                     return ~np.asarray(v, bool)
                 return ~_jnp().asarray(v, bool)
             return not _truthy(v)
+        if val == "~":  # integer bitwise complement
+            self.next()
+            v = self.unary()
+            if _is_vec(v):
+                return tuple(~_as_i32(c) for c in v)
+            return ~_as_i32(v)
         return self.postfix()
 
     def postfix(self):

@@ -419,7 +419,7 @@ class _StmtParser:
                     items.append(("m", mem))
                 else:
                     break
-            if self.peek()[1] in ("=", "+=", "-=", "*=", "/="):
+            if self.peek()[1] in ("=", "+=", "-=", "*=", "/=", "%=", "<<=", ">>=", "&=", "|=", "^="):
                 op = self.next()[1]
                 expr = self.collect_expr(stops=(";",))
                 self.expect(";")
@@ -1122,11 +1122,7 @@ class _Exec:
                     raise ShaderError(f"'{stmt.target}' used before assignment")
                 base = (self._component(elem, stmt.swizzle)
                         if stmt.swizzle else elem)
-                fn = {"+=": lambda a, b: _bin(a, b, "+"),
-                      "-=": lambda a, b: _bin(a, b, "-"),
-                      "*=": lambda a, b: _bin(a, b, "*"),
-                      "/=": lambda a, b: _bin(a, b, "/")}[stmt.op]
-                rhs = fn(base, rhs)
+                rhs = _bin(base, rhs, stmt.op[:-1])
             if stmt.swizzle:
                 if isinstance(elem, glsl_expr.GlslStruct):
                     # struct field assignment: v.field [op]= expr
@@ -1154,11 +1150,7 @@ class _Exec:
             chain, leaf = self._resolve_lvalue(stmt.target, stmt.items)
             rhs = self._eval(stmt.expr)
             if stmt.op != "=":
-                fn = {"+=": lambda a, b: _bin(a, b, "+"),
-                      "-=": lambda a, b: _bin(a, b, "-"),
-                      "*=": lambda a, b: _bin(a, b, "*"),
-                      "/=": lambda a, b: _bin(a, b, "/")}[stmt.op]
-                rhs = fn(leaf, rhs)
+                rhs = _bin(leaf, rhs, stmt.op[:-1])
             self._masked_set(stmt.target, self._rebuild_lvalue(chain, rhs))
         elif isinstance(stmt, If):
             cond = self._eval(stmt.cond)
@@ -2679,6 +2671,16 @@ def _np_like_val(x) -> bool:
 
 
 def _bin(a, b, op):
+    if op in ("<<", ">>", "&", "|", "^"):
+        f = {"<<": lambda x, y: x << y, ">>": lambda x, y: x >> y,
+             "&": lambda x, y: x & y, "|": lambda x, y: x | y,
+             "^": lambda x, y: x ^ y}[op]
+        return glsl_expr._int_map2(f, a, b)
+    if op == "%":  # same semantics as the expression-level '%'
+        import math
+
+        return glsl_expr._map2(lambda x, y: math.fmod(x, y),
+                               glsl_expr._jnp().mod, a, b)
     f = {"+": lambda x, y: x + y, "-": lambda x, y: x - y,
          "*": lambda x, y: x * y, "/": lambda x, y: x / y}[op]
     return glsl_expr._map2(f, f, a, b)

@@ -319,8 +319,7 @@ class ScalarExec:
                     base = (elem.get(stmt.swizzle)
                             if isinstance(elem, glsl_expr.GlslStruct)
                             else self._swz(elem, stmt.swizzle))
-                fn = {"+=": "+", "-=": "-", "*=": "*", "/=": "/"}[stmt.op]
-                rhs = _bin(base, rhs, fn)
+                rhs = _bin(base, rhs, stmt.op[:-1])
             if stmt.swizzle:
                 if isinstance(elem, glsl_expr.GlslStruct):
                     rhs = elem.replace(stmt.swizzle, rhs)
@@ -338,8 +337,7 @@ class ScalarExec:
             chain, leaf = self._resolve(stmt.target, stmt.items)
             rhs = self._eval(stmt.expr)
             if stmt.op != "=":
-                fn = {"+=": "+", "-=": "-", "*=": "*", "/=": "/"}[stmt.op]
-                rhs = _bin(leaf, rhs, fn)
+                rhs = _bin(leaf, rhs, stmt.op[:-1])
             env.variables[stmt.target] = self._rebuild(chain, rhs)
         elif isinstance(stmt, If):
             if self._truth(self._eval(stmt.cond)):

@@ -1,0 +1,93 @@
+"""GLSL integer bit/shift operators in the drop-in interpreter.
+
+The reference hands user .frag files to the GL compiler, so community
+module packs inherit full GLSL — including the integer hash/packing
+idioms (`(h << 3) ^ (h >> 1)`, masks, `~`). Renders shaders using
+every operator (plus compound forms) and checks against the same
+arithmetic in numpy int32."""
+
+import numpy as np
+
+from tests.test_glsl_structs import _render_module
+
+
+def _expect(x):
+    h = x.astype(np.int32)
+    h = (h << 3) ^ (h >> 1)
+    h = (h & 29) | 2
+    h = ~h & 63
+    h = h ^ 5
+    h = h % np.int32(37)
+    return h
+
+
+def test_bit_and_shift_operators(tmp_path):
+    frag = """
+in vec4 gl_FragCoord;
+out vec4 fragment;
+void main() {
+    int h = int(gl_FragCoord.x);
+    h = (h << 3) ^ (h >> 1);
+    h = (h & 29) | 2;
+    h = ~h & 63;
+    h ^= 5;
+    int m = h - int(float(h) / 37.0) * 37;   // h % 37, h >= 0
+    float v = float(m) / 64.0;
+    fragment = vec4(v, float(h & 1), float((h | 1) - h), 1.0);
+}
+"""
+    f = _render_module(tmp_path, "bits", frag, screen=(16, 2))
+    x = np.arange(16)
+    h = _expect(x)
+    # _expect applies % 37 last; reconstruct pre-% h for channels 1-2
+    h_pre = ((~(((x.astype(np.int32) << 3) ^ (x.astype(np.int32) >> 1))
+              & 29 | 2)) & 63) ^ 5
+    np.testing.assert_allclose(f[0, :, 0], (h_pre % 37) / 64.0, atol=1e-6)
+    np.testing.assert_allclose(f[0, :, 1], (h_pre & 1).astype(np.float32),
+                               atol=1e-6)
+    np.testing.assert_allclose(
+        f[0, :, 2], ((h_pre | 1) - h_pre).astype(np.float32), atol=1e-6)
+
+
+def test_bit_precedence_matches_c(tmp_path):
+    """`a & b ^ c | d` groups ((a&b)^c)|d; shifts bind tighter than
+    relational (`1 << 2 < 8` is (1<<2) < 8 -> true)."""
+    frag = """
+in vec4 gl_FragCoord;
+out vec4 fragment;
+void main() {
+    int a = 12; int b = 10; int c = 6; int d = 1;
+    int g = a & b ^ c | d;            // ((12&10)^6)|1 = (8^6)|1 = 15
+    float r = (1 << 2 < 8) ? 0.5 : 0.0;
+    fragment = vec4(float(g) / 16.0, r, float(5 % 3) / 4.0, 1.0);
+}
+"""
+    f = _render_module(tmp_path, "prec", frag, screen=(4, 2))
+    np.testing.assert_allclose(f[..., 0], 15.0 / 16.0, atol=1e-6)
+    np.testing.assert_allclose(f[..., 1], 0.5, atol=1e-6)
+    np.testing.assert_allclose(f[..., 2], 0.5, atol=1e-6)
+
+
+def test_compound_shift_assign_under_branch(tmp_path):
+    """`<<=`/`>>=`/`&=`/`|=` compound forms, including under a
+    per-pixel mask (merged like any other masked write)."""
+    frag = """
+in vec4 gl_FragCoord;
+out vec4 fragment;
+void main() {
+    int h = int(gl_FragCoord.x) + 1;
+    if (gl_FragCoord.x < 4.0) {
+        h <<= 2;
+    } else {
+        h >>= 1;
+    }
+    h |= 1;
+    h &= 127;
+    fragment = vec4(float(h) / 128.0, 0.0, 0.0, 1.0);
+}
+"""
+    f = _render_module(tmp_path, "csh", frag, screen=(8, 2))
+    x = np.arange(8) + 1
+    h = np.where(np.arange(8) < 4, x << 2, x >> 1)
+    h = (h | 1) & 127
+    np.testing.assert_allclose(f[0, :, 0], h / 128.0, atol=1e-6)

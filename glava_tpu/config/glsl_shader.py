@@ -2826,11 +2826,33 @@ def make_builtins(prev, sz: int, h: int, w: int, smooth_fetch):
             for p in prev
         )
 
+    def _norm_idx(c, n):
+        """Normalized coord -> NEAREST texel index with REPEAT wrap
+        (the prev FBO texture is GL_NEAREST, render.c:545-547, with
+        the GL default GL_REPEAT wrap), numpy-preserving."""
+        if isinstance(c, (np.ndarray, np.generic, int, float)):
+            c32 = np.asarray(c).astype(np.float32)
+            u = c32 - np.floor(c32)
+            return np.minimum(np.floor(u * np.float32(n)),
+                              n - 1).astype(np.int32)
+        c = jnp.asarray(c)
+        u = c - jnp.floor(c)
+        return jnp.minimum(jnp.floor(u * n), n - 1).astype(jnp.int32)
+
     def texture(tex, x):
         # NEAREST + REPEAT (render.c:512-517); audio textures are
         # single-channel GL_R16 -> vec4(r, 0, 0, 1). CONCRETE
         # coordinates stay numpy (mirroring the traced f32 op order
         # bitwise) so _fetch_1d can use the static sorted-block lookup.
+        if isinstance(tex, str) and tex == "prev":
+            # sampler2D prev: normalized vec2 -> texel indices, then
+            # the texelFetch routing (identity/shift fast paths and
+            # all the concrete-index machinery apply unchanged)
+            if not (isinstance(x, tuple) and len(x) == 2):
+                raise ShaderError("texture() on prev needs vec2 "
+                                  "coordinates")
+            return texelFetch(
+                "prev", (_norm_idx(x[0], w), _norm_idx(x[1], h)), 0)
         if isinstance(x, (np.ndarray, np.generic, int, float)):
             x32 = np.asarray(x).astype(np.float32)
             u = x32 - np.floor(x32)

@@ -1,0 +1,73 @@
+"""`texture(sampler2D prev, vec2 uv)` in the drop-in interpreter.
+
+The prev FBO texture is GL_NEAREST (render.c:545-547) with the GL
+default GL_REPEAT wrap; `texture()` maps normalized coords to texel
+indices and rides the texelFetch routing (identity/shift fast paths,
+concrete-index machinery, general fetch)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from glava_tpu.config import loader
+from glava_tpu.renderer import Renderer
+
+PASS1 = """
+in vec4 gl_FragCoord;
+out vec4 fragment;
+void main() {
+    fragment = vec4(gl_FragCoord.x / 16.0, gl_FragCoord.y / 8.0,
+                    0.25, 1.0);
+}
+"""
+
+PASS2 = """
+in vec4 gl_FragCoord;
+#request uniform "screen" screen
+uniform ivec2 screen;
+#request uniform "prev" tex
+uniform sampler2D tex;
+out vec4 fragment;
+void main() {
+    vec2 uv = vec2(gl_FragCoord.x / screen.x, gl_FragCoord.y / screen.y);
+    vec4 a = texture(tex, uv);                       // identity
+    vec4 b = texture(tex, vec2(uv.x + 1.0, uv.y));   // REPEAT wrap
+    vec4 m = texture(tex, vec2(1.0 - uv.x, uv.y));   // mirror (general)
+    vec4 c = texelFetch(tex, ivec2(gl_FragCoord.x, gl_FragCoord.y), 0);
+    fragment = vec4(a.r, b.r, m.r, c.r);
+}
+"""
+
+
+def _render(tmp_path, screen=(16, 8)):
+    mod = tmp_path / "tx"
+    mod.mkdir(parents=True, exist_ok=True)
+    (mod / "1.frag").write_text(PASS1)
+    (mod / "2.frag").write_text(PASS2)
+    (tmp_path / "rc.glsl").write_text(
+        f"#request mod tx\n"
+        f"#request setgeometry 0 0 {screen[0]} {screen[1]}\n"
+        "#request setbufsize 1024\n#request setsamplesize 256\n"
+        "#request setprintframes false\n")
+    lc = loader.load(user_dir=tmp_path)
+    r = Renderer(lc)
+    state = r.init_state()
+    step = r.jit_step()
+    rng = np.random.default_rng(0)
+    snap = jnp.asarray(
+        rng.standard_normal((2, lc.cfg.bufsize)).astype(np.float32) * 0.3)
+    for _ in range(3):
+        state, frame = step(state, snap, True, np.float32(0.0),
+                            np.float32(1.0), np.float32(0.05), {})
+    return np.asarray(frame)
+
+
+def test_texture_on_prev_identity_wrap_and_mirror(tmp_path):
+    f = _render(tmp_path)
+    r_pass1 = (np.arange(16) + 0.5) / 16.0  # pass-1 red = fragcoord.x/16
+    # identity texture() == texelFetch == pass-1 value
+    np.testing.assert_allclose(f[0, :, 0], f[0, :, 3], atol=1e-6)
+    np.testing.assert_allclose(f[0, :, 0], r_pass1, atol=1e-6)
+    # uv.x + 1.0 wraps (GL_REPEAT): identical column
+    np.testing.assert_allclose(f[0, :, 1], f[0, :, 0], atol=1e-6)
+    # 1 - uv.x mirrors: NEAREST texel of (1-u) is column 15-x
+    np.testing.assert_allclose(f[0, :, 2], r_pass1[::-1], atol=1e-6)

@@ -505,6 +505,27 @@ def _builtin_funcs() -> dict[str, Callable]:
 
         return ctor
 
+    # int/bool vector constructors: component casts matching the
+    # scalar int()/bool() builtins (float-everything design: int()
+    # truncates but stays float-dtyped)
+    _int_cast = lift1(lambda x: float(int(x)),
+                      _exact1(jnp.trunc, np.trunc))
+
+    def _bool_cast(x):
+        if isinstance(x, (bool, int, float)):
+            return bool(x)
+        if isinstance(x, (np.ndarray, np.generic)):
+            return np.asarray(x, bool)
+        return _jnp().asarray(x, bool)
+
+    def _cast_vecn(n, cast):
+        base = _vecn(n)
+
+        def ctor(*args):
+            return tuple(cast(c) for c in base(*args))
+
+        return ctor
+
     def _matn(n):
         def ctor(*args):
             if len(args) == 1 and isinstance(args[0], GlslMat):
@@ -618,6 +639,14 @@ def _builtin_funcs() -> dict[str, Callable]:
         "float": lift1(float, lambda x: x),
         "int": lift1(lambda x: float(int(x)),
                      _exact1(jnp.trunc, np.trunc)),
+        "uint": lift1(lambda x: float(int(x)),
+                      _exact1(jnp.trunc, np.trunc)),
+        "ivec2": _cast_vecn(2, _int_cast),
+        "ivec3": _cast_vecn(3, _int_cast),
+        "ivec4": _cast_vecn(4, _int_cast),
+        "bvec2": _cast_vecn(2, _bool_cast),
+        "bvec3": _cast_vecn(3, _bool_cast),
+        "bvec4": _cast_vecn(4, _bool_cast),
     }
 
 
@@ -992,7 +1021,8 @@ class _Parser:
             if val == "false":
                 return False
             if self.peek()[1] == "[" and val in (
-                "float", "int", "bool", "vec2", "vec3", "vec4"
+                "float", "int", "bool", "uint", "vec2", "vec3", "vec4",
+                "ivec2", "ivec3", "ivec4"
             ):
                 # array constructor: TYPE[size?](e0, e1, ...)
                 self.next()

@@ -188,7 +188,8 @@ class Continue:
     line: int = 0
 
 
-_TYPES = ("float", "int", "bool", "vec2", "vec3", "vec4",
+_TYPES = ("float", "int", "bool", "uint", "vec2", "vec3", "vec4",
+          "ivec2", "ivec3", "ivec4", "bvec2", "bvec3", "bvec4",
           "mat2", "mat3", "mat4", "highp", "lowp",
           "mediump", "const")
 
@@ -580,7 +581,9 @@ class ParsedShader:
     srcmap: list | None = None
 
 
-_FUNC_TYPES = "float|int|bool|void|vec2|vec3|vec4|highp|lowp|mediump"
+_FUNC_TYPES = ("float|int|bool|uint|void|vec2|vec3|vec4"
+               "|ivec2|ivec3|ivec4|bvec2|bvec3|bvec4"
+               "|highp|lowp|mediump")
 _FUNC_DEF = re.compile(
     rf"\b({_FUNC_TYPES})\s+(\w+)\s*\(([^)]*)\)\s*\{{"
 )
@@ -3224,6 +3227,14 @@ def make_builtins(prev, sz: int, h: int, w: int, smooth_fetch):
         _PROV_HITS[0] += 1
         return out
 
+    def textureSize(tex, _lod=0):
+        """ivec2 (screen) for the prev sampler2D, int texel count for
+        the 1-D audio textures — concrete numpy so downstream
+        coordinate math stays inspectable."""
+        if isinstance(tex, str) and tex == "prev":
+            return (np.int32(w), np.int32(h))
+        return np.int32(sz)
+
     def texelFetch(tex, idx, _lod=0):
         if isinstance(tex, str) and tex == "prev":
             if prev is None:
@@ -3346,6 +3357,8 @@ def make_builtins(prev, sz: int, h: int, w: int, smooth_fetch):
     return {
         "texture": texture,
         "texelFetch": texelFetch,
+        "textureLod": lambda tex, x, _lod=0: texture(tex, x),
+        "textureSize": textureSize,
         "ivec2": ivec2,
         "smooth_audio": smooth_audio,
         "smooth_audio_adj": smooth_audio_adj,

@@ -71,3 +71,49 @@ def test_texture_on_prev_identity_wrap_and_mirror(tmp_path):
     np.testing.assert_allclose(f[0, :, 1], f[0, :, 0], atol=1e-6)
     # 1 - uv.x mirrors: NEAREST texel of (1-u) is column 15-x
     np.testing.assert_allclose(f[0, :, 2], r_pass1[::-1], atol=1e-6)
+
+
+PASS2_SIZE = """
+in vec4 gl_FragCoord;
+#request uniform "prev" tex
+uniform sampler2D tex;
+#request uniform "audio_l" audio_l
+#request transform audio_l "fft"
+uniform sampler1D audio_l;
+out vec4 fragment;
+void main() {
+    ivec2 ts = textureSize(tex, 0);
+    int asz = textureSize(audio_l, 0);
+    vec2 uv = vec2(gl_FragCoord.x / ts.x, gl_FragCoord.y / ts.y);
+    vec4 a = textureLod(tex, uv, 0.0);
+    fragment = vec4(a.r, float(ts.x) / 32.0, float(ts.y) / 32.0,
+                    asz > 0 ? 1.0 : 0.0);
+}
+"""
+
+
+def test_texture_size_and_lod(tmp_path):
+    mod = tmp_path / "tx"
+    mod.mkdir(parents=True, exist_ok=True)
+    (mod / "1.frag").write_text(PASS1)
+    (mod / "2.frag").write_text(PASS2_SIZE)
+    (tmp_path / "rc.glsl").write_text(
+        "#request mod tx\n#request setgeometry 0 0 16 8\n"
+        "#request setbufsize 1024\n#request setsamplesize 256\n"
+        "#request setprintframes false\n")
+    lc = loader.load(user_dir=tmp_path)
+    r = Renderer(lc)
+    state = r.init_state()
+    step = r.jit_step()
+    rng = np.random.default_rng(0)
+    snap = jnp.asarray(
+        rng.standard_normal((2, lc.cfg.bufsize)).astype(np.float32) * 0.3)
+    for _ in range(3):
+        state, frame = step(state, snap, True, np.float32(0.0),
+                            np.float32(1.0), np.float32(0.05), {})
+    f = np.asarray(frame)
+    np.testing.assert_allclose(f[0, :, 0], (np.arange(16) + 0.5) / 16.0,
+                               atol=1e-6)
+    np.testing.assert_allclose(f[..., 1], 16.0 / 32.0, atol=1e-6)
+    np.testing.assert_allclose(f[..., 2], 8.0 / 32.0, atol=1e-6)
+    np.testing.assert_allclose(f[..., 3], 1.0, atol=1e-6)

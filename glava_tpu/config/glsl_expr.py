@@ -602,6 +602,108 @@ def _builtin_funcs() -> dict[str, Callable]:
             return tuple(core(e0, e1, c) for c in x)
         return core(e0, e1, x)
 
+    # -- geometric functions (GLSL 4.60 §8.5) ---------------------------
+    def _dot(a, b):
+        at = a if _is_vec(a) else (a,)
+        bt = b if _is_vec(b) else (b,)
+        if len(at) != len(bt):
+            raise ExprError("dot() needs equal-size vectors")
+        acc = None
+        for x, y in zip(at, bt):
+            t = _mul(x, y)
+            acc = t if acc is None else _add(acc, t)
+        return acc
+
+    sqrt1 = lift1(math.sqrt, _approx1(jnp.sqrt, np.sqrt))
+
+    def _length(a):
+        return sqrt1(_dot(a, a))
+
+    def _sub(a, b):
+        return _map2(lambda x, y: x - y, lambda x, y: x - y, a, b)
+
+    def _normalize(a):
+        ln = _length(a)
+        return _map2(lambda x, l: x / l, lambda x, l: x / l, a, ln)
+
+    def _cross(a, b):
+        if not (_is_vec(a) and _is_vec(b) and len(a) == 3 and len(b) == 3):
+            raise ExprError("cross() needs two vec3s")
+        return (
+            _sub(_mul(a[1], b[2]), _mul(a[2], b[1])),
+            _sub(_mul(a[2], b[0]), _mul(a[0], b[2])),
+            _sub(_mul(a[0], b[1]), _mul(a[1], b[0])),
+        )
+
+    def _reflect(i, n):
+        # I - 2 * dot(N, I) * N
+        return _sub(i, _mul(_mul(2.0, _dot(n, i)), n))
+
+    def _refract(i, n, eta):
+        d = _dot(n, i)
+        k = _sub(1.0, _mul(_mul(eta, eta), _sub(1.0, _mul(d, d))))
+        def sel(out_c):
+            kk = k if _np_like(k) else float(k)
+            if _np_like(kk):
+                if _is_jax(kk) or _is_jax(out_c):
+                    return jnp.where(kk < 0.0, 0.0, out_c)
+                return np.where(kk < 0.0, 0.0, out_c)
+            return 0.0 if kk < 0.0 else out_c
+        r = _sub(_mul(eta, i), _mul(_add(_mul(eta, d), sqrt1(gmax(k, 0.0))), n))
+        return tuple(sel(c) for c in r) if _is_vec(r) else sel(r)
+
+    def _faceforward(nv, i, nref):
+        d = _dot(nref, i)
+        def sel(a_c, b_c):
+            if _np_like(d):
+                if _is_jax(d) or _is_jax(a_c) or _is_jax(b_c):
+                    return jnp.where(d < 0.0, a_c, b_c)
+                return np.where(d < 0.0, a_c, b_c)
+            return a_c if d < 0.0 else b_c
+        neg = _map1(lambda x: -x, lambda x: -x, nv)
+        nt = nv if _is_vec(nv) else (nv,)
+        gt = neg if _is_vec(neg) else (neg,)
+        out = tuple(sel(a_c, b_c) for a_c, b_c in zip(nt, gt))
+        return out if _is_vec(nv) else out[0]
+
+    # -- vector relational (§8.7): componentwise bvec results -----------
+    def _rel(op):
+        def f(a, b):
+            if not (_is_vec(a) and _is_vec(b) and len(a) == len(b)):
+                raise ExprError("vector relational needs equal-size vectors")
+            return tuple(_map2(op, op, x, y) for x, y in zip(a, b))
+        return f
+
+    def _any(v):
+        if not _is_vec(v):
+            raise ExprError("any() needs a bvec")
+        acc = None
+        for c in v:
+            cb = (np.asarray(c, bool) if _host_concrete(c)
+                  else jnp.asarray(c, bool)) if _np_like(c) else bool(c)
+            acc = cb if acc is None else (
+                acc | cb if (_np_like(acc) or _np_like(cb)) else acc or cb)
+        return acc
+
+    def _all(v):
+        if not _is_vec(v):
+            raise ExprError("all() needs a bvec")
+        acc = None
+        for c in v:
+            cb = (np.asarray(c, bool) if _host_concrete(c)
+                  else jnp.asarray(c, bool)) if _np_like(c) else bool(c)
+            acc = cb if acc is None else (
+                acc & cb if (_np_like(acc) or _np_like(cb)) else acc and cb)
+        return acc
+
+    def _not(v):
+        if not _is_vec(v):
+            raise ExprError("not() needs a bvec")
+        return tuple(
+            (~np.asarray(c, bool) if _host_concrete(c)
+             else ~jnp.asarray(c, bool)) if _np_like(c) else (not c)
+            for c in v)
+
     return {
         "mix": mix,
         "clamp": clamp,
@@ -647,6 +749,49 @@ def _builtin_funcs() -> dict[str, Callable]:
         "bvec2": _cast_vecn(2, _bool_cast),
         "bvec3": _cast_vecn(3, _bool_cast),
         "bvec4": _cast_vecn(4, _bool_cast),
+        # geometric (§8.5)
+        "length": _length,
+        "distance": lambda a, b: _length(_sub(a, b)),
+        "dot": _dot,
+        "normalize": _normalize,
+        "cross": _cross,
+        "reflect": _reflect,
+        "refract": _refract,
+        "faceforward": _faceforward,
+        # vector relational (§8.7)
+        "greaterThan": _rel(lambda x, y: x > y),
+        "greaterThanEqual": _rel(lambda x, y: x >= y),
+        "lessThan": _rel(lambda x, y: x < y),
+        "lessThanEqual": _rel(lambda x, y: x <= y),
+        "equal": _rel(lambda x, y: x == y),
+        "notEqual": _rel(lambda x, y: x != y),
+        "any": _any,
+        "all": _all,
+        "not": _not,
+        # remaining common transcendentals / rounding (§8.1-8.3)
+        "asin": lift1(math.asin, _approx1(jnp.arcsin, np.arcsin)),
+        "acos": lift1(math.acos, _approx1(jnp.arccos, np.arccos)),
+        "sinh": lift1(math.sinh, _approx1(jnp.sinh, np.sinh)),
+        "cosh": lift1(math.cosh, _approx1(jnp.cosh, np.cosh)),
+        "tanh": lift1(math.tanh, _approx1(jnp.tanh, np.tanh)),
+        "exp2": lift1(lambda x: 2.0 ** x, _approx1(jnp.exp2, np.exp2)),
+        "log2": lift1(math.log2, _approx1(jnp.log2, np.log2)),
+        "inversesqrt": lift1(
+            lambda x: 1.0 / math.sqrt(x),
+            _approx1(lambda x: 1.0 / jnp.sqrt(x),
+                     lambda x: 1.0 / np.sqrt(x))),
+        "trunc": lift1(math.trunc, _exact1(jnp.trunc, np.trunc)),
+        "roundEven": lift1(round,  # python round IS round-half-even
+                           _exact1(jnp.round, np.round)),
+        "radians": lift1(math.radians,
+                         _exact1(lambda x: x * (jnp.pi / 180.0),
+                                 lambda x: x * (np.pi / 180.0))),
+        "degrees": lift1(math.degrees,
+                         _exact1(lambda x: x * (180.0 / jnp.pi),
+                                 lambda x: x * (180.0 / np.pi))),
+        "isnan": lift1(lambda x: x != x, _exact1(jnp.isnan, np.isnan)),
+        "isinf": lift1(lambda x: x in (float("inf"), float("-inf")),
+                       _exact1(jnp.isinf, np.isinf)),
     }
 
 

@@ -459,6 +459,17 @@ def _exact2(jf, nf):
     return g
 
 
+def _bitcast_j(x, to_float: bool):
+    import jax
+
+    jnp = _jnp()
+    if to_float:
+        return jax.lax.bitcast_convert_type(
+            jnp.asarray(x).astype(jnp.int32), jnp.float32)
+    return jax.lax.bitcast_convert_type(
+        jnp.asarray(x).astype(jnp.float32), jnp.int32)
+
+
 def _builtin_funcs() -> dict[str, Callable]:
     jnp = _jnp()
 
@@ -792,6 +803,15 @@ def _builtin_funcs() -> dict[str, Callable]:
         "isnan": lift1(lambda x: x != x, _exact1(jnp.isnan, np.isnan)),
         "isinf": lift1(lambda x: x in (float("inf"), float("-inf")),
                        _exact1(jnp.isinf, np.isinf)),
+        # bit casts (§8.3) — exact by definition
+        "floatBitsToInt": lift1(
+            lambda x: int(np.float32(x).view(np.int32)),
+            _exact1(lambda x: _bitcast_j(x, False),
+                    lambda x: np.asarray(x, np.float32).view(np.int32))),
+        "intBitsToFloat": lift1(
+            lambda x: float(np.int32(int(x)).view(np.float32)),
+            _exact1(lambda x: _bitcast_j(x, True),
+                    lambda x: np.asarray(x, np.int32).view(np.float32))),
     }
 
 

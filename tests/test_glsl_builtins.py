@@ -94,3 +94,23 @@ void main() {
     np.testing.assert_allclose(f[0, :, 1], u, atol=1e-5)
     np.testing.assert_allclose(f[0, :, 2], 0.5 + 0.125, atol=1e-6)
     np.testing.assert_allclose(f[0, :, 3], u, atol=1e-5)
+
+
+def test_bitcast_roundtrip(tmp_path):
+    frag = """
+in vec4 gl_FragCoord;
+out vec4 fragment;
+void main() {
+    float v = gl_FragCoord.x / 8.0 + 0.5;
+    int bits = floatBitsToInt(v);
+    float back = intBitsToFloat(bits);
+    fragment = vec4(back - 0.5, float((bits >> 23) & 255) / 255.0,
+                    0.0, 1.0);
+}
+"""
+    f = _render_module(tmp_path, "bc", frag, screen=(8, 2))
+    v = ((np.arange(8) + 0.5) / 8.0 + 0.5).astype(np.float32)
+    bits = v.view(np.int32)
+    np.testing.assert_allclose(f[0, :, 0], v - 0.5, atol=1e-6)
+    np.testing.assert_allclose(f[0, :, 1], ((bits >> 23) & 255) / 255.0,
+                               atol=1e-6)

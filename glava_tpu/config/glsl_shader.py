@@ -441,7 +441,27 @@ class _StmtParser:
                     return self._maybe_assign_expr(
                         Assign(name, items[1][1], op, expr, items[0][1]))
                 return AssignPath(name, items, op, expr)
+            if self.peek()[1] in ("++", "--"):
+                # postfix increment/decrement STATEMENT (value unused)
+                aop = "+=" if self.next()[1] == "++" else "-="
+                self.expect(";")
+                one = [("num", "1.0"), ("end", "")]
+                if not items:
+                    return Assign(name, None, aop, one)
+                if len(items) == 1 and items[0][0] == "m":
+                    return Assign(name, items[0][1], aop, one)
+                if len(items) == 1 and items[0][0] == "i":
+                    return Assign(name, None, aop, one, items[0][1])
+                return AssignPath(name, items, aop, one)
             self.pos = save
+        if v in ("++", "--"):
+            # prefix increment/decrement statement
+            aop = "+=" if self.next()[1] == "++" else "-="
+            kk, name = self.next()
+            if kk != "ident":
+                raise ShaderError(f"expected identifier after '{v}'")
+            self.expect(";")
+            return Assign(name, None, aop, [("num", "1.0"), ("end", "")])
         expr = self.collect_expr(stops=(";",))
         self.expect(";")
         inner = self._inner_assignment(expr)
@@ -469,13 +489,32 @@ class _StmtParser:
         at execution."""
         self.next()  # 'for'
         self.expect("(")
+        dtype = None
         while self._is_type(self.peek()[1]):
-            self.next()
+            t = self.next()[1]
+            if dtype is None and t not in ("highp", "lowp",
+                                           "mediump", "const"):
+                dtype = t
         k, var = self.next()
         if k != "ident":
             raise ShaderError("for-loop needs a simple counter variable")
         self.expect("=")
-        start = self.collect_expr(stops=(";",))
+        start = self.collect_expr(stops=(";", ","))
+        # extra declarators in the init (`for (int i = 0, j = 2; ...`):
+        # declared before the loop (GLSL scopes them to the loop; our
+        # flat-scope superset is harmless)
+        extra = []
+        while self.peek()[1] == ",":
+            self.next()
+            kk, nm = self.next()
+            if kk != "ident":
+                raise ShaderError(
+                    f"expected identifier in for-init, got {nm!r}")
+            init = None
+            if self.peek()[1] == "=":
+                self.next()
+                init = self.collect_expr(stops=(";", ","))
+            extra.append((nm, init, None))
         self.expect(";")
         k, cv = self.next()
         if cv != var:
@@ -503,7 +542,11 @@ class _StmtParser:
         self.expect(")")
         body = (self.parse_block() if self.peek()[1] == "{"
                 else [self.parse_stmt()])
-        return ForLoop(var, start, op, bound, step, body)
+        loop = ForLoop(var, start, op, bound, step, body)
+        if extra:
+            return If([("ident", "true"), ("end", "")],
+                      [Decl(extra, dtype=dtype), loop])
+        return loop
 
     def _inner_assignment(self, toks):
         """`( [(]ident[)] [.swz] = expr )` as a statement — the

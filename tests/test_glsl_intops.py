@@ -91,3 +91,27 @@ void main() {
     h = np.where(np.arange(8) < 4, x << 2, x >> 1)
     h = (h | 1) & 127
     np.testing.assert_allclose(f[0, :, 0], h / 128.0, atol=1e-6)
+
+
+def test_increment_statements_and_comma_for_init(tmp_path):
+    """`i++;`/`--i;`/`v.x++;` statements and extra declarators in a
+    for-init (`for (int i = 0, j = 2; ...)`)."""
+    frag = """
+in vec4 gl_FragCoord;
+out vec4 fragment;
+void main() {
+    float i = 0.0;
+    i++;
+    i += 1.0;
+    --i;
+    vec2 v = vec2(0.0, 0.25);
+    v.x++;
+    float s = 0.0;
+    for (int k = 0, j = 2; k < 3; k++) { s += float(j); }
+    fragment = vec4(i / 4.0, v.x / 2.0, s / 8.0, 1.0);
+}
+"""
+    f = _render_module(tmp_path, "inc", frag, screen=(4, 2))
+    np.testing.assert_allclose(f[..., 0], 0.25, atol=1e-6)  # i == 1
+    np.testing.assert_allclose(f[..., 1], 0.5, atol=1e-6)   # v.x == 1
+    np.testing.assert_allclose(f[..., 2], 0.75, atol=1e-6)  # s == 6

@@ -52,7 +52,7 @@ class Gen:
             if r.random() < 0.5 and self.floats:
                 return str(r.choice(self.floats))
             return f"{r.uniform(-1.5, 1.5):.3f}"
-        kind = r.integers(0, 6)
+        kind = r.integers(0, 8)
         a, b = self.expr(depth + 1), self.expr(depth + 1)
         if kind == 0:
             return f"({a} + {b})"
@@ -64,6 +64,13 @@ class Gen:
             return f"min({a}, {b})"
         if kind == 4:
             return f"abs({a})"
+        if kind == 5:
+            # geometric builtins stay bounded: length of a clamped vec
+            return (f"(length(vec2(clamp({a}, -2.0, 2.0), "
+                    f"clamp({b}, -2.0, 2.0))) * 0.25)")
+        if kind == 6:
+            return (f"(dot(normalize(vec2(1.0, 2.0)), "
+                    f"vec2(clamp({a}, -2.0, 2.0), 0.5)) * 0.5)")
         return f"mix({a}, {b}, 0.25)"
 
     def cond(self):

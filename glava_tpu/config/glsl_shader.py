@@ -787,7 +787,8 @@ def _strip_directives(text: str) -> str:
     for line in text.split("\n"):
         s = line.strip()
         if s.startswith("#") or re.match(
-                r"^(layout\s*\(.*\)\s*)?(in|out|uniform)\s+", s):
+                r"^(layout\s*\(.*\)\s*)?(in|out|uniform)\s+", s) \
+                or re.match(r"^precision\s+(highp|mediump|lowp)\s+", s):
             out.append("")  # keep line numbering intact for srcmaps
             continue
         out.append(line)

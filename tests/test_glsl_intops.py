@@ -115,3 +115,17 @@ void main() {
     np.testing.assert_allclose(f[..., 0], 0.25, atol=1e-6)  # i == 1
     np.testing.assert_allclose(f[..., 1], 0.5, atol=1e-6)   # v.x == 1
     np.testing.assert_allclose(f[..., 2], 0.75, atol=1e-6)  # s == 6
+
+
+def test_version_and_precision_lines_tolerated(tmp_path):
+    """Community shaders often carry `#version` and GLSL-ES
+    `precision` statements; both are handled out-of-band."""
+    frag = """
+#version 330
+precision mediump float;
+in vec4 gl_FragCoord;
+out vec4 fragment;
+void main() { fragment = vec4(0.5, 0.0, 0.0, 1.0); }
+"""
+    f = _render_module(tmp_path, "vp", frag, screen=(4, 2))
+    np.testing.assert_allclose(f[..., 0], 0.5, atol=1e-6)

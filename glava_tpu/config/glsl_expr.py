@@ -124,6 +124,10 @@ def _host_concrete(x) -> bool:
 def _host_concrete_tree(x) -> bool:
     if isinstance(x, tuple):
         return all(_host_concrete_tree(c) for c in x)
+    if isinstance(x, GlslStruct):
+        return all(_host_concrete_tree(c) for c in x.vals)
+    if isinstance(x, GlslMat):
+        return all(_host_concrete_tree(c) for col in x.cols for c in col)
     return _host_concrete(x)
 
 
@@ -822,7 +826,7 @@ _TOKEN_RE = re.compile(
     r"""
     (?P<ws>\s+)
   | (?P<color>\#[0-9a-fA-F]{1,8})
-  | (?P<num>(\d+\.\d*|\.\d+|\d+)([eE][+-]?\d+)?[fF]?)
+  | (?P<num>0[xX][0-9a-fA-F]+[uU]?|(\d+\.\d*|\.\d+|\d+)([eE][+-]?\d+)?[fFuU]?)
   | (?P<bind>@[A-Za-z_][A-Za-z0-9_]*:?)
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
   | (?P<op>\+\+|--|\+=|-=|\*=|/=|%=|<<=|>>=|&=|\|=|\^=|==|!=|<<|>>|<=|>=|&&|\|\||[-+*/%(),.<>?:!={};\[\]~^&|])
@@ -1029,17 +1033,16 @@ class _Parser:
         return self.bit_xor()
 
     def equality(self):
-        v = self.shift_expr()
-        while self.peek()[1] in ("==", "!=", "<", ">", "<=", ">="):
+        # GLSL/C: relational binds tighter than equality, so
+        # `a == b < c` parses as `a == (b < c)`
+        v = self.relational()
+        while self.peek()[1] in ("==", "!="):
             op = self.next()[1]
-            rhs = self.shift_expr()
+            rhs = self.relational()
             aggregate = (isinstance(v, (GlslStruct, GlslMat))
                          or isinstance(rhs, (GlslStruct, GlslMat))
                          or (isinstance(v, tuple) and isinstance(rhs, tuple)))
             if aggregate:
-                if op not in ("==", "!="):
-                    raise ExprError(
-                        f"'{op}' is not defined for aggregate types")
                 eq = _aggregate_eq(v, rhs)
                 if op == "==":
                     v = eq
@@ -1048,16 +1051,28 @@ class _Parser:
                 else:
                     v = ~_jnp().asarray(eq, bool)
                 continue
+            f = ((lambda a, b: a == b) if op == "=="
+                 else (lambda a, b: a != b))
+            v = _map2(f, f, v, rhs)
+        return v
+
+    def relational(self):
+        v = self.shift_expr()
+        while self.peek()[1] in ("<", ">", "<=", ">="):
+            op = self.next()[1]
+            rhs = self.shift_expr()
+            if isinstance(v, (GlslStruct, GlslMat)) \
+                    or isinstance(rhs, (GlslStruct, GlslMat)):
+                raise ExprError(
+                    f"'{op}' is not defined for aggregate types")
             table = {
-                "==": (lambda a, b: a == b, lambda a, b: a == b),
-                "!=": (lambda a, b: a != b, lambda a, b: a != b),
-                "<": (lambda a, b: a < b, lambda a, b: a < b),
-                ">": (lambda a, b: a > b, lambda a, b: a > b),
-                "<=": (lambda a, b: a <= b, lambda a, b: a <= b),
-                ">=": (lambda a, b: a >= b, lambda a, b: a >= b),
+                "<": lambda a, b: a < b,
+                ">": lambda a, b: a > b,
+                "<=": lambda a, b: a <= b,
+                ">=": lambda a, b: a >= b,
             }
-            f, fj = table[op]
-            v = _map2(f, fj, v, rhs)
+            f = table[op]
+            v = _map2(f, f, v, rhs)
         return v
 
     def shift_expr(self):
@@ -1168,7 +1183,10 @@ class _Parser:
     def primary(self):
         k, val = self.next()
         if k == "num":
-            return float(val.rstrip("fF"))
+            if val[:2] in ("0x", "0X"):
+                # hex digits include f/F — only strip the uint suffix
+                return float(int(val.rstrip("uU"), 16))
+            return float(val.rstrip("fFuU"))
         if k == "color":
             c = parse_color(val[1:])
             if c is None:

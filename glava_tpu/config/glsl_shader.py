@@ -544,8 +544,15 @@ class _StmtParser:
                 else [self.parse_stmt()])
         loop = ForLoop(var, start, op, bound, step, body)
         if extra:
+            # GLSL initializes declarators left-to-right: the counter
+            # first (extras may reference it), then the extras; the
+            # loop itself re-evaluates `start` (init expressions are
+            # side-effect-free in this subset). The literal-true If is
+            # the block idiom — the executor runs it under the
+            # UNCHANGED mask.
             return If([("ident", "true"), ("end", "")],
-                      [Decl(extra, dtype=dtype), loop])
+                      [Decl([(var, start, None)], dtype=dtype),
+                       Decl(extra, dtype=dtype), loop])
         return loop
 
     def _inner_assignment(self, toks):
@@ -1204,6 +1211,22 @@ class _Exec:
             # concrete conditions keep NUMPY masks so masked writes of
             # concrete values stay concrete (see _np_concrete)
             if _np_concrete(cond):
+                if not stmt.other:
+                    cnp = np.asarray(cond, bool)
+                    if cnp.all():
+                        # uniformly-true, no else: run the body under
+                        # the UNCHANGED mask — the `{ block }` idiom
+                        # and knob-gated `if (KNOB)` branches must not
+                        # demote a pristine mask to an all-true plane
+                        # (that would re-enable where-merges for every
+                        # write inside)
+                        self.run(stmt.then)
+                        return
+                    if not cnp.any():
+                        # uniformly-false, no else: untaken (GLSL
+                        # scoping makes its declarations invisible
+                        # anyway); skips tracing the whole body
+                        return
                 cond = np.broadcast_to(np.asarray(cond, bool),
                                        (self.h, self.w))
             else:
@@ -2812,6 +2835,12 @@ def _axis_pattern(vals, n):
         return ("shift", d)
     if d < 0 and np.array_equal(v, np.maximum(base + d, 0)):
         return ("clamp0", d)
+    # REPEAT wrap: out[c] = arr[(c + d) mod n] — the pattern
+    # normalized-coordinate texture() offsets produce (GL_REPEAT);
+    # implemented as a roll (two slices + one concat), NOT a gather
+    dw = int(v[0]) % n
+    if np.array_equal(v, (base + dw) % n):
+        return ("wrap", dw)
     return None
 
 
@@ -2830,6 +2859,12 @@ def _apply_axis(arr, pat, axis, n):
         return jnp.broadcast_to(arr[tuple(idx)], shape)
     if d == 0:
         return arr
+    if kind == "wrap":  # out[c] = arr[(c + d) mod n], 0 < d < n
+        hi = [slice(None)] * arr.ndim
+        idx[axis] = slice(d, n)
+        hi[axis] = slice(0, d)
+        return jnp.concatenate([arr[tuple(idx)], arr[tuple(hi)]],
+                               axis=axis)
     if kind == "clamp0":  # out[c] = arr[max(c + d, 0)], d < 0
         if d <= -n:  # every index clamps to 0
             idx[axis] = slice(0, 1)
@@ -2992,7 +3027,7 @@ def make_builtins(prev, sz: int, h: int, w: int, smooth_fetch):
     _HALO = 2
     _halo_zero = _halo_edge = None
     _prev_src = prev
-    if prev is not None and _mat_mode != "0":
+    if prev is not None and _mat_mode == "1":
         from jax import lax as _lax
         _prev_src = tuple(_lax.optimization_barrier(p) for p in prev)
     if prev is not None and _halo_mode != "0":

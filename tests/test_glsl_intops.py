@@ -129,3 +129,53 @@ void main() { fragment = vec4(0.5, 0.0, 0.0, 1.0); }
 """
     f = _render_module(tmp_path, "vp", frag, screen=(4, 2))
     np.testing.assert_allclose(f[..., 0], 0.5, atol=1e-6)
+
+
+def test_hex_and_uint_suffix_literals(tmp_path):
+    """0x... hex literals and u/U suffixes tokenize (idiomatic uint
+    hash shaders: `h &= 0x7fu; h ^= h >> 3u;`)."""
+    frag = """
+in vec4 gl_FragCoord;
+out vec4 fragment;
+void main() {
+    int h = int(gl_FragCoord.x) + 0x10;
+    h &= 0x7fu;
+    h ^= h >> 3u;
+    fragment = vec4(float(h) / 255.0, float(0xFF) / 255.0, 0.0, 1.0);
+}
+"""
+    f = _render_module(tmp_path, "hex", frag, screen=(8, 2))
+    h = (np.arange(8) + 0x10) & 0x7F
+    h = h ^ (h >> 3)
+    np.testing.assert_allclose(f[0, :, 0], h / 255.0, atol=1e-6)
+    np.testing.assert_allclose(f[0, :, 1], 1.0, atol=1e-6)
+
+
+def test_equality_binds_looser_than_relational(tmp_path):
+    """GLSL/C: `a == b < c` parses as `a == (b < c)`."""
+    frag = """
+in vec4 gl_FragCoord;
+out vec4 fragment;
+void main() {
+    float r = (0.0 == 2.0 < 3.0) ? 1.0 : 0.25;  // 0 == true -> false
+    fragment = vec4(r, 0.0, 0.0, 1.0);
+}
+"""
+    f = _render_module(tmp_path, "prel", frag, screen=(4, 2))
+    np.testing.assert_allclose(f[..., 0], 0.25, atol=1e-6)
+
+
+def test_for_init_extra_declarator_references_counter(tmp_path):
+    """`for (int i = 2, j = i; ...)`: declarators initialize
+    left-to-right, so j reads the fresh counter value."""
+    frag = """
+in vec4 gl_FragCoord;
+out vec4 fragment;
+void main() {
+    float s = 0.0;
+    for (int i = 2, j = i; i < 4; i++) { s += float(j); }
+    fragment = vec4(s / 8.0, 0.0, 0.0, 1.0);
+}
+"""
+    f = _render_module(tmp_path, "fic", frag, screen=(4, 2))
+    np.testing.assert_allclose(f[..., 0], 0.5, atol=1e-6)  # 2+2 = 4

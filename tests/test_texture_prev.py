@@ -117,3 +117,39 @@ def test_texture_size_and_lod(tmp_path):
     np.testing.assert_allclose(f[..., 1], 16.0 / 32.0, atol=1e-6)
     np.testing.assert_allclose(f[..., 2], 8.0 / 32.0, atol=1e-6)
     np.testing.assert_allclose(f[..., 3], 1.0, atol=1e-6)
+
+
+def test_wrap_pattern_classified_not_gathered():
+    """REPEAT-wrapped offset indices ([d, d+1, .., n-1, 0, .., d-1]
+    shifted) classify as a 'wrap' axis pattern (lowered as a roll —
+    two slices + one concat), NOT the pathological 2-D gather."""
+    from glava_tpu.config.glsl_shader import _axis_pattern
+
+    n = 16
+    base = np.arange(n)
+    # texture(tex, uv.x - 1/W): index (x - 1) mod n
+    assert _axis_pattern((base - 1) % n, n) == ("wrap", n - 1)
+    assert _axis_pattern((base + 3) % n, n) == ("wrap", 3)
+    # plain shift/clamp0/const still classify as themselves
+    assert _axis_pattern(base + 2, n) == ("shift", 2)
+    assert _axis_pattern(np.maximum(base - 1, 0), n) == ("clamp0", -1)
+    assert _axis_pattern(np.full(n, 5), n) == ("const", 5)
+
+
+def test_concrete_struct_ternary_stays_numpy():
+    """A ?: on fully host-concrete structs must select in numpy — one
+    jnp op would turn the coordinate-derived fields into tracers and
+    defeat the concrete fast paths (CLAUDE.md invariant)."""
+    from glava_tpu.config import glsl_expr as ge
+
+    cond = np.arange(8) < 4
+    s1 = ge.GlslStruct("S", ("a", "b"), (np.float32(1.0),
+                                         np.arange(8, dtype=np.float32)))
+    s2 = ge.GlslStruct("S", ("a", "b"), (np.float32(2.0),
+                                         np.zeros(8, np.float32)))
+    env = ge.Env(variables={"c": cond, "s1": s1, "s2": s2})
+    out = ge.evaluate("c ? s1 : s2", env)
+    assert isinstance(out, ge.GlslStruct)
+    for v in out.vals:
+        assert isinstance(v, np.ndarray), type(v)
+    np.testing.assert_allclose(out.get("a"), np.where(cond, 1.0, 2.0))

@@ -120,10 +120,28 @@ class ScalarExec:
             return (a + b + c) / 3.0
 
         def texture(tex, x):
+            if isinstance(tex, str) and tex == "prev":
+                # NEAREST + GL_REPEAT on the prev FBO texture
+                if self.prev is None:
+                    raise ShaderError("`prev` sampled in the first pass")
+                h, w = self.prev.shape[:2]
+
+                def nidx(c, n):
+                    u = float(c) - np.floor(float(c))
+                    return int(min(np.floor(u * np.float32(n)), n - 1))
+
+                return tuple(float(c) for c in
+                             self.prev[nidx(x[1], h), nidx(x[0], w)])
             u = float(x) - np.floor(float(x))
             i = int(min(np.floor(u * np.float32(sz)), sz - 1))
             v = self._fetch_audio(tex, i)
             return (v, 0.0, 0.0, 1.0)
+
+        def textureSize(tex, _lod=0):
+            if isinstance(tex, str) and tex == "prev":
+                h, w = self.prev.shape[:2] if self.prev is not None                     else (0, 0)
+                return (float(w), float(h))
+            return float(sz)
 
         def ivec2(x, y):
             # GL int cast truncates toward zero
@@ -146,6 +164,8 @@ class ScalarExec:
         return {
             "texture": texture,
             "texelFetch": texelFetch,
+            "textureLod": lambda tex, x, _lod=0: texture(tex, x),
+            "textureSize": textureSize,
             "ivec2": ivec2,
             "smooth_audio": smooth_audio,
             "smooth_audio_adj": smooth_audio_adj,

@@ -240,3 +240,15 @@ def test_reference_shaders_match_oracle(tmp_path, module, knobs):
                 bad += 1
     total = len(r.module.passes) * len(xs)
     assert bad <= total * 0.05, f"{bad}/{total} sampled pixels diverge"
+
+
+def test_rings_example_matches_oracle(tmp_path):
+    """The shipped community-style example module (docs/examples/rings)
+    through the oracle differential: structs, bit-hash dither, mat2,
+    geometric builtins and normalized-coord texture() smearing per
+    pixel with REAL control flow vs the vectorized executor."""
+    ex = Path(__file__).resolve().parent.parent / "docs/examples/rings"
+    lc = _build(tmp_path, "rings",
+                [(ex / "1.frag").read_text(), (ex / "2.frag").read_text()],
+                screen=(48, 36))
+    _check(lc)

@@ -430,6 +430,39 @@ def main() -> None:
     except Exception as e:
         print(f"device-p50 bench skipped: {e}", file=__import__("sys").stderr)
 
+    # ---- BASELINE stretch config #5: 80-bin log-mel frontend ------------
+    # Whisper-style features (512-pt frames, 80 mels) through the same
+    # packed-FFT matmuls; honest protocol (scan, fresh frames per
+    # iteration, scalar probe, two-point slope).
+    logmel_frames_per_s = None
+    try:
+        from glava_tpu.models import mel as mel_mod
+
+        BM, KM = 1024, 16
+        rngm = np.random.default_rng(11)
+        frm = jnp.asarray(
+            rngm.standard_normal((BM, 512)).astype(np.float32) * 0.2)
+
+        def mel_scan(frames0):
+            def body(acc, k):
+                feats = mel_mod.log_mel(frames0 * (1.0 + 1e-3 * k))
+                return acc + feats[0, 0] + feats[-1, -1], None
+
+            acc, _ = jax.lax.scan(body, jnp.float32(0.0),
+                                  jnp.arange(KM, dtype=jnp.float32))
+            return acc
+
+        jm = jax.jit(mel_scan)
+        float(jm(frm))
+
+        def mel_once():
+            return jm(frm)
+
+        dt_mel = probed_slope(mel_once, 2, 6) / KM
+        logmel_frames_per_s = BM / dt_mel
+    except Exception as e:
+        print(f"logmel bench skipped: {e}", file=__import__("sys").stderr)
+
     # ---- p50 PCM->frame latency (single stream, single dispatch) --------
     # Includes the synchronous host round trip — tunnel-bound in this
     # environment; np.asarray is a true fetch so this was always honest.
@@ -487,6 +520,10 @@ def main() -> None:
             if device_p50_ms else None,
             "p50_pcm_to_frame_ms_single_dispatch_tunnel": round(p50_ms, 3)
             if p50_ms else None,
+            # BASELINE stretch config #5: Whisper-style 80-bin log-mel
+            # frames/s through the shared packed-FFT matmuls
+            "logmel_frames_per_s": round(logmel_frames_per_s, 1)
+            if logmel_frames_per_s else None,
         },
     }
     print(json.dumps(result))

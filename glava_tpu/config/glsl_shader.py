@@ -142,11 +142,12 @@ class ForLoop:
 
     var: str
     start: list          # init expression tokens
-    cond_op: str         # '<' or '<='
+    cond_op: str         # '<', '<=', '>' or '>='
     bound: list          # bound expression tokens
-    step: list | None    # step expression tokens (None = 1)
+    step: list | None    # step MAGNITUDE tokens (None = 1)
     body: list
     line: int = 0
+    step_sign: int = 1   # -1 for decrementing loops (i--, i -= k)
 
 
 @dataclass
@@ -520,21 +521,28 @@ class _StmtParser:
         if cv != var:
             raise ShaderError("for-loop condition must test the counter")
         op = self.next()[1]
-        if op not in ("<", "<="):
+        if op not in ("<", "<=", ">", ">="):
             raise ShaderError(f"unsupported for-loop comparison '{op}'")
         bound = self.collect_expr(stops=(";",))
         self.expect(";")
-        # increment: i++ / ++i / i += k / i = i + k
+        # increment: i++ / ++i / i += k / i = i + k, and the
+        # decrementing forms i-- / --i / i -= k / i = i - k
         step = None
+        sign = 1
         inc = self.collect_expr(stops=(")",))
         inc_t = [x for x in inc if x[0] != "end"]
         vals = [x[1] for x in inc_t]
         if vals in ([var, "++"], ["++", var]):
             step = None
-        elif len(inc_t) >= 3 and vals[0] == var and vals[1] == "+=":
+        elif vals in ([var, "--"], ["--", var]):
+            step, sign = None, -1
+        elif len(inc_t) >= 3 and vals[0] == var and vals[1] in ("+=", "-="):
             step = inc_t[2:] + [("end", "")]
-        elif len(inc_t) >= 5 and vals[:4] == [var, "=", var, "+"]:
+            sign = 1 if vals[1] == "+=" else -1
+        elif len(inc_t) >= 5 and vals[:4] in ([var, "=", var, "+"],
+                                              [var, "=", var, "-"]):
             step = inc_t[4:] + [("end", "")]
+            sign = 1 if vals[3] == "+" else -1
         else:
             raise ShaderError(
                 f"unsupported for-loop increment {' '.join(vals)!r}"
@@ -542,7 +550,8 @@ class _StmtParser:
         self.expect(")")
         body = (self.parse_block() if self.peek()[1] == "{"
                 else [self.parse_stmt()])
-        loop = ForLoop(var, start, op, bound, step, body)
+        loop = ForLoop(var, start, op, bound, step, body,
+                       step_sign=sign)
         if extra:
             # GLSL initializes declarators left-to-right: the counter
             # first (extras may reference it), then the extras; the
@@ -1393,19 +1402,25 @@ class _Exec:
                          ("op", "(")] + [t for t in stmt.bound
                                          if t[0] != "end"]
                         + [("op", ")"), ("end", "")])
-                inc = Assign(stmt.var, None, "+=",
+                inc = Assign(stmt.var, None,
+                             "+=" if stmt.step_sign > 0 else "-=",
                              stmt.step if stmt.step is not None
                              else [("num", "1"), ("end", "")])
                 self._while_loop(WhileLoop(cond, list(stmt.body),
                                            epilogue=[inc]))
                 return
             if step <= 0:
-                raise ShaderError("for-loop step must be positive")
+                raise ShaderError(
+                    "for-loop step magnitude must be positive")
+            step *= stmt.step_sign
+            cmp = {"<": lambda a, b: a < b, "<=": lambda a, b: a <= b,
+                   ">": lambda a, b: a > b, ">=": lambda a, b: a >= b}[
+                       stmt.cond_op]
             count = 0
             ctx = {"broken": None, "continued": None}
             self._loop_stack.append(ctx)
             try:
-                while (i < bound if stmt.cond_op == "<" else i <= bound):
+                while cmp(i, bound):
                     if count >= self._MAX_UNROLL:
                         raise ShaderError(
                             f"for-loop exceeds {self._MAX_UNROLL} iterations"

@@ -373,8 +373,9 @@ class ScalarExec:
             var = stmt.var
             had, old = var in env.variables, env.variables.get(var)
             env.variables[var] = self._eval(stmt.start)
-            cmp = (lambda a, b: a < b) if stmt.cond_op == "<" \
-                else (lambda a, b: a <= b)
+            cmp = {"<": lambda a, b: a < b, "<=": lambda a, b: a <= b,
+                   ">": lambda a, b: a > b, ">=": lambda a, b: a >= b}[
+                       stmt.cond_op]
             fuel = 0
             while cmp(float(env.variables[var]),
                       float(self._eval(stmt.bound))):
@@ -389,7 +390,8 @@ class ScalarExec:
                     break
                 step = (self._eval(stmt.step)
                         if stmt.step is not None else 1.0)
-                env.variables[var] = float(env.variables[var]) + float(step)
+                env.variables[var] = (float(env.variables[var])
+                                      + stmt.step_sign * float(step))
             if had:
                 env.variables[var] = old
             # (vectorized keeps the counter in scope too; harmless)

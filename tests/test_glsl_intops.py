@@ -179,3 +179,28 @@ void main() {
 """
     f = _render_module(tmp_path, "fic", frag, screen=(4, 2))
     np.testing.assert_allclose(f[..., 0], 0.5, atol=1e-6)  # 2+2 = 4
+
+
+def test_decrementing_for_loops(tmp_path):
+    """`for (i = N; i > 0; i--)` and `i -= k` decrementing forms, both
+    concrete-unrolled and with a data-dependent bound."""
+    frag = """
+in vec4 gl_FragCoord;
+out vec4 fragment;
+void main() {
+    float s = 0.0;
+    for (int i = 4; i > 0; i--) { s += float(i); }       // 4+3+2+1
+    float t = 0.0;
+    for (float k = 1.0; k >= 0.25; k -= 0.25) { t += k; } // 1+.75+.5+.25
+    float u = 0.0;
+    float lim = gl_FragCoord.x;  // per-pixel bound -> while lowering
+    for (float m = 3.0; m > lim; m -= 1.0) { u += 1.0; }
+    fragment = vec4(s / 16.0, t / 4.0, u / 4.0, 1.0);
+}
+"""
+    f = _render_module(tmp_path, "dec", frag, screen=(8, 2))
+    np.testing.assert_allclose(f[..., 0], 10.0 / 16.0, atol=1e-6)
+    np.testing.assert_allclose(f[..., 1], 2.5 / 4.0, atol=1e-6)
+    x = np.arange(8) + 0.5
+    u = np.maximum(np.ceil(3.0 - x), 0)  # iterations of m=3,2,... > x
+    np.testing.assert_allclose(f[0, :, 2], u / 4.0, atol=1e-6)

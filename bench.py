@@ -446,7 +446,11 @@ def main() -> None:
         def mel_scan(frames0):
             def body(acc, k):
                 feats = mel_mod.log_mel(frames0 * (1.0 + 1e-3 * k))
-                return acc + feats[0, 0] + feats[-1, -1], None
+                # FULL reduction into the carry: probing single
+                # elements would let XLA narrow the mel matmul to the
+                # probed rows (the raster-DCE failure mode in the
+                # measurement protocol)
+                return acc + feats.sum(), None
 
             acc, _ = jax.lax.scan(body, jnp.float32(0.0),
                                   jnp.arange(KM, dtype=jnp.float32))

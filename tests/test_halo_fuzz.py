@@ -52,9 +52,16 @@ def gen_tap_frag(rng):
     for _ in range(n):
         dx = int(rng.integers(-3, 4))
         dy = int(rng.integers(-3, 4))
-        taps.append(
-            f"texelFetch(tex, ivec2(gl_FragCoord.x + {dx}, "
-            f"gl_FragCoord.y + {dy}), 0)")
+        if rng.random() < 0.3:
+            # normalized texture() tap: NEAREST + GL_REPEAT — the
+            # 'wrap' axis pattern (rolls, not gathers)
+            taps.append(
+                f"texture(tex, vec2((gl_FragCoord.x + ({dx}.0)) / "
+                f"screen.x, (gl_FragCoord.y + ({dy}.0)) / screen.y))")
+        else:
+            taps.append(
+                f"texelFetch(tex, ivec2(gl_FragCoord.x + {dx}, "
+                f"gl_FragCoord.y + {dy}), 0)")
     body = " + ".join(taps)
     return f"""
 in vec4 gl_FragCoord;
@@ -69,8 +76,8 @@ void main() {{
 """
 
 
-def _render_pair(tmp_path, frag2, halo):
-    d = tmp_path / ("h" + halo)
+def _render_pair(tmp_path, frag2, halo, mat=None):
+    d = tmp_path / ("h" + halo + (mat or ""))
     mod = d / "eq"
     mod.mkdir(parents=True)
     (mod / "1.frag").write_text(PASS1)
@@ -81,7 +88,10 @@ def _render_pair(tmp_path, frag2, halo):
         "#request setprintframes false\n"
     )
     old = os.environ.get("GLAVA_TPU_PREV_HALO")
+    oldm = os.environ.get("GLAVA_TPU_PREV_MAT")
     os.environ["GLAVA_TPU_PREV_HALO"] = halo
+    if mat is not None:
+        os.environ["GLAVA_TPU_PREV_MAT"] = mat
     try:
         lc = loader.load(user_dir=d)
         r = Renderer(lc)
@@ -108,6 +118,11 @@ def _render_pair(tmp_path, frag2, halo):
             os.environ.pop("GLAVA_TPU_PREV_HALO", None)
         else:
             os.environ["GLAVA_TPU_PREV_HALO"] = old
+        if mat is not None:
+            if oldm is None:
+                os.environ.pop("GLAVA_TPU_PREV_MAT", None)
+            else:
+                os.environ["GLAVA_TPU_PREV_MAT"] = oldm
 
 
 @pytest.mark.parametrize("seed", range(12))
@@ -119,6 +134,10 @@ def test_random_taps_halo_vs_concat_vs_oracle(tmp_path, seed):
     assert np.array_equal(outs_halo[1], outs_off[1]), (
         f"seed {seed}: halo fetch diverges from the concat path "
         f"(max {np.abs(outs_halo[1] - outs_off[1]).max()})\n{frag2}")
+    # the tap-source materialization barrier must be value-identity
+    _, outs_mat, _ = _render_pair(tmp_path, frag2, "zero", mat="1")
+    assert np.array_equal(outs_mat[1], outs_halo[1]), (
+        f"seed {seed}: PREV_MAT=1 diverges\n{frag2}")
     fn = r.module.passes[1]
     sz = tex_np[next(iter(tex_np))].shape[-1]
     for x in (0, 1, 3, 20, 38, 39):

@@ -347,16 +347,18 @@ def _bool_all(parts):
 def _sel_tree(sel, a, b):
     """Per-pixel select over matching aggregate values (structs, mats,
     component tuples, scalars), fieldwise/elementwise recursive."""
-    if isinstance(a, GlslStruct):
-        if not (isinstance(b, GlslStruct) and a.typename == b.typename
-                and a.names == b.names):
-            raise ExprError("select on mismatched struct types")
+    if isinstance(a, GlslStruct) or isinstance(b, GlslStruct):
+        if not (isinstance(a, GlslStruct) and isinstance(b, GlslStruct)
+                and a.typename == b.typename and a.names == b.names):
+            raise ExprError("select needs two values of the same "
+                            "struct type")
         return GlslStruct(a.typename, a.names,
                           [_sel_tree(sel, x, y)
                            for x, y in zip(a.vals, b.vals)])
-    if isinstance(a, GlslMat):
-        if not (isinstance(b, GlslMat) and a.n == b.n):
-            raise ExprError("select on mismatched matrix sizes")
+    if isinstance(a, GlslMat) or isinstance(b, GlslMat):
+        if not (isinstance(a, GlslMat) and isinstance(b, GlslMat)
+                and a.n == b.n):
+            raise ExprError("select needs two matrices of the same size")
         return _mat_zip(sel, sel, a, b)
     if isinstance(a, tuple) or isinstance(b, tuple):
         if not (isinstance(a, tuple) and isinstance(b, tuple)
@@ -474,7 +476,20 @@ def _bitcast_j(x, to_float: bool):
         jnp.asarray(x).astype(jnp.float32), jnp.int32)
 
 
+_BUILTIN_FUNCS: dict | None = None
+
+
 def _builtin_funcs() -> dict[str, Callable]:
+    """Builtin table, built ONCE (a _Parser is created per evaluated
+    expression — rebuilding ~100 stateless closures each time was pure
+    trace-time overhead). Returns a copy so callers may shadow."""
+    global _BUILTIN_FUNCS
+    if _BUILTIN_FUNCS is None:
+        _BUILTIN_FUNCS = _make_builtin_funcs()
+    return dict(_BUILTIN_FUNCS)
+
+
+def _make_builtin_funcs() -> dict[str, Callable]:
     jnp = _jnp()
 
     def lift1(pyf, jf):
@@ -654,31 +669,29 @@ def _builtin_funcs() -> dict[str, Callable]:
         # I - 2 * dot(N, I) * N
         return _sub(i, _mul(_mul(2.0, _dot(n, i)), n))
 
+    def _where_lt0(c, a_c, b_c):
+        """a_c where c < 0 else b_c, scalar/plane dispatch."""
+        if not _np_like(c):
+            return a_c if c < 0.0 else b_c
+        if _is_jax(c) or _is_jax(a_c) or _is_jax(b_c):
+            return jnp.where(c < 0.0, a_c, b_c)
+        return np.where(c < 0.0, a_c, b_c)
+
     def _refract(i, n, eta):
         d = _dot(n, i)
         k = _sub(1.0, _mul(_mul(eta, eta), _sub(1.0, _mul(d, d))))
-        def sel(out_c):
-            kk = k if _np_like(k) else float(k)
-            if _np_like(kk):
-                if _is_jax(kk) or _is_jax(out_c):
-                    return jnp.where(kk < 0.0, 0.0, out_c)
-                return np.where(kk < 0.0, 0.0, out_c)
-            return 0.0 if kk < 0.0 else out_c
-        r = _sub(_mul(eta, i), _mul(_add(_mul(eta, d), sqrt1(gmax(k, 0.0))), n))
-        return tuple(sel(c) for c in r) if _is_vec(r) else sel(r)
+        r = _sub(_mul(eta, i),
+                 _mul(_add(_mul(eta, d), sqrt1(gmax(k, 0.0))), n))
+        if _is_vec(r):
+            return tuple(_where_lt0(k, 0.0, c) for c in r)
+        return _where_lt0(k, 0.0, r)
 
     def _faceforward(nv, i, nref):
         d = _dot(nref, i)
-        def sel(a_c, b_c):
-            if _np_like(d):
-                if _is_jax(d) or _is_jax(a_c) or _is_jax(b_c):
-                    return jnp.where(d < 0.0, a_c, b_c)
-                return np.where(d < 0.0, a_c, b_c)
-            return a_c if d < 0.0 else b_c
         neg = _map1(lambda x: -x, lambda x: -x, nv)
         nt = nv if _is_vec(nv) else (nv,)
         gt = neg if _is_vec(neg) else (neg,)
-        out = tuple(sel(a_c, b_c) for a_c, b_c in zip(nt, gt))
+        out = tuple(_where_lt0(d, a_c, b_c) for a_c, b_c in zip(nt, gt))
         return out if _is_vec(nv) else out[0]
 
     # -- vector relational (§8.7): componentwise bvec results -----------
@@ -689,35 +702,36 @@ def _builtin_funcs() -> dict[str, Callable]:
             return tuple(_map2(op, op, x, y) for x, y in zip(a, b))
         return f
 
-    def _any(v):
-        if not _is_vec(v):
-            raise ExprError("any() needs a bvec")
-        acc = None
-        for c in v:
-            cb = (np.asarray(c, bool) if _host_concrete(c)
-                  else jnp.asarray(c, bool)) if _np_like(c) else bool(c)
-            acc = cb if acc is None else (
-                acc | cb if (_np_like(acc) or _np_like(cb)) else acc or cb)
-        return acc
+    def _as_bool(c):
+        if not _np_like(c):
+            return bool(c)
+        return (np.asarray(c, bool) if _host_concrete(c)
+                else jnp.asarray(c, bool))
 
-    def _all(v):
-        if not _is_vec(v):
-            raise ExprError("all() needs a bvec")
-        acc = None
-        for c in v:
-            cb = (np.asarray(c, bool) if _host_concrete(c)
-                  else jnp.asarray(c, bool)) if _np_like(c) else bool(c)
-            acc = cb if acc is None else (
-                acc & cb if (_np_like(acc) or _np_like(cb)) else acc and cb)
-        return acc
+    def _bvec_fold(name, combine_np, combine_py):
+        def fold(v):
+            if not _is_vec(v):
+                raise ExprError(f"{name}() needs a bvec")
+            acc = None
+            for c in v:
+                cb = _as_bool(c)
+                if acc is None:
+                    acc = cb
+                elif _np_like(acc) or _np_like(cb):
+                    acc = combine_np(acc, cb)
+                else:
+                    acc = combine_py(acc, cb)
+            return acc
+        return fold
+
+    _any = _bvec_fold("any", lambda a, b: a | b, lambda a, b: a or b)
+    _all = _bvec_fold("all", lambda a, b: a & b, lambda a, b: a and b)
 
     def _not(v):
         if not _is_vec(v):
             raise ExprError("not() needs a bvec")
-        return tuple(
-            (~np.asarray(c, bool) if _host_concrete(c)
-             else ~jnp.asarray(c, bool)) if _np_like(c) else (not c)
-            for c in v)
+        return tuple((not c) if not _np_like(c) else ~_as_bool(c)
+                     for c in v)
 
     return {
         "mix": mix,
@@ -952,20 +966,10 @@ class _Parser:
                     def sel(x, y):
                         return jnp.where(cond, x, y)
 
-                if isinstance(a, GlslStruct) or isinstance(b, GlslStruct):
-                    if not (isinstance(a, GlslStruct)
-                            and isinstance(b, GlslStruct)
-                            and a.typename == b.typename
-                            and a.names == b.names):
-                        raise ExprError("'?:' needs two values of the "
-                                        "same struct type")
+                if isinstance(a, (GlslStruct, GlslMat)) \
+                        or isinstance(b, (GlslStruct, GlslMat)):
+                    # _sel_tree validates struct/matrix shape matches
                     return _sel_tree(sel, a, b)
-                if isinstance(a, GlslMat) or isinstance(b, GlslMat):
-                    if not (isinstance(a, GlslMat) and isinstance(b, GlslMat)
-                            and a.n == b.n):
-                        raise ExprError("'?:' needs two matrices of the "
-                                        "same size")
-                    return _mat_zip(sel, sel, a, b)
                 if _is_vec(a) or _is_vec(b):
                     at = a if _is_vec(a) else (a,) * len(b)
                     bt = b if _is_vec(b) else (b,) * len(at)

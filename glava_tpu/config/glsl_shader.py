@@ -2950,16 +2950,7 @@ def make_builtins(prev, sz: int, h: int, w: int, smooth_fetch):
                                   "coordinates")
             return texelFetch(
                 "prev", (_norm_idx(x[0], w), _norm_idx(x[1], h)), 0)
-        if isinstance(x, (np.ndarray, np.generic, int, float)):
-            x32 = np.asarray(x).astype(np.float32)
-            u = x32 - np.floor(x32)
-            i = np.minimum(np.floor(u * np.float32(sz)),
-                           sz - 1).astype(np.int32)
-        else:  # traced or eager device values stay jnp
-            x = jnp.asarray(x)
-            u = x - jnp.floor(x)
-            i = jnp.minimum(jnp.floor(u * sz), sz - 1).astype(jnp.int32)
-        v = _fetch_1d(tex, i, sz)
+        v = _fetch_1d(tex, _norm_idx(x, sz), sz)
         return (v, jnp.zeros_like(v), jnp.zeros_like(v), jnp.ones_like(v))
 
     def _prev_const_shift(xi, yi):

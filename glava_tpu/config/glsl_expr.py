@@ -778,6 +778,9 @@ def _make_builtin_funcs() -> dict[str, Callable]:
         "bvec2": _cast_vecn(2, _bool_cast),
         "bvec3": _cast_vecn(3, _bool_cast),
         "bvec4": _cast_vecn(4, _bool_cast),
+        "uvec2": _cast_vecn(2, _int_cast),
+        "uvec3": _cast_vecn(3, _int_cast),
+        "uvec4": _cast_vecn(4, _int_cast),
         # geometric (§8.5)
         "length": _length,
         "distance": lambda a, b: _length(_sub(a, b)),

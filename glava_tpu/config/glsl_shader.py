@@ -191,6 +191,7 @@ class Continue:
 
 _TYPES = ("float", "int", "bool", "uint", "vec2", "vec3", "vec4",
           "ivec2", "ivec3", "ivec4", "bvec2", "bvec3", "bvec4",
+          "uvec2", "uvec3", "uvec4",
           "mat2", "mat3", "mat4", "highp", "lowp",
           "mediump", "const")
 
@@ -641,7 +642,7 @@ class ParsedShader:
 
 
 _FUNC_TYPES = ("float|int|bool|uint|void|vec2|vec3|vec4"
-               "|ivec2|ivec3|ivec4|bvec2|bvec3|bvec4"
+               "|ivec2|ivec3|ivec4|bvec2|bvec3|bvec4|uvec2|uvec3|uvec4"
                "|highp|lowp|mediump")
 _FUNC_DEF = re.compile(
     rf"\b({_FUNC_TYPES})\s+(\w+)\s*\(([^)]*)\)\s*\{{"

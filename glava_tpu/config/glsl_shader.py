@@ -3025,18 +3025,31 @@ def make_builtins(prev, sz: int, h: int, w: int, smooth_fetch):
     # tap then slices. Per-channel (not tuple) so channel DCE survives;
     # center (0,0) fetches keep the unbarriered planes so pure
     # passthrough/select passes still fuse across the pass boundary
-    # (load-bearing for interpreted graph). GLAVA_TPU_PREV_MAT=1
-    # enables; default OFF until the one-process TPU A/B decides
-    # (scripts/exp_prevmat_ab.py) — the CPU proxy strips opt-barriers
-    # before fusion, so only a real-TPU measurement can validate it.
+    # (load-bearing for interpreted graph). Default is SIZE-GATED by
+    # the one-process TPU A/Bs (scripts/exp_prevmat_ab.py +
+    # exp_tapmat_native_ab.py, v5e): @1080p the barrier never loses
+    # (interpreted wave +3.1x, radial +14%), at 512x256 the native
+    # path loses 2-6x fusion draws — barrier on iff the plane has
+    # >= PREV_MAT_MIN_ELEMS elements. GLAVA_TPU_PREV_MAT=1 forces
+    # on, =0 forces off. The CPU proxy strips opt-barriers before
+    # fusion, so only real-TPU measurements can re-validate this.
     _halo_mode = _os.environ.get("GLAVA_TPU_PREV_HALO", "zero")
-    _mat_mode = _os.environ.get("GLAVA_TPU_PREV_MAT", "0")
+    _mat_mode = _os.environ.get("GLAVA_TPU_PREV_MAT", "auto")
     _HALO = 2
     _halo_zero = _halo_edge = None
     _prev_src = prev
-    if prev is not None and _mat_mode == "1":
+    if prev is not None and _mat_mode != "0":
         from jax import lax as _lax
-        _prev_src = tuple(_lax.optimization_barrier(p) for p in prev)
+        from glava_tpu.render.base import PREV_MAT_MIN_ELEMS as _MME
+
+        def _mat(p):
+            if isinstance(p, (np.ndarray, np.generic)):
+                return p
+            if _mat_mode != "1" and p.size < _MME:
+                return p
+            return _lax.optimization_barrier(p)
+
+        _prev_src = tuple(_mat(p) for p in prev)
     if prev is not None and _halo_mode != "0":
         _halo_zero = tuple(
             jnp.pad(p, ((_HALO, _HALO), (_HALO, _HALO))) for p in _prev_src

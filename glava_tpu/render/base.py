@@ -49,6 +49,12 @@ Chan = Any
 # a frame: (r, g, b, a) channel planes
 Planes = tuple
 
+# Plane-size regime boundary for the shifted-tap materialization
+# barrier (see tap_source): measured on v5e, >= 1080p planes always
+# win or wash with the barrier, <= 512x256 planes can lose 2-6x.
+# Same boundary as the engine's YUV420 wire gate (engine.py).
+PREV_MAT_MIN_ELEMS = 1 << 19
+
 
 class PassInputs(NamedTuple):
     prev: Planes | None             # previous pass output channel planes
@@ -102,14 +108,24 @@ def tap_source(p):
     1.6 GB). ``lax.optimization_barrier`` forces one materialization
     that the taps then slice. Numpy planes pass through untouched
     (concrete constants must stay foldable). Identity on values —
-    outputs are bit-identical. GLAVA_TPU_PREV_MAT=1 enables it
-    (shared with the interpreter's shifted-tap barrier); default OFF
-    until the one-process TPU A/B decides — the CPU proxy strips
-    opt-barriers before fusion, so only a real-TPU measurement can
-    validate the default (scripts/exp_tapmat_native_ab.py)."""
+    outputs are bit-identical.
+
+    Default is SIZE-GATED (the one-process TPU A/Bs,
+    scripts/exp_tapmat_native_ab.py + exp_prevmat_ab.py, v5e): at
+    1080p the barrier never loses and wave wins 23% native / 3.1x
+    interpreted, but at 512x256 it catastrophically loses a fusion
+    draw per round (native wave 5.1k vs 29.6k, graph 11.7k vs 26.7k
+    fps) — small frames fit the duplicated recompute in-fusion and
+    the forced materialization only adds a round-trip. Barrier on
+    iff the plane has >= 2**19 elements (same regime boundary as the
+    YUV420 wire gate). GLAVA_TPU_PREV_MAT=1 forces on, =0 forces
+    off."""
     import os
 
-    if _np_like(p) or os.environ.get("GLAVA_TPU_PREV_MAT", "0") != "1":
+    if _np_like(p):
+        return p
+    mode = os.environ.get("GLAVA_TPU_PREV_MAT", "auto")
+    if mode == "0" or (mode != "1" and p.size < PREV_MAT_MIN_ELEMS):
         return p
     return jax.lax.optimization_barrier(p)
 

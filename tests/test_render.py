@@ -231,3 +231,33 @@ def test_interleave_u8_matches_f32_quantize():
     got = np.asarray(interleave_u8(planes, h, w))
     assert got.dtype == np.uint8 and got.shape == (h, w, 4)
     assert np.array_equal(got, want)
+
+
+def test_tap_source_size_gated_default(monkeypatch):
+    """The shifted-tap materialization barrier is size-gated by
+    default: applied iff the plane has >= PREV_MAT_MIN_ELEMS elements
+    (v5e A/B: 1080p wins or washes, 512x256 loses fusion draws —
+    scripts/exp_tapmat_native_ab.py). GLAVA_TPU_PREV_MAT=1/0 forces.
+    Routing is observable in the jaxpr; values are identity either
+    way (pinned by tests/test_halo_fuzz.py)."""
+    import jax
+    from glava_tpu.render.base import PREV_MAT_MIN_ELEMS, tap_source
+
+    big = (1024, PREV_MAT_MIN_ELEMS // 1024)
+    small = (64, 64)
+
+    def has_barrier(shape):
+        jaxpr = jax.make_jaxpr(lambda p: tap_source(p) * 2.0)(
+            jnp.zeros(shape, jnp.float32))
+        return "optimization_barrier" in str(jaxpr)
+
+    monkeypatch.delenv("GLAVA_TPU_PREV_MAT", raising=False)
+    assert has_barrier(big) and not has_barrier(small)
+    monkeypatch.setenv("GLAVA_TPU_PREV_MAT", "1")
+    assert has_barrier(big) and has_barrier(small)
+    monkeypatch.setenv("GLAVA_TPU_PREV_MAT", "0")
+    assert not has_barrier(big) and not has_barrier(small)
+    # numpy planes always pass through untouched (stay concrete)
+    monkeypatch.setenv("GLAVA_TPU_PREV_MAT", "1")
+    arr = np.zeros(big, np.float32)
+    assert tap_source(arr) is arr

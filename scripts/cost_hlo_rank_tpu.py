@@ -87,6 +87,12 @@ def main() -> None:
     st = r.init_state()
     compiled = jax.jit(step).lower(st, snap).compile()
     txt = compiled.as_text()
+    # NOTE: a 0 count does NOT mean the PREV_MAT gate didn't fire —
+    # barriers are present in the StableHLO (4 for interpreted circle
+    # @1080p under the auto gate) but the TPU pipeline consumes them
+    # after they constrain fusion; no "barrier" token survives into
+    # the optimized module, while the fps effect is real and measured
+    # (exp_prevmat_ab.py: wave 4,577 -> 14,366 fps).
     print("opt-barrier instrs:", txt.count("opt-barrier"), flush=True)
 
     # per-instruction (output + operand) bytes of the entry computation

@@ -292,7 +292,11 @@ def main() -> None:
                             exm["interp_mod"], exm["gravity_g"])
             return probe
 
-        per = probed_slope(mixed_once, 3, 9) / KM
+        # median-of-3 slopes: this number is judged against the
+        # >= 500 fps/stream target and tunnel drift has swung single
+        # draws 462-529 across sessions; a true median (repeats=3)
+        # discards one bad sample in either direction
+        per = probed_slope(mixed_once, 3, 9, repeats=3) / KM
         fleet_fps = {"fps_per_stream": round(1.0 / per, 1),
                      "total_fps": round(S / per, 1),
                      # device-side PCM->frame latency of the whole

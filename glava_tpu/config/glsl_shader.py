@@ -3034,22 +3034,15 @@ def make_builtins(prev, sz: int, h: int, w: int, smooth_fetch):
     # on, =0 forces off. The CPU proxy strips opt-barriers before
     # fusion, so only real-TPU measurements can re-validate this.
     _halo_mode = _os.environ.get("GLAVA_TPU_PREV_HALO", "zero")
-    _mat_mode = _os.environ.get("GLAVA_TPU_PREV_MAT", "auto")
     _HALO = 2
     _halo_zero = _halo_edge = None
     _prev_src = prev
-    if prev is not None and _mat_mode != "0":
-        from jax import lax as _lax
-        from glava_tpu.render.base import PREV_MAT_MIN_ELEMS as _MME
+    if prev is not None:
+        from glava_tpu.render.base import tap_source as _tap
 
-        def _mat(p):
-            if isinstance(p, (np.ndarray, np.generic)):
-                return p
-            if _mat_mode != "1" and p.size < _MME:
-                return p
-            return _lax.optimization_barrier(p)
-
-        _prev_src = tuple(_mat(p) for p in prev)
+        # same gate (validated mode + size gate + numpy passthrough)
+        # as the native 8-neighbor sites — render.base.tap_source
+        _prev_src = tuple(_tap(p) for p in prev)
     if prev is not None and _halo_mode != "0":
         _halo_zero = tuple(
             jnp.pad(p, ((_HALO, _HALO), (_HALO, _HALO))) for p in _prev_src

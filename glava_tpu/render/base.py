@@ -55,6 +55,30 @@ Planes = tuple
 # Same boundary as the engine's YUV420 wire gate (engine.py).
 PREV_MAT_MIN_ELEMS = 1 << 19
 
+_PREV_MAT_WARNED: set = set()
+
+
+def prev_mat_mode() -> str:
+    """Validated GLAVA_TPU_PREV_MAT mode: '1' forces the shifted-tap
+    barrier on, '0' forces it off, 'auto' (default) size-gates it.
+    Anything else would silently fall through to auto at both gate
+    sites (here and glsl_shader's _prev_src), masking a typo when the
+    intent was to force — warn once and use auto (docs/CLI.md
+    contract: '=1/=0 force')."""
+    import os
+
+    raw = os.environ.get("GLAVA_TPU_PREV_MAT", "auto")
+    if raw in ("0", "1", "auto"):
+        return raw
+    if raw not in _PREV_MAT_WARNED:
+        _PREV_MAT_WARNED.add(raw)
+        import warnings
+
+        warnings.warn(
+            f"GLAVA_TPU_PREV_MAT={raw!r} is not '1'/'0'/'auto'; "
+            "using 'auto' (size-gated)", stacklevel=2)
+    return "auto"
+
 
 class PassInputs(NamedTuple):
     prev: Planes | None             # previous pass output channel planes
@@ -120,11 +144,9 @@ def tap_source(p):
     iff the plane has >= 2**19 elements (same regime boundary as the
     YUV420 wire gate). GLAVA_TPU_PREV_MAT=1 forces on, =0 forces
     off."""
-    import os
-
     if _np_like(p):
         return p
-    mode = os.environ.get("GLAVA_TPU_PREV_MAT", "auto")
+    mode = prev_mat_mode()
     if mode == "0" or (mode != "1" and p.size < PREV_MAT_MIN_ELEMS):
         return p
     return jax.lax.optimization_barrier(p)

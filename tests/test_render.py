@@ -261,3 +261,25 @@ def test_tap_source_size_gated_default(monkeypatch):
     monkeypatch.setenv("GLAVA_TPU_PREV_MAT", "1")
     arr = np.zeros(big, np.float32)
     assert tap_source(arr) is arr
+
+
+def test_prev_mat_mode_rejects_typos(monkeypatch):
+    """Unrecognized GLAVA_TPU_PREV_MAT values ('on', '2', 'auto ')
+    must not silently force-or-skip the barrier — they warn once and
+    fall back to the size-gated auto (docs/CLI.md: '=1/=0 force')."""
+    import warnings
+
+    from glava_tpu.render import base
+
+    monkeypatch.setenv("GLAVA_TPU_PREV_MAT", "on")
+    monkeypatch.setattr(base, "_PREV_MAT_WARNED", set())
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        assert base.prev_mat_mode() == "auto"
+        assert base.prev_mat_mode() == "auto"  # warns once, not twice
+    msgs = [str(w.message) for w in rec if "GLAVA_TPU_PREV_MAT" in
+            str(w.message)]
+    assert len(msgs) == 1 and "'on'" in msgs[0]
+    for ok in ("0", "1", "auto"):
+        monkeypatch.setenv("GLAVA_TPU_PREV_MAT", ok)
+        assert base.prev_mat_mode() == ok

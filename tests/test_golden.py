@@ -27,16 +27,41 @@ CASES = {
     "circle": (300, 300),
 }
 
+# Tiny-frame pins (the multichip serving dryrun's geometry): every
+# module must draw visibly at 64x64 (render.c:1488-1597 stages always
+# draw) — radial/circle need their ring radius inside the frame, via
+# the user knob-file override path, exactly like __graft_entry__'s
+# fleet dryrun.
+TINY_SCREEN = (64, 64)
+TINY_KNOBS = {
+    "radial": "#define C_RADIUS 12\n#define NBARS 32\n",
+    "circle": "#define C_RADIUS 12\n",
+}
 
-def render_case(module: str, screen) -> np.ndarray:
+
+def render_case(module: str, screen, tiny: bool = False) -> np.ndarray:
+    import tempfile
+
     from glava_tpu.config import loader
     from glava_tpu.renderer import Renderer
 
+    reqs = (f"setgeometry 0 0 {screen[0]} {screen[1]}",
+            "setprintframes false")
+    kwargs = {}
+    td = None
+    if tiny:
+        reqs += ("setbufsize 256", "setsamplesize 64")
+        if module in TINY_KNOBS:
+            td = tempfile.TemporaryDirectory()
+            (Path(td.name) / f"{module}.glsl").write_text(TINY_KNOBS[module])
+            kwargs["user_dir"] = td.name
     lc = loader.load(
-        cli_requests=(f"setgeometry 0 0 {screen[0]} {screen[1]}",
-                      "setprintframes false"),
+        cli_requests=reqs,
         force_module=module,
+        **kwargs,
     )
+    if td is not None:
+        td.cleanup()
     r = Renderer(lc)
     cfg = lc.cfg
     t = np.arange(cfg.sample_rate) / cfg.sample_rate
@@ -72,9 +97,41 @@ def test_golden_frame(module):
     )
 
 
+@pytest.mark.parametrize("module", sorted(CASES))
+def test_golden_frame_tiny(module):
+    """64x64 pins for every module — the multichip dryrun's frame size.
+    Catches 'module blank at small geometry' regressions on CPU."""
+    if not GOLDEN.exists():
+        pytest.skip("no golden archive; run `python tests/test_golden.py regen`")
+    data = np.load(GOLDEN)
+    key = f"{module}_tiny"
+    if key not in data:
+        pytest.skip(f"{key} missing; run `python tests/test_golden.py regen`")
+    want = data[key]
+    got = render_case(module, TINY_SCREEN, tiny=True)
+    assert got.shape == want.shape
+    assert (got[..., 3] > 0).any(), f"{module} drew nothing at 64x64"
+    diff = np.abs(got.astype(np.int16) - want.astype(np.int16))
+    assert float((diff > 2).mean()) < 0.002, (
+        f"{module}: {(diff > 2).mean():.4%} of pixels deviate, max {diff.max()}"
+    )
+
+
 def regen() -> None:
+    """Regenerate the archive. Existing keys are kept VERBATIM (goldens
+    are regression pins — regenerating them would silently move the
+    pin); only missing keys are rendered. Delete frames.npz first to
+    re-pin everything."""
     GOLDEN.parent.mkdir(parents=True, exist_ok=True)
-    frames = {m: render_case(m, s) for m, s in CASES.items()}
+    frames: dict[str, np.ndarray] = {}
+    if GOLDEN.exists():
+        with np.load(GOLDEN) as data:
+            frames.update({k: data[k] for k in data.files})
+    for m, s in CASES.items():
+        if m not in frames:
+            frames[m] = render_case(m, s)
+        if f"{m}_tiny" not in frames:
+            frames[f"{m}_tiny"] = render_case(m, TINY_SCREEN, tiny=True)
     np.savez_compressed(GOLDEN, **frames)
     for m, f in frames.items():
         print(f"{m}: {f.shape} drawn={(f[..., 3] > 0).mean():.2%}")
@@ -83,6 +140,12 @@ def regen() -> None:
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "regen":
+        # goldens are CPU-generated; outside pytest the conftest CPU
+        # forcing doesn't run (and the axon plugin ignores the
+        # JAX_PLATFORMS env var — CLAUDE.md gotchas)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
         regen()
     else:
         print("usage: python tests/test_golden.py regen")

@@ -65,26 +65,43 @@ class Renderer:
         # canvas — no interleaved device copy), or the scalar clear
         # color components
         self._bg_planes = tuple(np.float32(c) for c in cfg.clear_color)
+        # When set, the wallpaper composite is LIVE: the engine polls
+        # the file and feeds updated planes through the reserved
+        # ``__bg__`` pipe argument (the reference re-copies the root
+        # pixmap when _XROOTPMAP_ID changes at runtime,
+        # glx_wcb.c:341-356 -> render.c:1832-1837 — here a new device
+        # array replaces the old one with NO recompile, since the
+        # background is a traced argument rather than a baked
+        # constant).
+        self.bg_path: str | None = None
         if cfg.copy_desktop and cfg.background_image \
                 and not cfg.premultiply_alpha:
-            from glava_tpu.runtime.sinks import read_png
-
-            img = read_png(cfg.background_image).astype(np.float32) / 255.0
-            gx, gy = cfg.geometry[0], cfg.geometry[1]
-            w, h = self.screen
-            canvas = np.broadcast_to(
-                np.asarray(cfg.clear_color, np.float32), (h, w, 4)
-            ).copy()
-            ih, iw = img.shape[:2]
-            y0, y1 = max(gy, 0), min(gy + h, ih)
-            x0, x1 = max(gx, 0), min(gx + w, iw)
-            if y1 > y0 and x1 > x0:
-                canvas[y0 - gy:y1 - gy, x0 - gx:x1 - gx] = img[y0:y1, x0:x1]
-            canvas[..., 3] = 1.0  # the root pixmap is opaque
-            canvas = canvas[::-1]  # bottom-up
+            self.bg_path = cfg.background_image
             self._bg_planes = tuple(
-                jnp.asarray(canvas[..., c].copy()) for c in range(4)
+                jnp.asarray(p) for p in self.load_bg_planes()
             )
+
+    def load_bg_planes(self) -> tuple[np.ndarray, ...]:
+        """Read the ``setbgimg`` wallpaper and build the 4 (H, W)
+        bottom-up background channel planes sampled at the window
+        geometry (the root-pixmap copy, xwin.c:345-472)."""
+        from glava_tpu.runtime.sinks import read_png
+
+        cfg = self.cfg
+        img = read_png(cfg.background_image).astype(np.float32) / 255.0
+        gx, gy = cfg.geometry[0], cfg.geometry[1]
+        w, h = self.screen
+        canvas = np.broadcast_to(
+            np.asarray(cfg.clear_color, np.float32), (h, w, 4)
+        ).copy()
+        ih, iw = img.shape[:2]
+        y0, y1 = max(gy, 0), min(gy + h, ih)
+        x0, x1 = max(gx, 0), min(gx + w, iw)
+        if y1 > y0 and x1 > x0:
+            canvas[y0 - gy:y1 - gy, x0 - gx:x1 - gx] = img[y0:y1, x0:x1]
+        canvas[..., 3] = 1.0  # the root pixmap is opaque
+        canvas = canvas[::-1]  # bottom-up
+        return tuple(canvas[..., c].copy() for c in range(4))
 
     # -- state -------------------------------------------------------------
 
@@ -109,6 +126,14 @@ class Renderer:
         pipe: dict | None = None,  # live --pipe uniform values (traced)
     ) -> tuple[RenderState, jax.Array]:
         cfg = self.cfg
+        bg_planes = self._bg_planes
+        if pipe and "__bg__" in pipe:
+            # Reserved key: live background planes as a traced (4, H, W)
+            # argument (engine wallpaper polling) — a wallpaper change
+            # is a new device array, not a recompile.
+            pipe = dict(pipe)
+            bg = jnp.asarray(pipe.pop("__bg__"))
+            bg_planes = tuple(bg[i] for i in range(4))
         if pipe:
             # Pipe values are traced arguments; expressions referencing
             # @name binds pick them up during this trace. vecN values
@@ -164,7 +189,7 @@ class Renderer:
             a = planes[3]
             planes = tuple(
                 c * a + b * (1.0 - a)
-                for c, b in zip(planes, self._bg_planes)
+                for c, b in zip(planes, bg_planes)
             )
         return RenderState(chains, key_start, key_end), planes
 

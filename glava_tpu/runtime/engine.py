@@ -155,6 +155,7 @@ class Engine:
         self.renderer = Renderer(self.loaded, screen=screen)
         self.state = self.renderer.init_state()
         self._step = self._build_step()
+        self._init_bg()
 
         self.audio = audio_mod.make_audio_data(
             bufsize=cfg.bufsize,
@@ -172,6 +173,44 @@ class Engine:
             self.pipe = None
             if o.pipe_binds and self._pipe_stream is not None:
                 self.pipe = PipeReader(list(o.pipe_binds), self._pipe_stream)
+
+    # -- live wallpaper (bg_changed recopy, render.c:1832-1837) ------------
+
+    def _init_bg(self) -> None:
+        """When a `setbgimg` wallpaper composite is active, keep its
+        planes as a device array fed through the reserved ``__bg__``
+        pipe argument so a wallpaper change mid-run is picked up with
+        no recompile — the reference re-copies the root pixmap when
+        the WM signals _XROOTPMAP_ID changed (glx_wcb.c:341-356); the
+        equivalent signal here is the file's mtime/size."""
+        self._bg_dev = None
+        self._bg_stat = None
+        if getattr(self.renderer, "bg_path", None):
+            self._bg_stat = self._stat_bg()
+            self._bg_dev = jnp.stack(
+                [jnp.asarray(p) for p in self.renderer.load_bg_planes()]
+            )
+
+    def _stat_bg(self):
+        import os
+
+        try:
+            st = os.stat(self.renderer.bg_path)
+            return (st.st_mtime_ns, st.st_size, st.st_ino)
+        except OSError:
+            return None
+
+    def _poll_bg(self) -> None:
+        st = self._stat_bg()
+        if st is None or st == self._bg_stat:
+            return
+        try:
+            self._bg_dev = jnp.stack(
+                [jnp.asarray(p) for p in self.renderer.load_bg_planes()]
+            )
+            self._bg_stat = st  # only on success: a torn read retries
+        except Exception:
+            pass  # file mid-write; keep the old composite, retry next frame
 
     # -- control API (glava.h parity) --------------------------------------
 
@@ -229,6 +268,8 @@ class Engine:
                 k: jnp.asarray(v, jnp.float32)
                 for k, v in self.pipe.snapshot().items()
             }
+        if self._bg_dev is not None:
+            pipe_arrs["__bg__"] = self._bg_dev
         state, _ = self._step(
             self.state, zeros, False, np.float32(0.0), np.float32(1.0),
             np.float32(cfg.gravity_step / cfg.nominal_ups), pipe_arrs,
@@ -289,6 +330,7 @@ class Engine:
                         self.sink.submit(self._to_host(old[0]), old[1])
                     self.renderer = Renderer(self.loaded, screen=sr)
                     self._step = self._build_step()
+                    self._init_bg()  # bg planes are screen-shaped
 
                 if self.sink.should_close():
                     break  # presentation target gone (window closed)
@@ -314,6 +356,9 @@ class Engine:
                 pipe_arrs = {
                     k: jnp.asarray(v, jnp.float32) for k, v in pipe_vals.items()
                 }
+                if self._bg_dev is not None:
+                    self._poll_bg()
+                    pipe_arrs["__bg__"] = self._bg_dev
                 self.state, frame = self._step(
                     self.state,
                     jnp.asarray(snap),

@@ -728,6 +728,51 @@ def test_xroot_composites_over_bg_image(tmp_path):
     np.testing.assert_allclose(got, want, atol=2e-3)
 
 
+def test_engine_reacts_to_background_change(tmp_path):
+    """The reference re-copies the root pixmap when the wallpaper
+    changes at runtime (glx_wcb.c:341-356 -> render.c:1832-1837); here
+    the engine polls the setbgimg file and swaps the composite planes
+    mid-run with no recompile. Swap a solid-red wallpaper for a solid-
+    blue one after a few frames and assert the background follows."""
+    def solid(r, g, b):
+        w = np.zeros((48, 64, 4), np.uint8)
+        w[..., 0], w[..., 1], w[..., 2], w[..., 3] = r, g, b, 255
+        return w
+
+    wp = tmp_path / "wall.png"
+    sinks.write_png(wp, solid(255, 0, 0))
+
+    frames = []
+
+    def on_frame(f, t):
+        frames.append(f)
+        if len(frames) == 5:
+            sinks.write_png(wp, solid(0, 0, 255))
+
+    eng = Engine(
+        EngineOptions(
+            audio_backend="synth", screen=(64, 48),
+            requests=("setprintframes false", 'setopacity "xroot"',
+                      f'setbgimg "{wp}"'),
+        ),
+        sink=sinks.CallbackSink(on_frame),
+    )
+    eng.run(max_frames=30)
+    assert len(frames) >= 30
+
+    def bg_color(frame):
+        # bars leave gap columns undrawn at every amplitude — the
+        # modal pixel color IS the background
+        px = frame[..., :3].reshape(-1, 3)
+        colors, counts = np.unique(px, axis=0, return_counts=True)
+        return tuple(colors[counts.argmax()])
+
+    assert bg_color(frames[1]) == (255, 0, 0), "initial wallpaper not shown"
+    assert bg_color(frames[-1]) == (0, 0, 255), (
+        "wallpaper change mid-run was not picked up"
+    )
+
+
 def test_obs_host_example(tmp_path):
     """The packaged OBS-equivalent consumer artifact stays runnable
     (docs/examples/obs_host.py; lifecycle of glava-obs/entry.c)."""

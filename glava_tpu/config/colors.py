@@ -27,3 +27,52 @@ def parse_color(text: str) -> tuple[float, float, float, float] | None:
         comp += 1
         i += 2
     return tuple(out)
+
+
+def expand_colors(text: str) -> str | None:
+    """Apply the reference's GLSL-scan hex-color expansion to raw text
+    (glsl_ext.c:447-514 COLOR state): ``##`` escapes one literal
+    ``#``, up to 8 alnum chars after ``#`` form the literal, each
+    expanding to `` vec4(r, g, b, a) `` with %.6f components; an
+    invalid literal is a parse error (returns None).  Used to validate
+    define values eagerly — the reference aborts config loading on a
+    bad color anywhere in GLSL text, and knob typos should fail at
+    load, not at first evaluation.  Differentially pinned against the
+    compiled ext_parse_color in tests/test_preprocessor_differential.py."""
+    out: list[str] = []
+    i, n = 0, len(text)
+    in_str = esc = False
+    while i < n:
+        c = text[i]
+        if in_str:
+            out.append(c)
+            if esc:
+                esc = False
+            elif c == "\\":
+                esc = True
+            elif c == '"':
+                in_str = False
+            i += 1
+            continue
+        if c == '"':
+            in_str = True
+            out.append(c)
+            i += 1
+            continue
+        if c == "#":
+            if i + 1 < n and text[i + 1] == "#":
+                out.append("##")
+                i += 2
+                continue
+            j = i + 1
+            while j < n and text[j].isalnum() and j - (i + 1) < 8:
+                j += 1
+            col = parse_color(text[i + 1:j])
+            if col is None:
+                return None
+            out.append(" vec4(%.6f, %.6f, %.6f, %.6f) " % col)
+            i = j
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)

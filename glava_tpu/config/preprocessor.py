@@ -22,9 +22,20 @@ configuration purposes:
   by include-guarded utility files; other preprocessor conditionals
   pass through untouched (module logic lives in Python rasterizers).
 
-Deviation from the reference: directives inside ``/* */`` block
-comments are NOT executed (the reference's line-start scanner would
-execute them — an evident parser quirk).
+Differentially tested against the reference's own compiled
+``glsl_ext.c`` (tests/test_preprocessor_differential.py: request
+streams, define environments, abort agreement, color parsing, over
+shipped sources + fuzzed directive streams). Deviations from the
+reference (each asserted explicitly in the differential suite):
+
+* directives inside ``/* */`` block comments or string literals are
+  NOT executed (the reference's line-start scanner executes them — an
+  evident parser quirk);
+* ``#ifdef/#ifndef`` gate requests/defines here (include-guard
+  idiom); the reference passes conditionals through to the GLSL
+  compiler, so requests in false branches still execute there;
+* ``#undef`` is honored (extension; the reference passes it raw —
+  the effective GLSL macro environment is identical).
 """
 
 from __future__ import annotations
@@ -108,28 +119,40 @@ def strip_comments(text: str) -> str:
 
 
 def tokenize_args(rest: str) -> list[str]:
-    """Directive argument split with the reference's quote handling."""
+    """Directive argument split with the reference's exact quote
+    handling (glsl_ext.c:653-709, differentially pinned): a quote at
+    token start opens quoting, the closing quote ends the token (empty
+    quoted tokens are dropped — zero-length spans are never copied), a
+    quote mid-token stays literal and does NOT toggle quoting, and an
+    unterminated quoted token at end of line is dropped."""
     args: list[str] = []
-    cur: list[str] = []
     quoted = False
-    for ch in rest:
-        if ch == '"':
-            if quoted:
-                args.append("".join(cur))
-                cur = []
-                quoted = False
-            elif not cur:
-                quoted = True
-            # a quote mid-token behaves like the reference: ignored
-            continue
+    arg_start = True
+    start = 0
+    n = len(rest)
+    for i in range(n):
+        ch = rest[i]
         if ch in " \t" and not quoted:
-            if cur:
-                args.append("".join(cur))
-                cur = []
-            continue
-        cur.append(ch)
-    if cur:
-        args.append("".join(cur))
+            if i > start:
+                args.append(rest[start:i])
+            arg_start = True
+            start = i + 1
+        elif ch == '"':
+            if quoted:
+                if i > start:
+                    args.append(rest[start:i])
+                quoted = False
+                arg_start = True
+                start = i + 1
+            elif arg_start:
+                start = i + 1
+                quoted = True
+            else:
+                arg_start = False  # mid-token quote: literal
+        else:
+            arg_start = False
+    if not quoted and n > start:
+        args.append(rest[start:n])
     return args
 
 
@@ -144,37 +167,77 @@ def process_text(
 ) -> None:
     ctx.visited.append(fname)
     lines = strip_comments(text).split("\n")
-    # join backslash continuations (keep numbering by padding)
+
+    # Backslash continuations: the reference's directive parser has no
+    # continuation handling at all — a '\' on a directive line is a
+    # literal token and the next line is parsed normally
+    # (differentially pinned). Only #define VALUES effectively join
+    # (the emitted raw text keeps '\'+newline and the GLSL compiler
+    # joins), so join continuations onto #define lines only, stopping
+    # at a continued line that itself starts a directive (the
+    # reference's scanner still fires those).
     joined: list[tuple[int, str]] = []
-    acc: list[str] = []
-    start = 0
-    for ln, line in enumerate(lines, start=1):
-        if line.endswith("\\"):
-            if not acc:
-                start = ln
-            acc.append(line[:-1])
+    _DEFINE_LINE = re.compile(r"\s*#\s*(define|DEFINE)\b")
+    i = 0
+    while i < len(lines):
+        ln, line = i + 1, lines[i]
+        if _DEFINE_LINE.match(line) and line.endswith("\\"):
+            acc = [line[:-1]]
+            j = i + 1
+            while j < len(lines):
+                nxt = lines[j]
+                if nxt.lstrip().startswith("#"):
+                    break  # the reference fires directives here
+                if nxt.endswith("\\"):
+                    acc.append(nxt[:-1])
+                    j += 1
+                    continue
+                acc.append(nxt)
+                j += 1
+                break
+            joined.append((ln, " ".join(acc)))
+            i = j
             continue
-        if acc:
-            acc.append(line)
-            joined.append((start, " ".join(acc)))
-            acc = []
-        else:
-            joined.append((ln, line))
-    if acc:
-        joined.append((start, " ".join(acc)))
+        joined.append((ln, line))
+        i += 1
 
     cond_stack: list[bool] = []  # minimal #ifdef/#ifndef support
+    # `:`/`@` includes permanently switch this file's include root for
+    # subsequent plain includes (ext->cd mutation, glsl_ext.c:166-180;
+    # differentially pinned). Child files inherit the mutated root.
+    cur_base = current_dir
 
     for ln, line in joined:
         stripped = line.lstrip()
         if not stripped.startswith("#"):
             continue
-        body = stripped[1:].lstrip()
-        m = re.match(r"([A-Za-z_][A-Za-z0-9_]*)", body)
+        body = stripped[1:]
+        # the reference's directive-name lexer (glsl_ext.c:600-642):
+        # [A-Za-z0-9]* (no underscore), not starting with a digit, and
+        # '#' followed by whitespace/EOL or any other character is a
+        # hard parse error
+        m = re.match(r"([A-Za-z][A-Za-z0-9]*)", body)
         if not m:
-            continue
+            nxt = body[0] if body else "\\n"
+            raise PreprocessError(
+                fname, ln,
+                f"Unexpected character '{nxt}' while parsing GLSL "
+                "directive")
         word = m.group(1)
         rest = body[m.end():]
+        if rest and rest[0] not in " \t":
+            # an identifier terminated by a non-name, non-whitespace
+            # character ('#a_b', '#x(', '#if(x)') is the same hard
+            # error — the reference's lexer knows no exceptions
+            raise PreprocessError(
+                fname, ln,
+                f"Unexpected character '{rest[0]}' while parsing "
+                "GLSL directive")
+        # directives match all-lower or ALL-UPPER, exactly
+        # (glsl_ext.c:607-617 DIRECTIVE_CMP checks both spellings)
+        if word.isupper() and word.lower() in DIRECTIVES:
+            word = word.lower()
+        rest = rest.lstrip()
 
         if word in ("ifdef", "ifndef"):
             name = rest.strip().split()[0] if rest.strip() else ""
@@ -217,6 +280,16 @@ def process_text(
                               if p.strip()]
                     ctx.fn_macros[name] = (params, pm.group(2).strip())
                 continue
+            # the reference's GLSL scan validates hex-color literals as
+            # it copies the define value (glsl_ext.c:489-514); fail a
+            # knob typo at load time the same way
+            from glava_tpu.config.colors import expand_colors
+
+            if expand_colors(value) is None:
+                raise PreprocessError(
+                    fname, ln,
+                    f"Invalid color format while parsing '#define "
+                    f"{name} {value}'")
             ctx.defines[name] = value
             continue
 
@@ -234,30 +307,32 @@ def process_text(
             if not args:
                 raise PreprocessError(fname, ln, "No arguments provided to #include directive!")
             target = args[0]
-            base = current_dir
             if target.startswith(":"):
-                target, base = target[1:], ctx.user_dir
-                if base is None:
-                    # No user config root: fall back to the system root so
-                    # `:file` includes still resolve (the reference passes
-                    # the install path as cfd when no user dir exists,
-                    # glava.c:294-301).
-                    base = ctx.system_dir
+                target = target[1:]
+                if ctx.user_dir is not None:
+                    cur_base = ctx.user_dir  # persists for this file
+                elif ctx.system_dir is not None:
+                    # No user config root: fall back to the system root
+                    # so `:file` includes still resolve (the reference
+                    # always passes the install path as cfd when no
+                    # user dir exists, glava.c:294-301)
+                    cur_base = ctx.system_dir
             elif target.startswith("@"):
-                target, base = target[1:], ctx.system_dir
-                if base is None:
+                if ctx.system_dir is None:
                     raise PreprocessError(
                         fname, ln,
                         "encountered '@' path specifier while no default "
                         "directory is available in the current context",
                     )
-            if base is None:
+                target = target[1:]
+                cur_base = ctx.system_dir  # persists for this file
+            if cur_base is None:
                 raise PreprocessError(fname, ln, f"cannot resolve include '{args[0]}'")
-            path = Path(base) / target
+            path = Path(cur_base) / target
             if not path.is_file() and target.startswith("smooth_parameters"):
                 # user root may lack an override; mirror reference layering
                 # by falling back to the system copy
-                alt = Path(ctx.system_dir or base) / target
+                alt = Path(ctx.system_dir or cur_base) / target
                 if alt.is_file():
                     path = alt
             if not path.is_file():
@@ -265,7 +340,12 @@ def process_text(
                     fname, ln,
                     f"failed to load source specified by #include directive '{path}'",
                 )
-            process_text(path.read_text(), ctx, fname=str(path), current_dir=path.parent)
+            # the child inherits the (possibly mutated) root — include
+            # paths do NOT resolve relative to the included file's own
+            # directory (glsl_ext.c:200-214 passes ext->cd unchanged;
+            # differentially pinned)
+            process_text(path.read_text(), ctx, fname=str(path),
+                         current_dir=cur_base)
             continue
 
         if word == "expand":

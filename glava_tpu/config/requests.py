@@ -34,16 +34,39 @@ def _parse_bool(raw: str) -> bool:
 
 
 def _parse_int(raw: str) -> int:
-    try:
-        return int(raw, 0)
-    except ValueError:
-        # strtol semantics: parse the leading integer, 0 on garbage
-        for end in range(len(raw), 0, -1):
-            try:
-                return int(raw[:end], 0)
-            except ValueError:
-                continue
-        return 0
+    """`(int) strtol(raw, NULL, 0)` exactly (glsl_ext.c:250): optional
+    whitespace/sign, `0x` hex, leading-`0` OCTAL, else decimal; longest
+    valid prefix, 0 on garbage; saturate to long, truncate to int.
+    Differentially pinned in tests/test_preprocessor_differential.py."""
+    s = raw
+    i, n = 0, len(s)
+    while i < n and s[i] in " \t\n\r\v\f":
+        i += 1
+    sign = 1
+    if i < n and s[i] in "+-":
+        sign = -1 if s[i] == "-" else 1
+        i += 1
+    if i + 1 < n and s[i] == "0" and s[i + 1] in "xX":
+        j = i + 2
+        while j < n and s[j] in "0123456789abcdefABCDEF":
+            j += 1
+        v = int(s[i + 2:j], 16) if j > i + 2 else 0
+    elif i < n and s[i] == "0":
+        j = i + 1
+        while j < n and s[j] in "01234567":
+            j += 1
+        v = int(s[i:j], 8)
+    else:
+        j = i
+        while j < n and s[j].isdigit():
+            j += 1
+        if j == i:
+            return 0
+        v = int(s[i:j])
+    v *= sign
+    # strtol saturates at long range, then the handler casts to int
+    v = max(-(1 << 63), min(v, (1 << 63) - 1))
+    return ((v + (1 << 31)) % (1 << 32)) - (1 << 31)
 
 
 def _parse_float(raw: str) -> float:

@@ -151,7 +151,31 @@ def _int_map2(opf, a, b):
 
 
 def _map2(f, fj, a, b):
-    """Binary op over scalars/vectors with GLSL broadcasting."""
+    """Binary op over scalars/vectors with GLSL broadcasting.
+
+    Aggregates (structs, matrices, fixed arrays) map field/column/
+    element-wise when BOTH sides are the same aggregate shape — needed
+    by the per-pixel select chains in index_value/index_store, which
+    `where` between two aggregate elements (e.g. a struct array
+    indexed by a traced per-pixel index)."""
+    if isinstance(a, GlslStruct) and isinstance(b, GlslStruct):
+        if a.typename != b.typename:
+            raise ExprError(
+                f"struct type mismatch: {a.typename} vs {b.typename}")
+        return GlslStruct(a.typename, a.names,
+                          [_map2(f, fj, x, y)
+                           for x, y in zip(a.vals, b.vals)])
+    if isinstance(a, GlslMat) and isinstance(b, GlslMat):
+        if a.n != b.n:
+            raise ExprError("matrix size mismatch")
+        return GlslMat(tuple(
+            tuple(_map2(f, fj, x, y) for x, y in zip(ca, cb))
+            for ca, cb in zip(a.cols, b.cols)))
+    if isinstance(a, GlslArray) and isinstance(b, GlslArray):
+        if len(a) != len(b):
+            raise ExprError("array size mismatch")
+        return GlslArray([_map2(f, fj, x, y)
+                          for x, y in zip(a.elems, b.elems)])
     if _is_vec(a) and _is_vec(b):
         if len(a) != len(b):
             raise ExprError("vector size mismatch")

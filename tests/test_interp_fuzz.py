@@ -40,6 +40,7 @@ class Gen:
     def __init__(self, rng):
         self.rng = rng
         self.floats = ["px", "py", "v"]
+        self.ints: list[str] = []
         self.n = 0
 
     def fresh(self):
@@ -77,11 +78,18 @@ class Gen:
         op = self.rng.choice(["<", ">", "<=", ">="])
         return f"({self.expr(1)} {op} {self.expr(1)})"
 
+    def iexpr(self):
+        """A small bounded int expression (exact in f32 and f64)."""
+        r = self.rng
+        if self.ints and r.random() < 0.5:
+            return str(r.choice(self.ints))
+        return f"int(mod(abs({self.expr(2)}) * 8.0, 16.0))"
+
     def stmts(self, depth, n=None):
         r = self.rng
         out = []
         for _ in range(int(n if n is not None else r.integers(2, 5))):
-            k = int(r.integers(0, 7 if depth < 2 else 4))
+            k = int(r.integers(0, 13 if depth < 2 else 5))
             if k == 0:   # declaration
                 v = self.fresh()
                 out.append(f"float {v} = {self.expr()};")
@@ -96,18 +104,42 @@ class Gen:
                 if self.floats:
                     v = str(r.choice(self.floats))
                     out.append(f"{v} = clamp({v}, -4.0, 4.0);")
-            elif k == 3 and depth < 2:  # if / else
+            elif k == 3:  # int bit/shift/mod ops (exact both sides)
+                iv = self.fresh()
+                ops = [f"int {iv} = {self.iexpr()};",
+                       f"{iv} = ({iv} << 1) ^ ({iv} >> 2);",
+                       f"{iv} &= 31;"]
+                if r.random() < 0.5:
+                    ops.append(f"{iv} = ({iv} | 3) % 13;")
+                if r.random() < 0.4:
+                    ops.append(f"{iv} = ~{iv} & 15;")
+                fv = self.fresh()
+                ops.append(f"float {fv} = float({iv}) * 0.0625;")
+                out.append(" ".join(ops))
+                self.ints.append(iv)
+                self.floats.append(fv)
+            elif k == 4:  # uint hash idiom (round-4 surface)
+                uv = self.fresh()
+                fv = self.fresh()
+                out.append(
+                    f"uint {uv} = uint({self.iexpr()} & 255); "
+                    f"{uv} = ({uv} << 3u) ^ ({uv} >> 1u); "
+                    f"{uv} &= 0x7fu; "
+                    f"float {fv} = float({uv}) / 128.0;")
+                self.floats.append(fv)
+            elif k == 5 and depth < 2:  # if / else
                 # block-scoped: declarations inside must not leak out
                 snap = list(self.floats)
+                sni = list(self.ints)
                 body = self.stmts(depth + 1)
-                self.floats = list(snap)
+                self.floats, self.ints = list(snap), list(sni)
                 other = self.stmts(depth + 1) if r.random() < 0.5 else []
-                self.floats = list(snap)
+                self.floats, self.ints = list(snap), list(sni)
                 out.append(f"if {self.cond()} {{ "
                            + " ".join(body) + " }"
                            + (" else { " + " ".join(other) + " }"
                               if other else ""))
-            elif k == 4 and depth < 2:  # bounded while
+            elif k == 6 and depth < 2:  # bounded while
                 c = self.fresh()
                 acc = str(r.choice(self.floats))
                 lim = r.integers(2, 7)
@@ -119,10 +151,33 @@ class Gen:
                     inner.insert(0,
                                  f"if ({c} == 1.0) {{ {c} += 1.0; "
                                  "continue; }")
+                if r.random() < 0.35:  # switch nested in while
+                    inner.append(
+                        f"switch (int(mod({c}, 3.0))) {{ "
+                        f"case 0: {acc} += 0.0625; break; "
+                        f"case 2: {acc} -= 0.03125; "
+                        f"default: break; }}")
+                if r.random() < 0.3:   # out-param call under the loop
+                    tv = self.fresh()
+                    inner.append(
+                        f"float {tv}; split2({acc}, {tv}); "
+                        f"{acc} = clamp({acc} + {tv} * 0.125, -4.0, 4.0);")
+                    self.uses_split2 = True
                 out.append(
                     f"float {c} = 0.0; while ({c} < {lim}.0) {{ "
                     + " ".join(inner) + f" {c} += 1.0; }}")
-            elif k == 5 and depth < 2:  # switch with fallthrough
+            elif k == 7 and depth < 2:  # for loop (incl. decrementing)
+                c = self.fresh()
+                acc = str(r.choice(self.floats))
+                lim = int(r.integers(2, 6))
+                if r.random() < 0.5:
+                    hdr = f"for (int {c} = 0; {c} < {lim}; {c}++)"
+                else:
+                    hdr = f"for (int {c} = {lim}; {c} > 0; {c}--)"
+                out.append(
+                    f"{hdr} {{ {acc} = clamp({acc} + float({c}) * "
+                    "0.0625, -4.0, 4.0); }")
+            elif k == 8 and depth < 2:  # switch with fallthrough
                 acc = str(r.choice(self.floats))
                 sel = f"int(mod(abs({self.expr(2)}) * 3.0, 3.0))"
                 out.append(
@@ -130,6 +185,38 @@ class Gen:
                     f"case 0: {acc} += 0.125; break; "
                     f"case 1: {acc} -= 0.25; "
                     f"default: {acc} *= 0.5; }}")
+            elif k == 9 and depth < 2:  # structs in an array
+                arr = self.fresh()
+                idx = f"int(mod(abs({self.expr(2)}) * 4.0, 2.0))"
+                fv = self.fresh()
+                out.append(
+                    f"S {arr}[2]; "
+                    f"{arr}[0] = S(vec2(px, 0.25), {self.expr(1)}); "
+                    f"{arr}[1] = S(vec2(0.5, py), 0.75); "
+                    f"{arr}[{idx}].w += 0.125; "
+                    f"float {fv} = clamp({arr}[{idx}].w + "
+                    f"{arr}[0].p.x * 0.25, -4.0, 4.0);")
+                self.floats.append(fv)
+                self.uses_struct = True
+            elif k == 10:  # vec swizzle-assign + vector ternary
+                vv = self.fresh()
+                fv = self.fresh()
+                out.append(
+                    f"vec2 {vv} = vec2({self.expr(1)}, {self.expr(1)}); "
+                    f"{vv}.yx = {vv}.xy * 0.5; "
+                    f"{vv} = {self.cond()} ? {vv} : vec2(0.25, -0.5); "
+                    f"float {fv} = clamp({vv}.x + {vv}.y, -4.0, 4.0);")
+                self.floats.append(fv)
+            elif k == 11:  # mat2 algebra
+                mv = self.fresh()
+                fv = self.fresh()
+                out.append(
+                    f"mat2 {mv} = mat2(1.0, 0.25, -0.5, 1.0); "
+                    f"{mv} = {mv} * mat2(clamp({self.expr(1)}, -2.0, 2.0)); "
+                    f"vec2 {mv}r = {mv} * vec2(0.5, 0.25); "
+                    f"float {fv} = clamp({mv}r.x + transpose({mv})[1][0],"
+                    " -4.0, 4.0);")
+                self.floats.append(fv)
             else:        # array round-trip
                 arr = self.fresh()
                 idx = f"int(mod(abs({self.expr(2)}) * 4.0, 3.0))"
@@ -144,6 +231,8 @@ class Gen:
 
     def program(self):
         r = self.rng
+        self.uses_struct = False
+        self.uses_split2 = False
         helper = ""
         call = ""
         if r.random() < 0.5:
@@ -154,7 +243,6 @@ class Gen:
                       "}\n")
             call = "v = helper(v, py); v = clamp(v, -4.0, 4.0);\n    "
         use_struct = r.random() < 0.4
-        sdecl = ("struct S { vec2 p; float w; };\n" if use_struct else "")
         sbody = ("S s = S(vec2(px, py), v); s.w += 0.25; "
                  "s.p.x = clamp(s.p.x, 0.0, 4.0); "
                  "v = s.p.x * 0.5 + s.w * 0.25;\n    " if use_struct else "")
@@ -166,9 +254,17 @@ class Gen:
                       ": S(vec2(s.p.x + 8.0, s.p.y), s.w); "
                       "v += (s2 == s) ? 0.125 : -0.125; "
                       "if (s2 != s) { v += 0.0625; }\n    ")
-        body = "\n    ".join(self.stmts(0, n=5))
+        body = "\n    ".join(self.stmts(0, n=6))
         outs = [f"clamp({self.expr(1)} * 0.25 + 0.5, 0.0, 1.0)"
                 for _ in range(3)]
+        sdecl = ("struct S { vec2 p; float w; };\n"
+                 if (use_struct or self.uses_struct) else "")
+        if self.uses_split2:
+            # out-param written on BOTH paths, called under loop masks
+            helper += ("void split2(float a, out float o) {\n"
+                       "    if (a > 1.0) { o = a * 0.25; return; }\n"
+                       "    o = a + 0.125;\n"
+                       "}\n")
         return (HEADER + sdecl + helper + f"""
 void main() {{
     float px = gl_FragCoord.x / screen.x;
@@ -180,7 +276,18 @@ void main() {{
 """)
 
 
-@pytest.mark.parametrize("seed", range(20))
+def _fuzz_n(default: int = 48) -> int:
+    """CI runs a fixed seeded subset; GLAVA_TPU_FUZZ_N=200+ deepens
+    (the full sweep is run each round — see docs/STATUS.md)."""
+    import os
+
+    try:
+        return int(os.environ.get("GLAVA_TPU_FUZZ_N", default))
+    except ValueError:
+        return default
+
+
+@pytest.mark.parametrize("seed", range(_fuzz_n()))
 def test_random_program_matches_scalar_oracle(tmp_path, seed):
     rng = np.random.default_rng(4000 + seed)
     frag = Gen(rng).program()

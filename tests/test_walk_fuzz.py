@@ -50,25 +50,34 @@ void main() {
 
 
 def gen_walk_frag(rng):
-    d = int(rng.choice([1, -1]))
+    d = int(rng.choice([1, -1, 2, -2]))  # incl. |d|>1 strides
     adj = int(rng.choice([0, 1, -1, 2]))
     startoff = int(rng.choice([0, 1, -1, 2]))
     colshift = int(rng.choice([-2, -1, 0, 1, 2]))
-    pred = rng.choice(["f.a <= 0", "f.a > 0", "f.r > 0.2", "f.g < 0.25"])
+    pred = rng.choice(["f.a <= 0", "f.a > 0", "f.r > 0.2", "f.g < 0.25",
+                       # compound predicates (round-5 widening): the
+                       # detector must either lower these exactly or
+                       # reject to the general loop — both compare
+                       "f.a <= 0 || f.r > 0.8",
+                       "f.a > 0 && f.g < 0.6"])
     if d > 0:
         bound = rng.choice(["y < screen.y", "y < screen.y + 5",
                             "y < screen.y - 3"])
     else:
         bound = rng.choice(["y >= 0", "y >= -3", "y >= 2"])
     extra_carry = bool(rng.random() < 0.3)
+    cond_carry = bool(rng.random() < 0.25)  # carry updated under an if
     fetch_after = bool(rng.random() < 0.5)
+    fetch_shift2 = int(rng.choice([-1, 0, 1]))
 
     brk = "break;" if adj == 0 else f"y += {adj}; break;"
-    carry_decl = "float acc = 0.0;" if extra_carry else ""
+    carry_decl = "float acc = 0.0;" if (extra_carry or cond_carry) else ""
     carry_step = "acc += f.r;" if extra_carry else ""
-    carry_out = "acc / 32.0" if extra_carry else "0.0"
+    if cond_carry:
+        carry_step += " if (f.g > 0.3) { acc += 0.125; }"
+    carry_out = "acc / 32.0" if (extra_carry or cond_carry) else "0.0"
     after = (f"vec4 g = texelFetch(tex, ivec2(gl_FragCoord.x + "
-             f"{colshift}, y), 0);" if fetch_after
+             f"{fetch_shift2}, y), 0);" if fetch_after
              else "vec4 g = vec4(0, 0, 0, 0);")
     return f"""
 in vec4 gl_FragCoord;
@@ -133,7 +142,15 @@ def render(tmp_path, sub, frag2, fast, latch):
                 os.environ[k] = v
 
 
-@pytest.mark.parametrize("seed", range(18))
+def _fuzz_n(default: int = 24) -> int:
+    """CI runs a fixed seeded subset; GLAVA_TPU_FUZZ_N deepens."""
+    try:
+        return int(os.environ.get("GLAVA_TPU_FUZZ_N", default))
+    except ValueError:
+        return default
+
+
+@pytest.mark.parametrize("seed", range(_fuzz_n()))
 def test_random_walk_shader_fast_paths_bit_exact(tmp_path, seed):
     rng = np.random.default_rng(1000 + seed)
     frag2 = gen_walk_frag(rng)

@@ -1066,6 +1066,14 @@ class _Exec:
             return
 
         def sel(n, o):
+            # lazy static fetches merge on their index planes (one
+            # combined lookup at flush) when the mask is concrete
+            if isinstance(n, _LazyFetch) or isinstance(o, _LazyFetch):
+                lz = _lazy_merge(mask, n, o)
+                if lz is not None:
+                    return lz
+                n = n.flush() if isinstance(n, _LazyFetch) else n
+                o = o.flush() if isinstance(o, _LazyFetch) else o
             # concrete operands under a concrete mask stay NUMPY (the
             # reference circle's `if (dir > PI) idx = ...` would
             # otherwise taint the polar index planes into tracers and
@@ -2742,6 +2750,12 @@ def _merge_masked(mask, new, old):
         old = (tuple(0.0 for _ in new) if isinstance(new, tuple) else 0.0)
 
     def sel(n, o):
+        if isinstance(n, _LazyFetch) or isinstance(o, _LazyFetch):
+            lz = _lazy_merge(mask, n, o)
+            if lz is not None:
+                return lz
+            n = n.flush() if isinstance(n, _LazyFetch) else n
+            o = o.flush() if isinstance(o, _LazyFetch) else o
         if _np_concrete(mask, n, o):
             return np.where(mask, n, o)
         return jnp.where(mask, n, o)
@@ -2785,6 +2799,35 @@ _STATIC_LK_CACHE: "OrderedDict" = __import__(
 _STATIC_LK_CACHE_MAX = 32
 
 
+def _static_lk_mode() -> tuple[bool, bool]:
+    """(static path allowed, on_tpu) per GLAVA_TPU_STATIC_LK."""
+    import jax
+
+    on_tpu = jax.default_backend() == "tpu"
+    mode = os.environ.get("GLAVA_TPU_STATIC_LK", "")
+    return (mode != "0" and (on_tpu or mode == "interpret")), on_tpu
+
+
+def _static_lookup_cached(idx: np.ndarray, size: int):
+    """LRU-cached sorted-block static lookup builder for a CONCRETE
+    index plane (values already in [0, size))."""
+    import hashlib
+
+    from glava_tpu.ops.pallas.lookup import build_static_table_lookup
+
+    _, on_tpu = _static_lk_mode()
+    key = (size, idx.shape, hashlib.sha1(idx.tobytes()).digest())
+    lk = _STATIC_LK_CACHE.get(key)
+    if lk is None:
+        lk = build_static_table_lookup(idx, size, interpret=not on_tpu)
+        _STATIC_LK_CACHE[key] = lk
+        while len(_STATIC_LK_CACHE) > _STATIC_LK_CACHE_MAX:
+            _STATIC_LK_CACHE.popitem(last=False)
+    else:
+        _STATIC_LK_CACHE.move_to_end(key)
+    return lk
+
+
 def _fetch_1d(tex, i, sz: int):
     """``tex[i]`` with a TPU fast path: XLA's per-pixel gather from a
     small 1-D table is pathological (~15 ms for 2M indices at 1080p);
@@ -2793,36 +2836,15 @@ def _fetch_1d(tex, i, sz: int):
     static variant (each block only selects over its own chunk window
     — spatially coherent patterns like polar sampling measure ~2.5x
     the dense kernel). Small/scalar index shapes keep the jnp gather."""
-    import jax
-
     jnp = _jnp()
-    on_tpu = jax.default_backend() == "tpu"
-    mode = os.environ.get("GLAVA_TPU_STATIC_LK", "")
+    use_static, on_tpu = _static_lk_mode()
     # POSITIVE numpy check: eager (non-jit) device arrays must NOT hit
     # the static bake — they can be fresh per frame, and each distinct
     # plane would argsort 2M indices on host and pin a cache entry
-    use_static = (isinstance(i, (np.ndarray, np.generic))
-                  and mode != "0"
-                  and (on_tpu or mode == "interpret"))
-    if use_static:
+    if use_static and isinstance(i, (np.ndarray, np.generic)):
         ic = np.clip(np.asarray(i, np.int64), 0, sz - 1)
         if ic.ndim >= 2 and ic.size >= (1 << 16):
-            import hashlib
-
-            from glava_tpu.ops.pallas.lookup import build_static_table_lookup
-
-            key = (sz, ic.shape,
-                   hashlib.sha1(ic.tobytes()).digest())
-            lk = _STATIC_LK_CACHE.get(key)
-            if lk is None:
-                lk = build_static_table_lookup(
-                    ic, sz, interpret=not on_tpu)
-                _STATIC_LK_CACHE[key] = lk
-                while len(_STATIC_LK_CACHE) > _STATIC_LK_CACHE_MAX:
-                    _STATIC_LK_CACHE.popitem(last=False)
-            else:
-                _STATIC_LK_CACHE.move_to_end(key)
-            return lk(tex)
+            return _static_lookup_cached(ic, sz)(tex)
         i = ic
     i = jnp.clip(jnp.asarray(i, jnp.int32), 0, sz - 1)
     if on_tpu and i.ndim >= 2 and i.size >= (1 << 16):
@@ -2831,6 +2853,249 @@ def _fetch_1d(tex, i, sz: int):
         lk = build_table_lookup(1, sz, i.size)
         return lk(tex, i.reshape(1, -1))[0].reshape(i.shape)
     return tex[i]
+
+
+# ---------------------------------------------------------------------------
+# lazy static fetches: branch-merged table lookups
+# ---------------------------------------------------------------------------
+
+class _LazyFetch:
+    """A deferred static table fetch: ``table[idx]`` over a VIRTUAL
+    concatenation of 1-D textures plus constant slots, with CONCRETE
+    (H, W) indices.
+
+    Why: GLSL like radial/1.frag:74-75 fetches ``audio_l`` in the
+    then-branch and ``audio_r`` in the else-branch at the SAME
+    positions; the masked executor would issue two full-plane Pallas
+    lookups and a merge.  The native modules fold the channel select
+    into the index (``i + where(left, 0, sz)``) over one doubled
+    table (render/modules/circle.py).  _LazyFetch gives the
+    interpreter the same shape structurally: masked assignment of two
+    lazy fetches under a CONCRETE mask merges on the numpy index
+    plane, and the select chain collapses into ONE lookup at flush.
+    Constant scalars get table slots, so ``float v = 0.0`` bases fold
+    in too.
+
+    Layout: [table 0 | table 1 | ... | consts]; ``idx`` holds virtual
+    positions (already clipped per table).  Any jnp/numpy consumption
+    flushes via ``__jax_array__``/operators — identical values to the
+    eager path (the select moved from fetched values to indices, both
+    concrete)."""
+
+    __slots__ = ("tables", "sizes", "consts", "idx", "_flushed")
+
+    def __init__(self, tables, sizes, consts, idx):
+        self.tables = list(tables)   # traced/eager 1-D f32 arrays
+        self.sizes = list(sizes)     # int lengths (virtual layout)
+        self.consts = list(consts)   # float scalar slots
+        self.idx = idx               # np.int64 (H, W) virtual indices
+        self._flushed = None
+
+    # -- flushing -----------------------------------------------------
+
+    def flush(self):
+        if self._flushed is None:
+            jnp = _jnp()
+            parts = [jnp.asarray(t, jnp.float32).reshape(-1)
+                     for t in self.tables]
+            if self.consts:
+                parts.append(jnp.asarray(
+                    np.asarray(self.consts, np.float32)))
+            table = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+            total = sum(self.sizes) + len(self.consts)
+            self._flushed = _static_lookup_cached(
+                np.ascontiguousarray(self.idx), total)(table)
+        return self._flushed
+
+    def __jax_array__(self):
+        return self.flush()
+
+    # enough array-protocol surface that plane plumbing (as_planes
+    # dtype checks, shape probes) passes through without flushing
+    @property
+    def shape(self):
+        return self.idx.shape
+
+    @property
+    def ndim(self):
+        return self.idx.ndim
+
+    @property
+    def size(self):
+        return self.idx.size
+
+    @property
+    def dtype(self):
+        return _jnp().float32
+
+    def astype(self, dt):
+        return self.flush().astype(dt)
+
+    # any arithmetic/comparison flushes and delegates
+    def _b(self, o, f):
+        return f(self.flush(), o if not isinstance(o, _LazyFetch)
+                 else o.flush())
+
+    def __add__(self, o):
+        return self._b(o, lambda a, b: a + b)
+
+    def __radd__(self, o):
+        return self._b(o, lambda a, b: b + a)
+
+    def __sub__(self, o):
+        return self._b(o, lambda a, b: a - b)
+
+    def __rsub__(self, o):
+        return self._b(o, lambda a, b: b - a)
+
+    def __mul__(self, o):
+        return self._b(o, lambda a, b: a * b)
+
+    def __rmul__(self, o):
+        return self._b(o, lambda a, b: b * a)
+
+    def __truediv__(self, o):
+        return self._b(o, lambda a, b: a / b)
+
+    def __rtruediv__(self, o):
+        return self._b(o, lambda a, b: b / a)
+
+    def __mod__(self, o):
+        return self._b(o, lambda a, b: a % b)
+
+    def __rmod__(self, o):
+        return self._b(o, lambda a, b: b % a)
+
+    def __pow__(self, o):
+        return self._b(o, lambda a, b: a ** b)
+
+    def __neg__(self):
+        return -self.flush()
+
+    def __abs__(self):
+        return abs(self.flush())
+
+    def __lt__(self, o):
+        return self._b(o, lambda a, b: a < b)
+
+    def __le__(self, o):
+        return self._b(o, lambda a, b: a <= b)
+
+    def __gt__(self, o):
+        return self._b(o, lambda a, b: a > b)
+
+    def __ge__(self, o):
+        return self._b(o, lambda a, b: a >= b)
+
+    def __eq__(self, o):  # noqa: PLW1641 — plane semantics, unhashable
+        return self._b(o, lambda a, b: a == b)
+
+    def __ne__(self, o):
+        return self._b(o, lambda a, b: a != b)
+
+    __hash__ = None
+
+
+def _lazy_allowed() -> bool:
+    if os.environ.get("GLAVA_TPU_LAZY_LK", "") == "0":
+        return False
+    return _static_lk_mode()[0]
+
+
+def _lazy_fetch(tex, idx_np: np.ndarray, sz: int):
+    """Wrap a concrete full-plane fetch as a _LazyFetch."""
+    ic = np.clip(np.asarray(idx_np, np.int64), 0, sz - 1)
+    return _LazyFetch([tex], [sz], [], ic)
+
+
+def _lazy_scalar_const(v) -> float | None:
+    """A value usable as a constant table slot, or None."""
+    if isinstance(v, (int, float, np.integer, np.floating)):
+        return float(np.float32(v))
+    if isinstance(v, (np.ndarray, np.generic)) and np.ndim(v) == 0:
+        return float(np.float32(v))
+    return None
+
+
+def _lazy_layout(lz: _LazyFetch):
+    """Per-table (start, size) pairs + const slot start."""
+    starts = []
+    at = 0
+    for s in lz.sizes:
+        starts.append((at, s))
+        at += s
+    return starts, at
+
+
+def _lazy_merge(mask, new, old):
+    """where(mask, new, old) staying lazy: both sides lazy fetches (or
+    one a scalar constant) under a CONCRETE numpy mask.  Returns the
+    merged _LazyFetch or None when it cannot stay lazy."""
+    if not isinstance(mask, (np.ndarray, np.generic, bool)):
+        return None
+    shape = None
+    for v in (new, old):
+        if isinstance(v, _LazyFetch):
+            shape = v.shape
+    if shape is None:
+        return None
+
+    def as_lazy(v):
+        if isinstance(v, _LazyFetch):
+            return v
+        c = _lazy_scalar_const(v)
+        if c is None:
+            return None
+        lz = _LazyFetch([], [], [c],
+                        np.zeros(shape, np.int64))  # idx -> const slot 0
+        return lz
+
+    a, b = as_lazy(new), as_lazy(old)
+    if a is None or b is None:
+        return None
+    # combined layout: a's tables, then b's new tables (identity-
+    # deduped), then the union of const slots
+    tables = list(a.tables)
+    sizes = list(a.sizes)
+    b_table_new_start = []
+    for t, s in zip(b.tables, b.sizes):
+        for j, t2 in enumerate(tables):
+            if t is t2:
+                b_table_new_start.append(
+                    sum(sizes[:j]))
+                break
+        else:
+            b_table_new_start.append(sum(sizes))
+            tables.append(t)
+            sizes.append(s)
+    consts = list(a.consts)
+    b_const_slot = []
+    for c in b.consts:
+        try:
+            j = consts.index(c)
+        except ValueError:
+            j = len(consts)
+            consts.append(c)
+        b_const_slot.append(j)
+    t_total = sum(sizes)
+    a_starts, a_ttotal = _lazy_layout(a)
+    b_starts, b_ttotal = _lazy_layout(b)
+
+    def remap(lz, starts, ttotal, table_new_starts, const_slots):
+        out = lz.idx.astype(np.int64, copy=True)
+        for (old_start, s), new_start in zip(starts, table_new_starts):
+            m = (lz.idx >= old_start) & (lz.idx < old_start + s)
+            out[m] += new_start - old_start
+        for k, slot in enumerate(const_slots):
+            m = lz.idx == ttotal + k
+            out[m] = t_total + slot
+        return out
+
+    a_new = remap(a, a_starts, a_ttotal,
+                  [st for st, _ in a_starts], list(range(len(a.consts))))
+    b_new = remap(b, b_starts, b_ttotal, b_table_new_start, b_const_slot)
+    m = np.broadcast_to(np.asarray(mask, bool), shape)
+    return _LazyFetch(tables, sizes, consts, np.where(m, a_new, b_new))
 
 
 def _axis_pattern(vals, n):

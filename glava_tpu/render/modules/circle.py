@@ -234,6 +234,20 @@ def _per_pixel_sampler(ctx: base.ModuleContext):
             if np.array_equal(i, np.broadcast_to(i[:, 0:1], i.shape)):
                 col = _fetch_1d(tex, jnp.asarray(i[:, 0]), sz)
                 return jnp.broadcast_to(col[:, None], (h2, w2))
+            if i.size >= (1 << 16):
+                from glava_tpu.config.glsl_shader import (
+                    _lazy_allowed, _lazy_fetch,
+                )
+
+                if _lazy_allowed():
+                    # DEFERRED full-plane fetch: masked assignments of
+                    # two lazy fetches (the `if (idx > 0) v =
+                    # smooth_f(audio_l); else v = smooth_f(audio_r);`
+                    # idiom, radial/1.frag:74-75) merge on the numpy
+                    # index plane into ONE combined-table Pallas
+                    # lookup at flush — the shape the native modules
+                    # build by hand
+                    return _lazy_fetch(tex, i, sz)
         # keep CONCRETE planes numpy: _fetch_1d routes them through the
         # static sorted-block lookup (coherence-exploiting)
         return _fetch_1d(tex, i, sz)

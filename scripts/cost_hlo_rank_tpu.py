@@ -49,8 +49,14 @@ def shape_bytes(s: str) -> int:
     return total
 
 
-def build(module: str, knobs: str):
+def build(module: str, knobs: str, native: bool = False):
     screen = (1920, 1080)
+    if native:
+        lc = loader.load(
+            cli_requests=(f"setgeometry 0 0 {screen[0]} {screen[1]}",
+                          "setprintframes false"),
+            force_module=module)
+        return Renderer(lc)
     with tempfile.TemporaryDirectory() as td:
         tmp = Path(td)
         mod = tmp / module
@@ -69,12 +75,15 @@ def build(module: str, knobs: str):
 
 
 def main() -> None:
-    module = sys.argv[1] if len(sys.argv) > 1 else "circle"
-    top_n = int(sys.argv[2]) if len(sys.argv) > 2 else 25
+    args = [a for a in sys.argv[1:] if a != "--native"]
+    native = "--native" in sys.argv[1:]
+    module = args[0] if args else "circle"
+    top_n = int(args[1]) if len(args) > 1 else 25
     name, knobs = (("graph", "#define ANTI_ALIAS 1\n")
                    if module == "graph_aa" else (module, ""))
-    print("backend:", jax.default_backend(), flush=True)
-    r = build(name, knobs)
+    print("backend:", jax.default_backend(),
+          "native" if native else "interpreted", flush=True)
+    r = build(name, knobs, native=native)
     rng = np.random.default_rng(0)
     snap = jnp.asarray(
         rng.standard_normal((2, r.cfg.bufsize)).astype(np.float32) * 0.3)

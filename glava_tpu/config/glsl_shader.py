@@ -2910,6 +2910,20 @@ class _LazyFetch:
     def __jax_array__(self):
         return self.flush()
 
+    def __array__(self, dtype=None):
+        # without this, np.asarray(lazy) would silently build a 0-d
+        # OBJECT array; flushing instead surfaces a loud
+        # TracerArrayConversionError inside a trace (the flushed value
+        # is traced) — silent corruption becomes a visible failure
+        return np.asarray(self.flush(), dtype)
+
+    def __bool__(self):
+        # mirror jnp tracer semantics: a plane has no truth value
+        raise TypeError("lazy plane truth value is ambiguous")
+
+    def __getitem__(self, k):
+        return self.flush()[k]
+
     # enough array-protocol surface that plane plumbing (as_planes
     # dtype checks, shape probes) passes through without flushing
     @property
@@ -3071,9 +3085,13 @@ def _lazy_merge(mask, new, old):
     consts = list(a.consts)
     b_const_slot = []
     for c in b.consts:
-        try:
-            j = consts.index(c)
-        except ValueError:
+        # slot dedup must distinguish -0.0 from 0.0 (list.index uses
+        # ==, which aliases them; the eager path preserves the sign
+        # bit, visible through 1/x)
+        for j, c0 in enumerate(consts):
+            if c0 == c and np.signbit(c0) == np.signbit(c):
+                break
+        else:
             j = len(consts)
             consts.append(c)
         b_const_slot.append(j)

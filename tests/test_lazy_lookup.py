@@ -135,3 +135,38 @@ def test_lazy_merge_rejects_traced_mask():
     # and non-constant plane operands cannot fold either
     assert _lazy_merge(np.ones((4, 4), bool), la,
                        np.ones((4, 4), np.float32) * 2) is None
+
+
+def test_lazy_merge_negative_zero_const_slot():
+    """Const slot dedup must not alias -0.0 to 0.0 (list.index uses ==):
+    the eager path preserves the sign bit, visible through 1/x."""
+    from glava_tpu.config.glsl_shader import _LazyFetch, _lazy_merge
+
+    ta = jnp.ones(16, jnp.float32)
+    la = _LazyFetch([ta], [16], [], np.zeros((4, 4), np.int64))
+    m1 = np.zeros((4, 4), bool)
+    m1[0] = True
+    with_pos = _lazy_merge(m1, la, 0.0)
+    assert with_pos is not None
+    m2 = np.zeros((4, 4), bool)
+    m2[1] = True
+    both = _lazy_merge(~m2, with_pos, -0.0)
+    assert both is not None
+    got = np.asarray(both.flush())
+    assert np.signbit(got[1]).all(), "-0.0 const slot aliased to +0.0"
+    assert not np.signbit(got[2:]).any()
+
+
+def test_lazy_fetch_loud_consumption_guards():
+    """np.asarray must not silently build an object array; bool() must
+    raise like a traced plane; __getitem__ flushes."""
+    from glava_tpu.config.glsl_shader import _LazyFetch
+
+    ta = jnp.asarray(np.arange(8, dtype=np.float32))
+    lz = _LazyFetch([ta], [8], [], np.full((2, 3), 4, np.int64))
+    arr = np.asarray(lz)
+    assert arr.dtype == np.float32 and arr.shape == (2, 3)
+    np.testing.assert_array_equal(arr, 4.0)
+    with pytest.raises(TypeError):
+        bool(lz)
+    np.testing.assert_array_equal(np.asarray(lz[0]), 4.0)

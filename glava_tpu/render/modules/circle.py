@@ -90,12 +90,38 @@ def build(ctx: base.ModuleContext) -> base.ModuleBuild:
             p32 = np.clip(p, 0.0, 1.0).astype(np.float32)
             i = np.clip(np.round(p32 * np.float32(sz)), 0, sz - 1)
             comb = i.astype(np.int64) + np.where(l, 0, sz)
-            idx_rows.append(comb.reshape(-1))
+            idx_rows.append(comb)
         # static indices: the sorted-block bucket kernel only selects
         # over each block's own chunk window (polar sampling is
-        # spatially coherent) — ~2.5x the dense all-chunk kernel
-        _lk = build_static_table_lookup(
-            np.stack(idx_rows), 2 * sz)
+        # spatially coherent) — ~2.5x the dense all-chunk kernel.
+        # Per-site (H, W) lookups vs one stacked (3, H*W) kernel is
+        # SIZE-GATED like the tap barrier (one-process TPU A/Bs,
+        # scripts/exp_circle_split_ab.py, v5e): @1080p split wins
+        # 2,117 -> 2,945 fps median (all 3 rounds — the stack's
+        # reshape/permutation-constant plumbing costs more than two
+        # extra kernel launches, and the interpreter, which issues
+        # per-site lookups structurally, was beating this module
+        # 1.07-1.59x until it matched); @512x256 the stack wins
+        # (5,566 vs 5,489 median and split drew a 1,698 collapse —
+        # small planes amortize the plumbing and fuse better
+        # stacked). Split iff the plane has >= PREV_MAT_MIN_ELEMS
+        # (2^19) elements, the same regime boundary as the barrier
+        # and YUV420 gates. GLAVA_TPU_CIRCLE_SPLIT_LK=1/0 forces.
+        # Identical values either way (same indices, same table) —
+        # pinned bit-exact on TPU.
+        import os as _os
+
+        from glava_tpu.render.base import PREV_MAT_MIN_ELEMS
+
+        _sm = _os.environ.get("GLAVA_TPU_CIRCLE_SPLIT_LK", "")
+        _split = (_sm == "1" or
+                  (_sm != "0" and h * w >= PREV_MAT_MIN_ELEMS))
+        if _split:
+            _lks = [build_static_table_lookup(r, 2 * sz)
+                    for r in idx_rows]
+        else:
+            _lk = build_static_table_lookup(
+                np.stack([r.reshape(-1) for r in idx_rows]), 2 * sz)
         presmooth_op = (None if ctx.cfg.smooth_pass
                         else smoothing.presmooth_op(sz, ctx.smooth_params))
 
@@ -103,6 +129,8 @@ def build(ctx: base.ModuleContext) -> base.ModuleBuild:
             if presmooth_op is not None:
                 tl, tr = presmooth_op(tl), presmooth_op(tr)
             table = jnp.concatenate([tl, tr])
+            if _split:
+                return [lk(table) * amplify for lk in _lks]
             vals = _lk(table) * amplify
             return [v.reshape(h, w) for v in vals]
 

@@ -82,6 +82,15 @@ def _path_wisdom(pipe) -> dict:
 
 
 def main() -> None:
+    import os
+
+    # jitter-proof slopes: scale run lengths until the slope delta
+    # dominates the tunnel's RTT variance (GLAVA_TPU_SLOPE_DELTA_MS=0
+    # restores the fixed-length protocol). The "±2-3x fusion lottery"
+    # across fresh builds was THIS measurement noise — identical
+    # builds fingerprint to byte-identical optimized HLO.
+    os.environ.setdefault("GLAVA_TPU_SLOPE_DELTA_MS", "250")
+
     import jax
     import jax.numpy as jnp
 

@@ -36,8 +36,12 @@ def bench_module_stats(module: str, knobs: str = "", screen=(1920, 1080),
     ceiling.  Within-build noise (tunnel drift, host contention) only
     ever slows a run; the median-of-slopes + physical-ceiling guards
     catch collapsed-slope fast reads."""
+    import os
     import statistics
 
+    # jitter-proof slopes (see glava_tpu.utils.timing.slope_time):
+    # without this, sub-ms rasters are RTT-variance lotteries
+    os.environ.setdefault("GLAVA_TPU_SLOPE_DELTA_MS", "250")
     vals = sorted(_bench_module_once(module, knobs, screen, scan_len)
                   for _ in range(max(builds, 1)))
     return {

@@ -18,6 +18,8 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
+os.environ.setdefault("GLAVA_TPU_SLOPE_DELTA_MS", "250")  # jitter-proof slopes
+
 from glava_tpu.runtime.engine import _enable_compile_cache
 
 _enable_compile_cache()

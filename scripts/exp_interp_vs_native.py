@@ -11,8 +11,11 @@ Run: PYTHONPATH=/root/repo:/root/.axon_site python -u \
 """
 
 import sys
+import os
 
 sys.path.insert(0, "/root/repo")
+
+os.environ.setdefault("GLAVA_TPU_SLOPE_DELTA_MS", "250")  # jitter-proof slopes
 
 from glava_tpu.runtime.engine import _enable_compile_cache
 

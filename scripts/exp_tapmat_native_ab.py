@@ -16,6 +16,8 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
+os.environ.setdefault("GLAVA_TPU_SLOPE_DELTA_MS", "250")  # jitter-proof slopes
+
 import numpy as np
 
 import jax

@@ -2828,6 +2828,33 @@ def _static_lookup_cached(idx: np.ndarray, size: int):
     return lk
 
 
+# few-valued planes re-index through their unique values: radial's
+# merged l/r fetch indexes a 2*sz+1-entry table with only ~NBARS+2
+# distinct positions, and the sorted-block kernel's cost scales with
+# the CHUNK WINDOW each block must read — a 162-entry table is 1-2
+# chunks where 2049 is 17. Bounded so the pre-gather stays tiny.
+_COMPACT_LK_MAX = 512
+
+
+def _compact_static_fetch(table, idx: np.ndarray, total: int):
+    """``table[idx]`` via the sorted-block static lookup, re-indexed
+    through the unique index values when the plane is few-valued.
+    Identical values (out = table[uvals][inv] == table[idx]); the
+    (K,)-point table gather is a trivial XLA gather."""
+    jnp = _jnp()
+    uvals, inv = np.unique(idx, return_inverse=True)
+    if len(uvals) == 1:  # constant plane: no lookup at all
+        return jnp.broadcast_to(
+            jnp.asarray(table, jnp.float32)[int(uvals[0])], idx.shape)
+    if len(uvals) <= _COMPACT_LK_MAX and len(uvals) * 4 <= total:
+        small = jnp.asarray(table, jnp.float32)[
+            jnp.asarray(uvals.astype(np.int32))]
+        return _static_lookup_cached(
+            np.ascontiguousarray(inv.reshape(idx.shape).astype(np.int64)),
+            len(uvals))(small)
+    return _static_lookup_cached(np.ascontiguousarray(idx), total)(table)
+
+
 def _fetch_1d(tex, i, sz: int):
     """``tex[i]`` with a TPU fast path: XLA's per-pixel gather from a
     small 1-D table is pathological (~15 ms for 2M indices at 1080p);
@@ -2844,7 +2871,7 @@ def _fetch_1d(tex, i, sz: int):
     if use_static and isinstance(i, (np.ndarray, np.generic)):
         ic = np.clip(np.asarray(i, np.int64), 0, sz - 1)
         if ic.ndim >= 2 and ic.size >= (1 << 16):
-            return _static_lookup_cached(ic, sz)(tex)
+            return _compact_static_fetch(tex, ic, sz)
         i = ic
     i = jnp.clip(jnp.asarray(i, jnp.int32), 0, sz - 1)
     if on_tpu and i.ndim >= 2 and i.size >= (1 << 16):
@@ -2903,8 +2930,7 @@ class _LazyFetch:
                     np.asarray(self.consts, np.float32)))
             table = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
             total = sum(self.sizes) + len(self.consts)
-            self._flushed = _static_lookup_cached(
-                np.ascontiguousarray(self.idx), total)(table)
+            self._flushed = _compact_static_fetch(table, self.idx, total)
         return self._flushed
 
     def __jax_array__(self):

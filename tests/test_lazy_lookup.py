@@ -74,16 +74,56 @@ def test_lazy_lookup_bit_exact(tmp_path, monkeypatch, module, knobs):
 
 def test_lazy_merge_builds_one_combined_lookup(tmp_path, monkeypatch):
     """The l/r branch fetch merges into a single lookup whose table is
-    both textures plus const slots (> 2 * sz entries)."""
+    both textures plus const slots (> 2 * sz entries). Compaction is
+    disabled here to observe the raw merged layout; the compacted form
+    is pinned separately below."""
+    from glava_tpu.config import glsl_shader
     from glava_tpu.config.glsl_shader import _STATIC_LK_CACHE
 
     monkeypatch.setenv("GLAVA_TPU_STATIC_LK", "interpret")
+    monkeypatch.setattr(glsl_shader, "_COMPACT_LK_MAX", 0)
     _STATIC_LK_CACHE.clear()
     _render(tmp_path, "radial", lazy=True,
             knobs="#define C_RADIUS 40\n#define NBARS 64\n")
     sizes = [k[0] for k in _STATIC_LK_CACHE]
     assert any(s >= 2 * 1024 for s in sizes), (
         f"no combined-table lookup was built (table sizes: {sizes})")
+
+
+def test_compact_reindex_builds_small_table(tmp_path, monkeypatch):
+    """Few-valued merged fetches re-index through their unique values:
+    radial's NBARS=64 fetch looks up a small compacted table, never
+    the raw 2*sz+consts layout — and values are bit-identical to the
+    uncompacted path."""
+    from glava_tpu.config import glsl_shader
+    from glava_tpu.config.glsl_shader import _STATIC_LK_CACHE
+
+    monkeypatch.setenv("GLAVA_TPU_STATIC_LK", "interpret")
+    knobs = "#define C_RADIUS 40\n#define NBARS 64\n"
+    _STATIC_LK_CACHE.clear()
+    a = _render(tmp_path, "radial", lazy=True, knobs=knobs)
+    sizes = [k[0] for k in _STATIC_LK_CACHE]
+    assert sizes and max(sizes) <= 4 * 66, (
+        f"expected compacted tables only, got sizes {sizes}")
+    monkeypatch.setattr(glsl_shader, "_COMPACT_LK_MAX", 0)
+    b = _render((tmp_path / "raw"), "radial", lazy=True, knobs=knobs)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_compact_static_fetch_unit():
+    """_compact_static_fetch == table[idx] bit-exactly, in both the
+    compacted and constant-plane regimes."""
+    from glava_tpu.config.glsl_shader import _compact_static_fetch
+
+    rng = np.random.default_rng(2)
+    table = jnp.asarray(rng.standard_normal(4096).astype(np.float32))
+    uvals = rng.choice(4096, 7, replace=False)
+    idx = uvals[rng.integers(0, 7, (64, 1024))].astype(np.int64)
+    got = np.asarray(_compact_static_fetch(table, idx, 4096))
+    np.testing.assert_array_equal(got, np.asarray(table)[idx])
+    const = np.full((8, 16), 123, np.int64)
+    got_c = np.asarray(_compact_static_fetch(table, const, 4096))
+    np.testing.assert_array_equal(got_c, np.asarray(table)[const])
 
 
 def test_lazy_merge_unit_semantics():

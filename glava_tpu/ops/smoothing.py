@@ -248,11 +248,21 @@ def build_resample(tex_sz: int, positions, params: SmoothParams,
         # Selection order: GLAVA_TPU_BANDED=1/0 forces, then the
         # persisted wisdom entry for this size (autotune.learn_banded —
         # the dense<->banded crossover and block tile are part of the
-        # wisdom search), then the band > 2048 heuristic.
+        # wisdom search), then a size heuristic: band > 2048, OR the
+        # dense matrix is big (>= 8 MB) and banding shrinks it >= 2x.
+        # The second clause matters at the DEFAULT bufsize: the smooth
+        # PASS at 4096 is a (4096, 1280) 21 MB constant read per
+        # update — the single largest HBM item in every native 1080p
+        # module program (TPU-HLO rank) — whose banded form wisdom
+        # measured 3.2x faster; one-process TPU A/B @1080p: bars
+        # 9,858 -> 12,745 / radial -> 7,554 fps, circle +4%
+        # (scripts/exp_banded_presmooth_ab.py); full suite green with
+        # banded forced.
         import os
 
         force = os.environ.get("GLAVA_TPU_BANDED", "")
         tile = banded_tile or 128
+        cand = None
         if banded is not None:       # explicit caller override
             use_banded = banded
         elif force == "1":
@@ -272,8 +282,13 @@ def build_resample(tex_sz: int, positions, params: SmoothParams,
                 tile = int(rec.get("tile", 128))
             else:
                 use_banded = band > 2048
+                if not use_banded and mat.nbytes >= (8 << 20):
+                    cand = _make_banded(mat, tile=tile)
+                    use_banded = cand.blocks.nbytes * 2 <= mat.nbytes
+                    if not use_banded:
+                        cand = None
         if use_banded:
-            banded = _make_banded(mat, tile=tile)
+            banded = cand if cand is not None else _make_banded(mat, tile=tile)
             banded_re = _make_banded(
                 np.ascontiguousarray(mat[:, 0::2]), tile=tile)
             banded_im = _make_banded(

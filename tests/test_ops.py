@@ -292,6 +292,42 @@ def test_fetch_1d_static_routing_parity(monkeypatch):
     assert np.array_equal(got_dev, want)
 
 
+def test_banded_default_at_presmooth_size(monkeypatch):
+    """The no-wisdom default goes block-banded for big narrow-window
+    matrices: the smooth-pass operator at the default bufsize (4096)
+    is a 21 MB dense constant read per update whose banded form the
+    one-process TPU A/B measured +29% bars / +23% radial @1080p
+    (scripts/exp_banded_presmooth_ab.py) — so the heuristic must pick
+    banded there WITHOUT a wisdom record, while small matrices stay
+    dense and GLAVA_TPU_BANDED=0 still forces the dense matmul."""
+    from glava_tpu.ops import autotune, smoothing
+
+    monkeypatch.delenv("GLAVA_TPU_BANDED", raising=False)
+    monkeypatch.setattr(autotune, "selected_banded", lambda sz: None)
+    p = smoothing.SmoothParams()
+
+    pos = np.arange(4096, dtype=np.float64) / 4096
+    op = smoothing.build_resample(4096, pos, p)
+    assert op.banded is not None, "presmooth@4096 must default banded"
+    dense = smoothing.build_resample(4096, pos, p, banded=False)
+    assert op.banded.blocks.nbytes * 2 <= dense.matrix.nbytes
+    rng = np.random.default_rng(11)
+    t = jnp.asarray(rng.uniform(0, 1, 4096).astype(np.float32))
+    np.testing.assert_allclose(np.asarray(op(t)), np.asarray(dense(t)),
+                               atol=2e-6)
+
+    # small matrices stay on the dense matmul (banding overhead only
+    # pays off once the constant read dominates)
+    small = smoothing.build_resample(
+        1024, np.arange(1024, dtype=np.float64) / 1024, p)
+    assert small.banded is None and small.matrix is not None
+
+    # env force still wins over the size heuristic
+    monkeypatch.setenv("GLAVA_TPU_BANDED", "0")
+    forced = smoothing.build_resample(4096, pos, p)
+    assert forced.banded is None and forced.matrix is not None
+
+
 def test_build_resample_banded_override_and_wisdom(monkeypatch):
     """build_resample honors the explicit banded override (any tile,
     exact parity with dense) and consults the persisted wisdom record
